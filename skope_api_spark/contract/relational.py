@@ -1,0 +1,452 @@
+"""Relational core: scan → filter → project → join → aggregate → sort → top-k.
+
+The reference engine has no general relational operators (SURVEY.md §2.3
+notes the three implicit join shapes J1–J3); Spark provides them natively.
+These queries exercise the full relational surface on the TESTDATA star
+schema so the engine's coverage is verifiable against a DuckDB oracle.
+
+Scale notes (100 TB design point):
+- dimension tables (region/nation/supplier/part/customer) are broadcast —
+  every join below is written so Catalyst picks broadcast-hash for the small
+  side (explicit ``F.broadcast`` where the stats may not be available);
+- aggregates are expressed declaratively so partial (map-side) aggregation
+  happens before the shuffle;
+- top-k is ORDER BY + LIMIT, which Spark executes as TakeOrderedAndProject
+  (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.tables import load
+
+
+# --- Q1: pricing summary (filter → groupBy → multi-agg → sort) -------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+  ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+  CAST(COUNT(*) AS BIGINT)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q3: shipping priority (3-way join → agg → deterministic top-k) --------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q5: local supplier volume (6-way join through dims) -------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT
+  n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- top-k by revenue per brand (join + agg + rank) -------------------------
+@query(
+    "top_parts_by_revenue",
+    oracle="""
+SELECT p_brand, p_partkey, revenue, rk FROM (
+  SELECT
+    p_brand,
+    p_partkey,
+    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY p_brand
+      ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey
+    ) AS INT) AS rk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+) WHERE rk <= 3
+ORDER BY p_brand, rk
+""",
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        per_part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("p_brand", "rk")
+    )
+
+
+# --- semi / anti joins ------------------------------------------------------
+@query(
+    "semi_join_customers_with_high_value_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+ORDER BY c_custkey
+""",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- outer join with null handling ------------------------------------------
+@query(
+    "left_join_order_counts",
+    oracle="""
+SELECT
+  c_custkey,
+  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+  ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- distinct aggregation ----------------------------------------------------
+@query(
+    "distinct_agg_suppliers_per_brand",
+    oracle="""
+SELECT
+  p_brand,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def distinct_agg_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- rollup / cube / grouping sets -------------------------------------------
+@query(
+    "rollup_order_totals",
+    oracle="""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  ROUND(SUM(o_totalprice), 2) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- set operators ------------------------------------------------------------
+@query(
+    "setop_nation_keys",
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS membership FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+ORDER BY membership, nationkey
+""",
+)
+def setop_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cn.intersect(sn).withColumn("membership", F.lit("both"))
+    conly = cn.exceptAll(sn).withColumn("membership", F.lit("customer_only"))
+    return both.unionByName(conly).orderBy("membership", "nationkey")
+
+
+# --- scalar function sweep (date / string / math) ------------------------------
+@query(
+    "scalar_functions_sweep",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(YEAR(o_orderdate) AS INT)                       AS order_year,
+  CAST(MONTH(o_orderdate) AS INT)                      AS order_month,
+  CAST(QUARTER(o_orderdate) AS INT)                    AS order_quarter,
+  UPPER(o_orderpriority)                               AS priority_upper,
+  SUBSTR(o_orderpriority, 1, 1)                        AS priority_code,
+  CAST(LENGTH(o_orderstatus) AS INT)                   AS status_len,
+  ROUND(SQRT(o_totalprice), 4)                         AS price_sqrt,
+  ROUND(LN(o_totalprice + 1), 6)                       AS price_ln,
+  CAST(o_totalprice AS BIGINT) % 97                    AS price_mod,
+  CASE WHEN o_totalprice > 300000 THEN 'high'
+       WHEN o_totalprice > 100000 THEN 'mid'
+       ELSE 'low' END                                  AS price_band
+FROM orders
+WHERE o_orderkey % 10 = 0
+ORDER BY o_orderkey
+""",
+)
+def scalar_functions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.upper("o_orderpriority").alias("priority_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+            F.length("o_orderstatus").alias("status_len"),
+            F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+            (F.col("o_totalprice").cast("bigint") % 97).alias("price_mod"),
+            F.when(F.col("o_totalprice") > 300000, "high")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- HAVING -------------------------------------------------------------------
+@query(
+    "having_large_order_customers",
+    oracle="""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+ORDER BY n_orders DESC, o_custkey
+""",
+)
+def having_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .where(F.col("n_orders") >= 15)
+        .orderBy(F.desc("n_orders"), "o_custkey")
+    )

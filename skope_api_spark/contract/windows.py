@@ -1,0 +1,294 @@
+"""Window-operator contract queries on the ``events`` table.
+
+Each maps a SURVEY.md §2.5 operator (W1–W4) onto (user_id, ts)-ordered event
+series, so the exact reference semantics (full-window 'valid' convolution,
+exclusive trailing windows, NULL-skipping nan* stats, population stddev,
+sigma==0 → NULL) are oracle-checked against DuckDB. The ordering key is
+always (ts, event_id) — a total order, so cross-engine results are
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.operators import windows as ops
+from skope_api_spark.tables import load
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+@query(
+    "w1_centered_moving_average",
+    oracle="""
+SELECT event_id, user_id, ts, value, ROUND(cma, 4) AS cma FROM (
+  SELECT event_id, user_id, ts, value,
+    CASE WHEN COUNT(*)    OVER w = 3
+          AND COUNT(value) OVER w = 3
+         THEN AVG(value) OVER w END AS cma
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+)
+ORDER BY user_id, ts, event_id
+""",
+)
+def w1_centered_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.centered_moving_average(
+        _events(spark, sf_dir),
+        "value",
+        order_by=("ts", "event_id"),
+        partition_by=("user_id",),
+        width=3,
+        out_col="cma",
+    )
+    return df.select(
+        "event_id", "user_id", "ts", "value", F.round("cma", 4).alias("cma")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "w2_trailing_moving_average",
+    oracle="""
+SELECT event_id, user_id, ts, value, ROUND(tma, 4) AS tma FROM (
+  SELECT event_id, user_id, ts, value,
+    CASE WHEN COUNT(*)    OVER w = 2
+          AND COUNT(value) OVER w = 2
+         THEN AVG(value) OVER w END AS tma
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+)
+ORDER BY user_id, ts, event_id
+""",
+)
+def w2_trailing_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.trailing_moving_average(
+        _events(spark, sf_dir),
+        "value",
+        order_by=("ts", "event_id"),
+        partition_by=("user_id",),
+        width=2,
+        out_col="tma",
+    )
+    return df.select(
+        "event_id", "user_id", "ts", "value", F.round("tma", 4).alias("tma")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "w3_rolling_zscore",
+    oracle="""
+SELECT event_id, user_id, ts, ROUND(z, 4) AS z FROM (
+  SELECT event_id, user_id, ts,
+    CASE WHEN COUNT(*) OVER w = 5 AND STDDEV_POP(value) OVER w > 0
+         THEN (value - AVG(value) OVER w) / (STDDEV_POP(value) OVER w) END AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+)
+ORDER BY user_id, ts, event_id
+""",
+)
+def w3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.rolling_zscore(
+        _events(spark, sf_dir),
+        "value",
+        order_by=("ts", "event_id"),
+        partition_by=("user_id",),
+        width=5,
+        out_col="z",
+    )
+    return df.select(
+        "event_id", "user_id", "ts", F.round("z", 4).alias("z")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "w4_fixed_interval_zscore",
+    oracle="""
+SELECT event_id, user_id, ROUND(z, 4) AS z FROM (
+  SELECT event_id, user_id,
+    CASE WHEN STDDEV_POP(value) OVER w > 0
+         THEN (value - AVG(value) OVER w) / (STDDEV_POP(value) OVER w) END AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+ORDER BY user_id, event_id
+""",
+)
+def w4_fixed_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.fixed_interval_zscore(
+        _events(spark, sf_dir),
+        "value",
+        partition_by=("user_id",),
+        out_col="z",
+    )
+    return df.select("event_id", "user_id", F.round("z", 4).alias("z")).orderBy(
+        "user_id", "event_id"
+    )
+
+
+@query(
+    "w4_reference_interval_zscore",
+    oracle="""
+WITH ref AS (
+  SELECT AVG(value) AS m, STDDEV_POP(value) AS s
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+)
+SELECT event_id,
+  CASE WHEN s > 0 THEN ROUND((value - m) / s, 4) END AS z
+FROM events CROSS JOIN ref
+ORDER BY event_id
+""",
+)
+def w4_reference_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ref = ev.where(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    )
+    df = ops.fixed_reference_zscore(ev, ref, "value", out_col="z")
+    return df.select("event_id", F.round("z", 4).alias("z")).orderBy("event_id")
+
+
+@query(
+    "ranking_suite",
+    oracle="""
+SELECT
+  event_id, user_id,
+  CAST(ROW_NUMBER()   OVER w AS INT)    AS rn,
+  CAST(RANK()         OVER w AS INT)    AS rnk,
+  CAST(DENSE_RANK()   OVER w AS INT)    AS drnk,
+  CAST(NTILE(4)       OVER w AS INT)    AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6)       AS prank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+ORDER BY user_id, rn
+""",
+)
+def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+@query(
+    "lag_lead_deltas",
+    oracle="""
+SELECT
+  event_id, user_id,
+  ROUND(value - LAG(value) OVER w, 4)                    AS value_delta,
+  ROUND(LEAD(value) OVER w - value, 4)                   AS next_delta,
+  EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w)                AS gap_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+            F.round(F.lead("value").over(w) - F.col("value"), 4).alias("next_delta"),
+            (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "running_cumulative_sum",
+    oracle="""
+SELECT event_id, user_id, ts,
+  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM events
+ORDER BY user_id, ts, event_id
+""",
+)
+def running_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(w), 4).alias("running_total"),
+            F.count(F.lit(1)).over(w).alias("running_n"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.sessionize(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        order_by=("ts", "event_id"),
+        partition_by=("user_id",),
+        gap="30 minutes",
+        out_col="session_id",
+    )
+    return (
+        df.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,204 @@
+"""Ordered window operators — the reference engine's analytical core.
+
+Re-expresses the reference's transforms and smoothers (SURVEY.md §2.5,
+reference ``timeseries/app/schemas/timeseries.py``) as native Spark window
+expressions. No UDFs: everything stays inside whole-stage codegen, so the
+same operator runs unchanged on one series (SKOPE parity) or on billions of
+(key, time) series in a single job (partitionBy the series keys).
+
+Exact semantics preserved from the reference:
+
+- **Centered moving average** (``MovingAverageSmoother method=centered``,
+  reference timeseries.py:81-121): ``np.convolve(xs, ones(w)/w, "valid")`` —
+  odd width, output only where the FULL window fits, and NaN anywhere in the
+  window poisons the output (convolution does not skip NaN). Spark: frame
+  ``rowsBetween(-w//2, +w//2)`` + row-count == w (full window) + non-null
+  count == w (NaN propagation).
+- **Trailing moving average** (``method=trailing``, timeseries.py:100-112):
+  value labeled t = mean(t-w .. t-1) — the current row is EXCLUDED
+  (verified against reference test_datasets.py:116-119). Frame
+  ``rowsBetween(-w, -1)``.
+- **Rolling z-score** (``ZScoreMovingInterval``, timeseries.py:34-50):
+  z of the current value vs the PRECEDING ``width`` values (exclusive),
+  where window mean/std SKIP NaN (numba kernel uses nanmean/nanstd) and
+  sigma == 0 → NULL. Population stddev (ddof=0).
+- **Fixed-interval z-score** (``ZScoreFixedInterval``, timeseries.py:153-176):
+  z vs the whole selected interval (scipy zscore, nan_policy="omit", ddof=0),
+  or vs a separately-aggregated reference interval (a 1-row broadcast
+  cross-join, see ``fixed_reference_zscore``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+ColumnsArg = Sequence[str | Column]
+
+
+def _ordered_window(partition_by: ColumnsArg, order_by: ColumnsArg):
+    if not order_by:
+        raise ValueError("window operators require an explicit ordering")
+    return W.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def centered_moving_average(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    partition_by: ColumnsArg = (),
+    width: int = 3,
+    out_col: str = "smoothed",
+    drop_partial: bool = False,
+) -> DataFrame:
+    """W1 — centered MA; odd ``width``; partial windows → NULL (or dropped)."""
+    if width < 1 or width % 2 == 0:
+        raise ValueError(f"centered moving average width must be odd >= 1, got {width}")
+    half = width // 2
+    frame = _ordered_window(partition_by, order_by).rowsBetween(-half, half)
+    n_rows = F.count(F.lit(1)).over(frame)
+    n_vals = F.count(value_col).over(frame)
+    smoothed = F.when(
+        (n_rows == width) & (n_vals == width), F.avg(value_col).over(frame)
+    )
+    out = df.withColumn(out_col, smoothed)
+    if drop_partial:
+        out = out.withColumn("__full", n_rows == width).where(F.col("__full")).drop("__full")
+    return out
+
+
+def trailing_moving_average(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    partition_by: ColumnsArg = (),
+    width: int = 2,
+    out_col: str = "smoothed",
+    drop_partial: bool = False,
+) -> DataFrame:
+    """W2 — trailing MA of the ``width`` PRECEDING rows, current row excluded."""
+    if width < 1:
+        raise ValueError(f"trailing moving average width must be >= 1, got {width}")
+    frame = _ordered_window(partition_by, order_by).rowsBetween(-width, -1)
+    n_rows = F.count(F.lit(1)).over(frame)
+    n_vals = F.count(value_col).over(frame)
+    smoothed = F.when(
+        (n_rows == width) & (n_vals == width), F.avg(value_col).over(frame)
+    )
+    out = df.withColumn(out_col, smoothed)
+    if drop_partial:
+        out = out.withColumn("__full", n_rows == width).where(F.col("__full")).drop("__full")
+    return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    partition_by: ColumnsArg = (),
+    width: int = 5,
+    out_col: str = "zscore",
+    drop_partial: bool = False,
+) -> DataFrame:
+    """W3 — z of current value vs the preceding ``width`` rows (exclusive).
+
+    Window mean/stddev skip NULLs (numpy ``nanmean``/``nanstd`` parity);
+    sigma == 0 or an incomplete window → NULL.
+    """
+    if width < 1:
+        raise ValueError(f"rolling z-score width must be >= 1, got {width}")
+    frame = _ordered_window(partition_by, order_by).rowsBetween(-width, -1)
+    n_rows = F.count(F.lit(1)).over(frame)
+    mean = F.avg(value_col).over(frame)
+    sigma = F.stddev_pop(value_col).over(frame)
+    z = F.when(
+        (n_rows == width) & (sigma > 0), (F.col(value_col) - mean) / sigma
+    )
+    out = df.withColumn(out_col, z)
+    if drop_partial:
+        out = out.withColumn("__full", n_rows == width).where(F.col("__full")).drop("__full")
+    return out
+
+
+def fixed_interval_zscore(
+    df: DataFrame,
+    value_col: str,
+    *,
+    partition_by: ColumnsArg = (),
+    out_col: str = "zscore",
+) -> DataFrame:
+    """W4 (self-interval form) — z vs the whole partition, ddof=0, NULL-skipping."""
+    frame = W.partitionBy(*partition_by).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    mean = F.avg(value_col).over(frame)
+    sigma = F.stddev_pop(value_col).over(frame)
+    z = F.when(sigma > 0, (F.col(value_col) - mean) / sigma)
+    return df.withColumn(out_col, z)
+
+
+def fixed_reference_zscore(
+    df: DataFrame,
+    reference_df: DataFrame,
+    value_col: str,
+    *,
+    join_on: ColumnsArg = (),
+    out_col: str = "zscore",
+) -> DataFrame:
+    """W4 (reference-interval form, J3) — z vs mean/stddev of a second slice.
+
+    ``reference_df`` is aggregated to one row per join key (or one row total)
+    and broadcast; the join is a broadcast hash join — no shuffle of ``df``.
+    """
+    keys = [str(c) for c in join_on]
+    stats = reference_df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__ref_mean"),
+        F.stddev_pop(value_col).alias("__ref_sigma"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(
+        F.col("__ref_sigma") > 0,
+        (F.col(value_col) - F.col("__ref_mean")) / F.col("__ref_sigma"),
+    )
+    return joined.withColumn(out_col, z).drop("__ref_mean", "__ref_sigma")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    order_by: ColumnsArg,
+    partition_by: ColumnsArg,
+    gap: str = "30 minutes",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    previous row exceeds ``gap``. Batch analogue of a streaming session window
+    (the streaming form lives in ``skope_api_spark.streaming``).
+    """
+    num, unit = gap.split()
+    unit_ms = {
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    gap_ms = int(num) * unit_ms
+    w = _ordered_window(partition_by, order_by)
+    prev_ms = F.lag(F.unix_millis(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | (F.unix_millis(F.col(ts_col)) - prev_ms > gap_ms), 1
+    ).otherwise(0)
+    running = W.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return df.withColumn(out_col, F.sum(is_new).over(running))

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Local test runs use ``local[$SPARK_GRAFT_CPUS]`` (default 32) in a single
+JVM; the configuration below is nevertheless written for the real design
+point — a multi-executor cluster scanning ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting) so static
+  ``shuffle.partitions`` only needs to be an upper bound.
+- Arrow on for every pandas-UDF boundary (the slow-path operators:
+  similarity search, multimodal decode).
+- ``spark.sql.files.maxPartitionBytes`` left at 128 MB: at 100 TB that is
+  ~800k input splits, which schedules fine on 1000 executors and keeps
+  per-task memory bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "skope_api_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
