@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it with
+the matching ``oracle_sql()`` via DuckDB: row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted by
+all columns, floats compared to 9 significant digits). Queries with no oracle
+get a rows-only check (>= 0 rows, stable schema).
+
+Usage: python scripts/check_correctness.py [query ...]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        # 9 significant digits — tolerant of cross-engine double noise while
+        # still catching real value bugs.
+        return float(f"{v:.9g}")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main(selected: list[str]) -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from skope_api_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    qs, oracles = e.queries(), e.oracle_sql()
+    if selected:
+        qs = {k: v for k, v in qs.items() if k in selected}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERR  {name}: spark: {type(ex).__name__}: {str(ex)[:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERR  {name}: duckdb: {type(ex).__name__}: {str(ex)[:200]}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rows spark={len(srows)} duck={len(drows)}")
+        if ok:
+            _, ns = _norm_rows(scols, srows)
+            _, nd = _norm_rows(dcols, drows)
+            if ns != nd:
+                ok = False
+                diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                msgs.append(f"values differ, first diffs: {diffs}")
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {'; '.join(msgs)}")
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

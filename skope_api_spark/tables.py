@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,7 +34,19 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # ts is stored as timestamp[ns]; Spark 4 refuses INT64(TIMESTAMP_NANOS)
+        # unless read as raw longs. The conf is runtime-settable; set it here
+        # (not only in session.py) so sessions not built by
+        # skope_api_spark.session — e.g. the verify driver's — can read events.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and df.schema["ts"].dataType.typeName() == "long":
+        # `div` keeps the arithmetic in exact int64 (a double division would
+        # lose precision at 1e18 ns) and truncates toward zero — identical to
+        # DuckDB's ns→µs truncation when it reads the same file.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
