@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect cost — we're timing the engine, not Python pickling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Stable headline set: the relational spine, the window core, and (as they
+# land) the LLM-pipeline operators. Names missing from the registry are
+# skipped so bench.py never breaks on a partial build.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_parts_by_revenue",
+    "distinct_agg_suppliers_per_brand",
+    "w1_centered_moving_average",
+    "w3_rolling_zscore",
+    "sessionize_events",
+    "dedup_exact_documents",
+    "dedup_minhash_near_duplicates",
+    "sim_cosine_topk",
+    "text_quality_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as e
+    from skope_api_spark.session import get_spark
+
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = e.queries()
+
+    # Warm the JVM + file-listing caches with one tiny query so the first
+    # timed query doesn't absorb session startup.
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
