@@ -14,7 +14,10 @@ from skope_api_spark.contract.registry import ORACLES, QUERIES
 def _load_all() -> None:
     # Import for registration side effects.
     from skope_api_spark.contract import (  # noqa: F401
+        dedup,
         relational,
+        similarity,
+        text,
         windows,
     )
 

@@ -1,0 +1,119 @@
+"""Dedup contract queries on the ``documents`` table.
+
+Spark side = the scale-path implementations in ``operators.dedup`` (hash
+group-by, banded MinHash LSH, pigeonhole-banded SimHash). DuckDB oracle =
+the exact, small-scale definition of the same result (all-pairs Jaccard /
+all-pairs Hamming), so each check proves the scalable path loses nothing.
+
+SimHash oracles are generated programmatically (60 per-bit sums) from the
+same md5-based hash both engines compute bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.operators import dedup as ops
+from skope_api_spark.tables import load
+
+_JACCARD_ORACLE_BODY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id)  AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY content_hash
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.exact_duplicate_groups(docs).orderBy("content_hash")
+
+
+@query("dedup_minhash_near_duplicates", oracle=_JACCARD_ORACLE_BODY)
+def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash; oracle is the exact all-pairs result (recall at the
+    planted-pair similarity level is 1 - ~1e-11, so the sets coincide)."""
+    docs = load(spark, sf_dir, "documents")
+    out = ops.minhash_near_duplicates(docs, threshold=0.7)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE_BODY)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline of the same pair set (small inputs only)."""
+    docs = load(spark, sf_dir, "documents")
+    out = ops.ngram_jaccard_pairs(docs, threshold=0.7)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_sig_sql(bits: int = ops.SIMHASH_BITS) -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+th AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM tf),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)
+"""
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle=_simhash_sig_sql() + "SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.simhash_signatures(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_near_duplicates",
+    oracle=_simhash_sig_sql()
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded Hamming join; oracle is exact all-pairs Hamming
+    (banding over max_hamming+1 blocks has guaranteed recall)."""
+    docs = load(spark, sf_dir, "documents")
+    out = ops.simhash_near_duplicates(docs, max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")

@@ -1,0 +1,129 @@
+"""Similarity-search contract queries on the ``embeddings`` table.
+
+The DuckDB oracles reuse the *same* deterministic hyperplanes (md5-parity
+±1 vectors, inlined as literals by ``_planes_sql``) so the bucketed
+approximate paths are bit-for-bit reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.operators import similarity as ops
+from skope_api_spark.tables import load
+
+_PLANES = ops.hyperplanes()
+
+
+def _planes_sql() -> str:
+    """DuckDB bucket expression from the shared hyperplane constants."""
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cs
+  FROM q, c WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force baseline: top-5 neighbors for each of 10 queries."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
+def _bucketed_oracle(tail: str) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_planes_sql()} AS bucket
+  FROM embeddings
+)
+{tail}
+"""
+
+
+@query(
+    "sim_lsh_bucket_topk",
+    oracle=_bucketed_oracle(
+        """
+, q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, b.v) AS cs
+  FROM b JOIN q USING (bucket) WHERE q.query_id != b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+"""
+    ),
+)
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: same-bucket candidates, exact re-rank, top-3 per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.lsh_bucket_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=3, planes=_PLANES
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
+@query(
+    "sim_embedding_near_dup_bucketed",
+    oracle=_bucketed_oracle(
+        """
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b2.v), 4) AS cosine_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.25
+ORDER BY vec_a, vec_b
+"""
+    ),
+)
+def sim_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucket-local by definition."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.embedding_near_duplicates(emb, threshold=0.25, planes=_PLANES)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    ).orderBy("vec_a", "vec_b")

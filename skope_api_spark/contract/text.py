@@ -1,0 +1,110 @@
+"""Text-analysis contract queries on the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.operators import text as ops
+from skope_api_spark.tables import load
+
+
+@query(
+    "text_quality_stats",
+    oracle="""
+SELECT doc_id,
+  CAST(LENGTH(text) AS INT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+  ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        / len(string_split(text, ' ')), 4) AS type_token_ratio,
+  ROUND((LENGTH(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        / len(string_split(text, ' ')), 4) AS avg_token_len,
+  ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))::DOUBLE
+        / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.quality_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+    AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.token_counts(docs).orderBy("doc_id")
+
+
+@query(
+    "text_langid_token_profile",
+    oracle="""
+WITH tok AS (
+  SELECT lang AS profile_lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT profile_lang, tok, COUNT(*) AS n FROM tok GROUP BY profile_lang, tok
+), profiles AS (
+  SELECT profile_lang, tok FROM (
+    SELECT profile_lang, tok,
+           ROW_NUMBER() OVER (PARTITION BY profile_lang ORDER BY n DESC, tok) AS rk
+    FROM counts
+  ) WHERE rk <= 10
+), doc_toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), ovl AS (
+  SELECT d.doc_id, p.profile_lang, COUNT(*) AS overlap
+  FROM doc_toks d JOIN profiles p USING (tok)
+  GROUP BY d.doc_id, p.profile_lang
+), best AS (
+  SELECT doc_id, profile_lang AS predicted_lang, CAST(overlap AS INT) AS overlap
+  FROM (
+    SELECT doc_id, profile_lang, overlap,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang) AS rk
+    FROM ovl
+  ) WHERE rk = 1
+)
+SELECT d.doc_id, d.lang, b.predicted_lang, b.overlap
+FROM documents d LEFT JOIN best b USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_langid_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-based language-ID heuristic: top-10 token profiles per labeled
+    language, classify by distinct-token overlap (ties → lang ascending)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.langid_classify(docs).orderBy("doc_id")
+
+
+@query(
+    "text_bottomk_fingerprint",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)])) AS shingle
+  FROM toks
+), fps AS (
+  SELECT doc_id, md5(shingle) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rk
+  FROM sh
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, fp FROM fps WHERE rk <= 4
+ORDER BY doc_id, rk
+""",
+)
+def text_bottomk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.bottomk_fingerprint(docs).orderBy("doc_id", "rk")

@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale text pipelines.
+
+All operators are DataFrame-native (JVM higher-order functions — no Python
+UDFs) and follow the shapes a 100 TB corpus requires:
+
+- **Exact dedup**: content hash (sha2-256) → hash-partitioned group-by.
+  One shuffle on the hash; no text comparison beyond the digest.
+- **MinHash + LSH near-dup**: shingle → k minhashes → banded signatures →
+  shuffle on (band, band_hash) → candidate pairs → exact-Jaccard verify.
+  The candidate join is the only quadratic-ish step and it is confined to
+  same-bucket collisions — never an all-pairs cross join.
+- **SimHash**: weighted per-bit majority over token hashes → 60-bit
+  signature; near-dup = Hamming distance ≤ k found via pigeonhole banding
+  (split the signature into k+1 blocks; any pair within distance k must
+  agree on at least one block — guaranteed recall, no cross join).
+- **Exact n-gram Jaccard**: the all-pairs baseline the LSH paths replace;
+  kept for verification and small inputs.
+
+SimHash signatures are built from md5 (not xxhash64) so the *output* is
+engine-independent — the DuckDB oracle computes bit-identical signatures.
+MinHash internals use xxhash64 (fast, JVM-native); only its *verified
+pairs* surface in results, so cross-engine hash parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 — stays positive in a signed int64
+
+
+def with_token_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Distinct n-word shingles of a whitespace-tokenized text column."""
+    toks = f"split({text_col}, ' ')"
+    expr = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def exact_duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup: group by sha2-256 of the content.
+
+    Returns one row per distinct content: (content_hash, rep_id = min id,
+    n_copies). At scale this is a single hash-partitioned aggregation; the
+    digest (32 bytes) shuffles instead of the document body.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    Pipeline: shingle → ``num_hashes`` minhashes per doc (xxhash64 seeded by
+    hash index) → ``bands`` band-hashes → self-join on (band, band_hash) →
+    distinct candidate pairs → exact Jaccard on shingle sets → ``>= threshold``.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Detection probability
+    for a pair with true Jaccard j is 1-(1-j^r)^b (r = hashes per band); with
+    the defaults, j=0.9 is found with P ≈ 1-2e-6 — at the thresholds used for
+    near-dup dedup the LSH path reproduces the exact all-pairs result.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    rows_per_band = num_hashes // bands
+
+    sh = with_token_shingles(df, text_col, shingle_n, "shingles").select(
+        F.col(id_col).alias("doc_id"), "shingles"
+    )
+    sh = sh.where(F.size("shingles") > 0)
+
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cands = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("double")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard — the baseline the LSH path replaces.
+
+    Quadratic in input size; use only on small/blocked inputs. Returns the
+    same (doc_a, doc_b, jaccard) shape as ``minhash_near_duplicates``.
+    """
+    sh = with_token_shingles(df, text_col, shingle_n, "shingles").select(
+        F.col(id_col).alias("doc_id"), "shingles"
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("double")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Frequency-weighted SimHash signature per document.
+
+    Token hash = first 15 hex chars of md5(token) parsed as an int (60 usable
+    bits, positive in int64). Signature bit b is set when the weighted sum of
+    (±1 per token, + if token's bit b set, weight = term frequency) is > 0.
+    md5 keeps the signature engine-independent: the DuckDB oracle reproduces
+    it bit-for-bit.
+
+    Returns (doc_id, simhash). The per-bit sums are ``bits`` aggregate
+    expressions over (doc, token, tf) — no explode-per-bit row blowup.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tf = tf.withColumn("th", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by pigeonhole banding: the signature splits into
+    ``max_hamming + 1`` blocks; any pair within the distance bound must agree
+    exactly on ≥ 1 block, so joining per-block has guaranteed recall (the
+    standard web-scale simhash dedup layout). No all-pairs join.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    sig = simhash_signatures(df, text_col, id_col, bits=bits)
+
+    blocks = [
+        F.struct(
+            F.lit(i).alias("block"),
+            F.shiftright(F.col("simhash"), i * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias("block_val"),
+        )
+        for i in range(n_blocks)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.block").alias("block"),
+        F.col("bb.block_val").alias("block_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

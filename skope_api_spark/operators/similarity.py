@@ -1,0 +1,184 @@
+"""Embedding similarity-search operators (array<float> columns).
+
+Two paths, per the standard ANN playbook:
+
+- **Brute-force cosine top-k** — exact baseline. The query set is broadcast
+  (top-k is only ever asked for a bounded query batch); candidates stream
+  through a broadcast-nested-loop join and the dot product runs JVM-side via
+  ``zip_with``/``aggregate`` higher-order functions (no Python UDF, no
+  per-row Python). Cost: O(|queries| · |corpus| · dim) FLOPs, embarrassingly
+  parallel over corpus partitions — at 100 TB this is the scan-limited path.
+- **Random-hyperplane LSH buckets** — scale path. Each vector gets a b-bit
+  signature (sign of dot with b fixed ±1 hyperplanes); similar vectors
+  collide. Candidate generation is an equi-join on the bucket id (hash
+  shuffle, no cross join), then exact cosine re-ranks within buckets.
+
+Hyperplanes are derived deterministically from md5 parity so any engine
+(here: the DuckDB oracle) reproduces the same buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (p, d) = parity of md5(p:d)."""
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def cosine(va: Column, vb: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(va) * norm(vb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+
+    Returns (query_id, neighbor_id, cosine_sim, rk). ``queries`` is
+    broadcast — it must be a bounded batch, not a scale-proportional table.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """b-bit random-hyperplane signature: bit p = 1 iff dot(v, plane_p) >= 0."""
+    planes = planes if planes is not None else hyperplanes()
+    sig = F.lit(0).cast("int")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn(out_col, sig)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then are
+    exactly re-ranked by cosine. The candidate join is an equi-join on the
+    bucket id — this is the 100 TB path (no cross join, shuffle on bucket).
+    """
+    qb = with_lsh_bucket(queries, vec_col=vec_col, planes=planes).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket"),
+    )
+    cb = with_lsh_bucket(corpus, vec_col=vec_col, planes=planes).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("bucket"),
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: same LSH bucket AND cosine >= t.
+
+    The bucket equi-join bounds the pair space; the exact cosine filter makes
+    the output deterministic. (Pairs in different buckets are by definition
+    not reported — the operator's contract is bucket-local, which is what a
+    100 TB dedup run does; the oracle applies the identical definition.)
+    """
+    b = with_lsh_bucket(df, vec_col=vec_col, planes=planes).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            "cosine_sim",
+        )
+    )
