@@ -17,6 +17,7 @@ def _load_all() -> None:
         dedup,
         relational,
         similarity,
+        skope,
         text,
         windows,
     )

@@ -1,0 +1,390 @@
+"""SKOPE datacube contract queries — the reference-parity analytical core.
+
+Each query runs on the analytic dev cube (generated in-memory by
+``sources.cube.analytic_cube``; the DuckDB oracle regenerates the identical
+cube from the same construction rule via ``_cube_sql``), so the reference's
+own golden identities (point series = band·100 …, reference
+``test_datasets.py:68-88``; trailing/centered window labeling,
+``test_datasets.py:91-121``) are continuously oracle-checked at the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.operators import windows as wops
+from skope_api_spark.operators.zonal import summary_stats, zonal_series
+from skope_api_spark.plans.catalog import DEV_CATALOG
+from skope_api_spark.plans.intervals import (
+    BandRange,
+    centered_adjustment,
+    extraction_band_range,
+    output_band_range,
+    trailing_adjustment,
+)
+from skope_api_spark.sources.cube import (
+    AUTHALIC_RADIUS_M,
+    VARIABLE_RULES,
+    analytic_cube,
+)
+
+ANNUAL = "annual_5x5x5_dataset"
+MONTHLY = "monthly_5x5x60_dataset"
+F32 = "float32_variable"
+
+
+def _cube_sql(dataset_id: str, variable_id: str) -> str:
+    """DuckDB CTE regenerating one cube slice from the analytic rule."""
+    meta = DEV_CATALOG[dataset_id]
+    rule = VARIABLE_RULES[(dataset_id, variable_id)]
+    nb = meta.n_bands()
+    step = 1 if meta.resolution == "month" else 12
+    val = rule["value"]
+    val = (
+        f"CAST(CAST({val} AS FLOAT) AS DOUBLE)"
+        if rule["f32"]
+        else f"CAST({val} AS DOUBLE)"
+    )
+    k = AUTHALIC_RADIUS_M**2 * math.radians(meta.pixel_deg)
+    return f"""
+WITH cube AS (
+  SELECT b AS band,
+         CAST(DATE '0001-01-01' + (b - 1) * {step} * INTERVAL 1 MONTH AS DATE) AS time,
+         r, c,
+         {meta.origin_lon!r} + c + {meta.pixel_deg / 2!r} AS lon,
+         {meta.origin_lat!r} - r - {meta.pixel_deg / 2!r} AS lat,
+         {k!r} * (sin(radians({meta.origin_lat!r} - r))
+                  - sin(radians({meta.origin_lat!r} - r - {meta.pixel_deg!r}))) AS cell_area,
+         CASE WHEN {rule["null"]} THEN NULL ELSE {val} END AS value
+  FROM range(1, {nb + 1}) tb(b), range(0, {meta.grid_rows}) tr(r),
+       range(0, {meta.grid_cols}) tc(c)
+)
+"""
+
+
+def _point_series(
+    spark: SparkSession,
+    dataset_id: str = ANNUAL,
+    variable_id: str = F32,
+    *,
+    row: int = 0,
+    col: int = 0,
+    bands: BandRange | None = None,
+) -> DataFrame:
+    """S2/P5: point extraction — equality predicate on the materialized cell
+    index, pushed to the scan; zonal mean of a single cell is the cell."""
+    cells = analytic_cube(spark, dataset_id, variable_id).where(
+        (F.col("row") == row) & (F.col("col") == col)
+    )
+    if bands is not None:
+        cells = cells.where(F.col("band").between(bands.gte, bands.lte))
+    return zonal_series(cells, "mean")
+
+
+# --- point extraction (S2, P5, A1 on one cell) ------------------------------
+@query(
+    "skope_point_extraction",
+    oracle=_cube_sql(ANNUAL, F32)
+    + """
+SELECT band, time, value
+FROM cube WHERE r = 0 AND c = 0
+ORDER BY band
+""",
+)
+def skope_point_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden identity: value at the cube origin = band·100 exactly
+    (reference test_datasets.py:88)."""
+    return _point_series(spark).select("band", "time", "value").orderBy("band")
+
+
+# --- zonal mean + counts over the full grid (A1, A3) ------------------------
+@query(
+    "skope_zonal_mean",
+    oracle=_cube_sql(ANNUAL, F32)
+    + """
+SELECT band, time,
+       ROUND(AVG(value), 4) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COUNT(value) AS BIGINT) AS n_valid
+FROM cube
+GROUP BY band, time
+ORDER BY band
+""",
+)
+def skope_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = analytic_cube(spark, ANNUAL, F32)
+    out = zonal_series(cube, "mean")
+    return out.select(
+        "band", "time", F.round("value", 4).alias("value"), "n_cells", "n_valid"
+    ).orderBy("band")
+
+
+# --- exact zonal median on the monthly cube (A2) ----------------------------
+@query(
+    "skope_zonal_median_monthly",
+    oracle=_cube_sql(MONTHLY, F32)
+    + """
+SELECT band, time,
+       ROUND(MEDIAN(value), 4) AS value,
+       CAST(COUNT(value) AS BIGINT) AS n_valid
+FROM cube
+GROUP BY band, time
+ORDER BY band
+""",
+)
+def skope_zonal_median_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = analytic_cube(spark, MONTHLY, F32)
+    out = zonal_series(cube, "median")
+    return out.select(
+        "band", "time", F.round("value", 4).alias("value"), "n_valid"
+    ).orderBy("band")
+
+
+# --- bbox selection + geodesic-style area (S3 prefilter, A4) ----------------
+@query(
+    "skope_bbox_zonal_area",
+    oracle=_cube_sql(ANNUAL, F32)
+    + """
+SELECT band,
+       ROUND(AVG(value), 4) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM(cell_area) / 1e6, 2) AS area_km2
+FROM cube
+WHERE lon BETWEEN -122.2 AND -119.3 AND lat BETWEEN 41.4 AND 44.1
+GROUP BY band
+ORDER BY band
+""",
+)
+def skope_bbox_zonal_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox predicate = the 'crop=True' pushdown (reference geometry.py:181-183);
+    area = sum of ingestion-time per-cell areas (reference geometry.py:141-156)."""
+    cube = analytic_cube(spark, ANNUAL, F32).where(
+        F.col("lon").between(-122.2, -119.3) & F.col("lat").between(41.4, 44.1)
+    )
+    return (
+        cube.groupBy("band")
+        .agg(
+            F.round(F.avg("value"), 4).alias("value"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("cell_area") / 1e6, 2).alias("area_km2"),
+        )
+        .orderBy("band")
+    )
+
+
+# --- smoothers on the extracted series (W1, W2) -----------------------------
+_SERIES_SQL = (
+    _cube_sql(ANNUAL, F32)
+    + ", series AS (SELECT band, time, value FROM cube WHERE r = 0 AND c = 0)\n"
+)
+
+
+@query(
+    "skope_trailing_ma",
+    oracle=_SERIES_SQL
+    + """
+SELECT band, time, ROUND(sm, 4) AS smoothed FROM (
+  SELECT band, time,
+    CASE WHEN COUNT(*) OVER w = 2 AND COUNT(value) OVER w = 2
+         THEN AVG(value) OVER w END AS sm
+  FROM series
+  WINDOW w AS (ORDER BY band ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+) WHERE sm IS NOT NULL
+ORDER BY band
+""",
+)
+def skope_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — trailing w=2, current band excluded; only full windows emit
+    (verified semantics of reference test_datasets.py:116-119)."""
+    series = _point_series(spark)
+    out = wops.trailing_moving_average(
+        series, "value", order_by=("band",), width=2, out_col="smoothed"
+    )
+    return (
+        out.where(F.col("smoothed").isNotNull())
+        .select("band", "time", F.round("smoothed", 4).alias("smoothed"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "skope_centered_ma",
+    oracle=_SERIES_SQL
+    + """
+SELECT band, time, ROUND(sm, 4) AS smoothed FROM (
+  SELECT band, time,
+    CASE WHEN COUNT(*) OVER w = 3 AND COUNT(value) OVER w = 3
+         THEN AVG(value) OVER w END AS sm
+  FROM series
+  WINDOW w AS (ORDER BY band ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+) WHERE sm IS NOT NULL
+ORDER BY band
+""",
+)
+def skope_centered_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — centered w=3, 'valid' convolution (full windows only)."""
+    series = _point_series(spark)
+    out = wops.centered_moving_average(
+        series, "value", order_by=("band",), width=3, out_col="smoothed"
+    )
+    return (
+        out.where(F.col("smoothed").isNotNull())
+        .select("band", "time", F.round("smoothed", 4).alias("smoothed"))
+        .orderBy("band")
+    )
+
+
+# --- z-score transforms on the series (W3, W4) ------------------------------
+@query(
+    "skope_rolling_zscore",
+    oracle=_SERIES_SQL
+    + """
+SELECT band, ROUND(z, 4) AS zscore FROM (
+  SELECT band,
+    CASE WHEN COUNT(*) OVER w = 2 AND STDDEV_POP(value) OVER w > 0
+         THEN (value - AVG(value) OVER w) / STDDEV_POP(value) OVER w END AS z
+  FROM series
+  WINDOW w AS (ORDER BY band ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+) WHERE z IS NOT NULL
+ORDER BY band
+""",
+)
+def skope_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — z of current band vs preceding 2 (exclusive), ddof=0."""
+    series = _point_series(spark)
+    out = wops.rolling_zscore(
+        series, "value", order_by=("band",), width=2, out_col="zscore"
+    )
+    return (
+        out.where(F.col("zscore").isNotNull())
+        .select("band", F.round("zscore", 4).alias("zscore"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "skope_fixed_zscore",
+    oracle=_SERIES_SQL
+    + """
+SELECT band, ROUND(z, 4) AS zscore FROM (
+  SELECT band,
+    CASE WHEN STDDEV_POP(value) OVER () > 0
+         THEN (value - AVG(value) OVER ()) / STDDEV_POP(value) OVER () END AS z
+  FROM series
+)
+ORDER BY band
+""",
+)
+def skope_fixed_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — z vs the whole selected interval (scipy zscore ddof=0 parity)."""
+    series = _point_series(spark)
+    out = wops.fixed_interval_zscore(series, "value", out_col="zscore")
+    return out.select("band", F.round("zscore", 4).alias("zscore")).orderBy("band")
+
+
+# --- summary stats (A5) -----------------------------------------------------
+@query(
+    "skope_summary_stats",
+    oracle=_cube_sql(ANNUAL, F32)
+    + """
+SELECT r AS row, c AS col,
+       ROUND(AVG(value), 4) AS mean,
+       ROUND(MEDIAN(value), 4) AS median,
+       ROUND(STDDEV_POP(value), 4) AS stddev,
+       CAST(COUNT(value) AS BIGINT) AS n_valid
+FROM cube
+GROUP BY r, c
+ORDER BY row, col
+""",
+)
+def skope_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 per cell-series: population stddev, exact median; the all-NULL
+    series (row 3, col 4) yields NULL stats — numpy nan*-function parity."""
+    cube = analytic_cube(spark, ANNUAL, F32)
+    out = summary_stats(cube, keys=("row", "col"))
+    return out.select(
+        "row",
+        "col",
+        F.round("mean", 4).alias("mean"),
+        F.round("median", 4).alias("median"),
+        F.round("stddev", 4).alias("stddev"),
+        "n_valid",
+    ).orderBy("row", "col")
+
+
+# --- multi-series fan-out with padding planner (A7, W6, W7) -----------------
+@query(
+    "skope_multi_series_fanout",
+    oracle=_SERIES_SQL
+    + """
+, no_smoother AS (
+  SELECT 'none' AS series_name, band, time, value FROM series
+  WHERE band BETWEEN 1 AND 4
+), trailing2 AS (
+  SELECT 'trailing_2' AS series_name, band, time, sm AS value FROM (
+    SELECT band, time,
+      CASE WHEN COUNT(*) OVER w = 2 THEN AVG(value) OVER w END AS sm
+    FROM series
+    WINDOW w AS (ORDER BY band ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+  ) WHERE band BETWEEN 3 AND 4
+), centered3 AS (
+  SELECT 'centered_3' AS series_name, band, time, sm AS value FROM (
+    SELECT band, time,
+      CASE WHEN COUNT(*) OVER w = 3 THEN AVG(value) OVER w END AS sm
+    FROM series
+    WINDOW w AS (ORDER BY band ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+  ) WHERE band BETWEEN 2 AND 4
+)
+SELECT series_name, band, time, ROUND(value, 4) AS value FROM no_smoother
+UNION ALL SELECT series_name, band, time, ROUND(value, 4) FROM trailing2
+UNION ALL SELECT series_name, band, time, ROUND(value, 4) FROM centered3
+ORDER BY series_name, band
+""",
+)
+def skope_multi_series_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's window-labeling semantics as one query
+    (test_datasets.py:91-121): request years 1–4 with [NoSmoother,
+    trailing w=2, centered w=3] → output ranges [1–4], [3–4], [2–4].
+
+    One shared extraction (W6 hull union of padded ranges), per-series
+    window + clip (W7), unionByName fan-out (A7).
+    """
+    requested = BandRange(1, 4)
+    available = BandRange(1, DEV_CATALOG[ANNUAL].n_bands())
+    smoothers = {
+        "none": (0, 0),
+        "trailing_2": trailing_adjustment(2),
+        "centered_3": centered_adjustment(3),
+    }
+    extract = extraction_band_range(
+        requested, available, smoother_adjustments=tuple(smoothers.values())
+    )
+    base = _point_series(spark, bands=extract).select("band", "time", "value")
+
+    parts = []
+    for name, adj in smoothers.items():
+        if name == "none":
+            sm = base
+        elif name == "trailing_2":
+            sm = wops.trailing_moving_average(
+                base, "value", order_by=("band",), width=2, out_col="sm"
+            ).select("band", "time", F.col("sm").alias("value"))
+        else:
+            sm = wops.centered_moving_average(
+                base, "value", order_by=("band",), width=3, out_col="sm"
+            ).select("band", "time", F.col("sm").alias("value"))
+        out_range = output_band_range(extract, requested, adj)
+        parts.append(
+            sm.where(F.col("band").between(out_range.gte, out_range.lte))
+            .withColumn("series_name", F.lit(name))
+            .select("series_name", "band", "time", F.round("value", 4).alias("value"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("series_name", "band")

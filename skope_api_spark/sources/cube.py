@@ -1,0 +1,160 @@
+"""Datacube long table — the engine's representation of (x, y, time) rasters.
+
+The reference reads multi-band GeoTIFFs band-wise (S1, reference
+``timeseries/app/schemas/geometry.py:90-94, 193``). Spark-first, the cube is
+a long Parquet table ``(dataset_id, variable_id, band, time, row, col, lon,
+lat, cell_area, value)`` partitioned by ``(dataset_id, variable_id)`` and
+sorted by ``(band, row, col)`` within files, so ``band BETWEEN`` predicates
+prune row groups and point/bbox filters push down (SURVEY.md §1.1, §4).
+
+``analytic_cube`` regenerates the reference's dev fixtures exactly from
+their analytic construction rule (value = band·100 + row·10 + col·1.1
+float32-rounded, etc. — FIXTURES.md §1; decoded from the GeoTIFFs behind
+reference ``test_datasets.py:68-88``), so no raster reader is needed:
+nodata cells become NULL (P4), cell centers/areas are materialized at
+ingestion (P5/A4).
+
+``cell_area`` uses the spherical-band formula with the WGS84 authalic
+radius: area = R²·Δλ·(sin φ_top − sin φ_bot). The reference uses pyproj's
+geodesic area (``geometry.py:62-71,141-156``); the two differ by < 0.3% —
+documented divergence (pyproj is unavailable here, and the formula is
+deterministic enough to be oracle-checked in SQL).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.plans.catalog import DEV_CATALOG, DatasetMeta
+from skope_api_spark.plans.intervals import MONTH
+
+AUTHALIC_RADIUS_M = 6371007.1809  # WGS84 authalic (equal-area) radius
+
+# variable_id → (value rule, float32-rounded?, null rule)
+# value rule / null rule are SQL boolean/arith expressions over b, r, c.
+VARIABLE_RULES: dict[tuple[str, str], dict] = {
+    ("annual_5x5x5_dataset", "float32_variable"): {
+        "value": "b * 100 + r * 10 + c * 1.1",
+        "f32": True,
+        "null": "(r = 3 AND c = 4) OR (b = 3 AND r = 2 AND c = 4)",
+    },
+    ("annual_5x5x5_dataset", "uint16_variable"): {
+        "value": "b * 100 + r * 10 + c",
+        "f32": False,
+        "null": "FALSE",
+    },
+    ("monthly_5x5x60_dataset", "float32_variable"): {
+        "value": "b * 100 + r * 10 + c * 1.1",
+        "f32": True,
+        "null": "r = 3 AND c = 4",
+    },
+    ("monthly_5x5x60_dataset", "int16_variable"): {
+        "value": "b * 100 + r * 10 + c",
+        "f32": False,
+        "null": "FALSE",
+    },
+    ("annual_5x5x5_dataset", "float32_variable_uncertainty"): {
+        "value": "b * 10 + r + c * 0.1",
+        "f32": True,
+        "null": "FALSE",
+    },
+}
+
+
+def cell_area_m2(lat_top_deg: float, pixel_deg: float) -> float:
+    """Spherical-band area of a pixel_deg × pixel_deg cell at this latitude."""
+    r2 = AUTHALIC_RADIUS_M**2
+    dlon = math.radians(pixel_deg)
+    return r2 * dlon * (
+        math.sin(math.radians(lat_top_deg))
+        - math.sin(math.radians(lat_top_deg - pixel_deg))
+    )
+
+
+def analytic_cube(
+    spark: SparkSession, dataset_id: str, variable_id: str
+) -> DataFrame:
+    """Generate one (dataset, variable) cube slice as a long DataFrame."""
+    meta: DatasetMeta = DEV_CATALOG[dataset_id]
+    rule = VARIABLE_RULES[(dataset_id, variable_id)]
+    nb = meta.n_bands()
+
+    df = (
+        spark.range(1, nb + 1)
+        .select(F.col("id").cast("int").alias("b"))
+        .crossJoin(spark.range(0, meta.grid_rows).select(F.col("id").cast("int").alias("r")))
+        .crossJoin(spark.range(0, meta.grid_cols).select(F.col("id").cast("int").alias("c")))
+    )
+
+    raw = F.expr(rule["value"]).cast("double")
+    if rule["f32"]:
+        raw = raw.cast("float").cast("double")
+    value = F.when(F.expr(rule["null"]), F.lit(None).cast("double")).otherwise(raw)
+
+    # NOTE: F.lit(date(1,1,1)) breaks — py4j stringifies via strftime, which
+    # does not zero-pad year 1, and java.sql.Date.valueOf rejects "1-01-01".
+    # isoformat() zero-pads, so ancient dates survive the driver→JVM hop.
+    origin = F.to_date(F.lit(meta.time_range.gte.isoformat()))
+    if meta.resolution == MONTH:
+        time = F.add_months(origin, F.col("b") - 1)
+    else:
+        time = F.add_months(origin, (F.col("b") - 1) * 12)
+
+    lon = F.lit(meta.origin_lon) + F.col("c") + F.lit(meta.pixel_deg / 2)
+    lat = F.lit(meta.origin_lat) - F.col("r") - F.lit(meta.pixel_deg / 2)
+    r2 = AUTHALIC_RADIUS_M**2
+    dlon = math.radians(meta.pixel_deg)
+    area = (
+        F.lit(r2 * dlon)
+        * (
+            F.sin(F.radians(F.lit(meta.origin_lat) - F.col("r")))
+            - F.sin(F.radians(F.lit(meta.origin_lat) - F.col("r") - F.lit(meta.pixel_deg)))
+        )
+    )
+
+    return df.select(
+        F.lit(dataset_id).alias("dataset_id"),
+        F.lit(variable_id).alias("variable_id"),
+        F.col("b").alias("band"),
+        time.alias("time"),
+        F.col("r").alias("row"),
+        F.col("c").alias("col"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        area.alias("cell_area"),
+        value.alias("value"),
+    )
+
+
+def full_dev_cube(spark: SparkSession) -> DataFrame:
+    """All dev fixture slices unioned — the engine's dev 'datalake'."""
+    out = None
+    for dataset_id, variable_id in VARIABLE_RULES:
+        part = analytic_cube(spark, dataset_id, variable_id)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def ingest_to_parquet(spark: SparkSession, path: str) -> None:
+    """S1 ingestion: write the cube partitioned for pruning at scale.
+
+    Partition by (dataset_id, variable_id) — queries always pin both —
+    and sort by (band, row, col) within files so Parquet min/max stats
+    prune band ranges and spatial windows.
+    """
+    (
+        full_dev_cube(spark)
+        .repartition("dataset_id", "variable_id")
+        .sortWithinPartitions("band", "row", "col")
+        .write.mode("overwrite")
+        .partitionBy("dataset_id", "variable_id")
+        .parquet(path)
+    )
+
+
+def load_cube(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
