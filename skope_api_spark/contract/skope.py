@@ -317,6 +317,72 @@ def skope_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row", "col")
 
 
+# --- polygon mask → broadcast semi-join (P6, J1, A4) ------------------------
+_TRIANGLE = {
+    "type": "Polygon",
+    "coordinates": [
+        [[-122.5, 41.1], [-120.6, 41.1], [-121.55, 43.8], [-122.5, 41.1]]
+    ],
+}
+
+
+def _dev_grid():
+    from skope_api_spark.geometry import Grid
+
+    meta = DEV_CATALOG[ANNUAL]
+    return Grid(
+        origin_lon=meta.origin_lon,
+        origin_lat=meta.origin_lat,
+        pixel_deg=meta.pixel_deg,
+        rows=meta.grid_rows,
+        cols=meta.grid_cols,
+    )
+
+
+def _triangle_cells() -> list[tuple[int, int]]:
+    from skope_api_spark.geometry import rasterize_all_touched
+
+    return rasterize_all_touched(_dev_grid(), _TRIANGLE)
+
+
+_TRIANGLE_CELLS = _triangle_cells()
+_TRIANGLE_CELLS_SQL = ", ".join(f"({r}, {c})" for r, c in _TRIANGLE_CELLS)
+
+
+@query(
+    "skope_polygon_zonal_stats",
+    oracle=_cube_sql(ANNUAL, F32)
+    + f"""
+, mask(mr, mc) AS (VALUES {_TRIANGLE_CELLS_SQL})
+SELECT band,
+       ROUND(AVG(value), 4) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM(cell_area) / 1e6, 2) AS area_km2
+FROM cube
+WHERE EXISTS (SELECT 1 FROM mask WHERE mr = r AND mc = c)
+GROUP BY band
+ORDER BY band
+""",
+)
+def skope_polygon_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J1 — driver-side all_touched rasterization of a triangle →
+    broadcast left-semi join on (row, col) → zonal stats + area (A4).
+    The oracle applies the identical driver-rasterized mask as literals."""
+    from skope_api_spark.geometry import mask_df, select_cells
+
+    cube = analytic_cube(spark, ANNUAL, F32)
+    selected = select_cells(cube, mask_df(spark, _TRIANGLE_CELLS))
+    return (
+        selected.groupBy("band")
+        .agg(
+            F.round(F.avg("value"), 4).alias("value"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("cell_area") / 1e6, 2).alias("area_km2"),
+        )
+        .orderBy("band")
+    )
+
+
 # --- multi-series fan-out with padding planner (A7, W6, W7) -----------------
 @query(
     "skope_multi_series_fanout",
