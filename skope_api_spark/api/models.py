@@ -1,0 +1,194 @@
+"""Request/response models — pydantic surface mirroring the reference.
+
+Discriminated unions on ``type`` select geometry, transform, and smoother,
+matching reference ``timeseries/app/schemas/timeseries.py``:
+
+- smoothers (``timeseries.py:64-124``): ``NoSmoother``;
+  ``MovingAverageSmoother`` (method centered|trailing, width 1–200,
+  centered width must be odd — ``timeseries.py:84-98``);
+- transforms (``timeseries.py:127-194``): ``NoTransform``;
+  ``ZScoreMovingInterval`` (width 0–200); ``ZScoreFixedInterval``
+  (optional reference time range);
+- request (``timeseries.py:346-365``): ids constrained to ``^[\\w-]+$``,
+  ``max_processing_time`` bounded.
+
+Each smoother/transform exposes its band-padding ``adjustment()`` —
+consumed by the padding planner (plans.intervals, W6).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+from typing import Annotated, Literal, Optional, Union
+
+from pydantic import BaseModel, Field, field_validator
+
+from skope_api_spark.plans import intervals as iv
+
+MAX_PROCESSING_TIME_MS = 15_000  # reference config.py:32
+
+
+class OptionalTimeRangeModel(BaseModel):
+    gte: Optional[date] = None
+    lte: Optional[date] = None
+
+
+class TimeRangeModel(BaseModel):
+    gte: date
+    lte: date
+
+    @field_validator("lte")
+    @classmethod
+    def _ordered(cls, v, info):
+        gte = info.data.get("gte")
+        if gte is not None and v < gte:
+            raise ValueError("time_range.gte must be <= lte")
+        return v
+
+
+class NoSmoother(BaseModel):
+    type: Literal["NoSmoother"] = "NoSmoother"
+
+    def adjustment(self) -> iv.Adjustment:
+        return iv.NO_ADJUSTMENT
+
+
+class MovingAverageSmoother(BaseModel):
+    type: Literal["MovingAverageSmoother"] = "MovingAverageSmoother"
+    method: Literal["centered", "trailing"]
+    width: int = Field(ge=1, le=200)
+
+    @field_validator("width")
+    @classmethod
+    def _centered_odd(cls, v, info):
+        if info.data.get("method") == "centered" and v % 2 == 0:
+            raise ValueError("centered moving average width must be odd")
+        return v
+
+    def adjustment(self) -> iv.Adjustment:
+        if self.method == "centered":
+            return iv.centered_adjustment(self.width)
+        return iv.trailing_adjustment(self.width)
+
+
+Smoother = Annotated[
+    Union[NoSmoother, MovingAverageSmoother], Field(discriminator="type")
+]
+
+
+class NoTransform(BaseModel):
+    type: Literal["NoTransform"] = "NoTransform"
+
+    def adjustment(self) -> iv.Adjustment:
+        return iv.NO_ADJUSTMENT
+
+
+class ZScoreMovingInterval(BaseModel):
+    type: Literal["ZScoreMovingInterval"] = "ZScoreMovingInterval"
+    width: int = Field(ge=0, le=200)
+
+    def adjustment(self) -> iv.Adjustment:
+        return iv.rolling_zscore_adjustment(self.width)
+
+
+class ZScoreFixedInterval(BaseModel):
+    type: Literal["ZScoreFixedInterval"] = "ZScoreFixedInterval"
+    time_range: Optional[TimeRangeModel] = None
+
+    def adjustment(self) -> iv.Adjustment:
+        return iv.NO_ADJUSTMENT
+
+
+Transform = Annotated[
+    Union[NoTransform, ZScoreMovingInterval, ZScoreFixedInterval],
+    Field(discriminator="type"),
+]
+
+
+class SeriesOptions(BaseModel):
+    """One requested output series: a named smoother config
+    (reference timeseries.py:196-209)."""
+
+    name: str
+    smoother: Smoother
+
+
+class TimeseriesV2Request(BaseModel):
+    dataset_id: str = Field(pattern=r"^[\w-]+$")
+    variable_id: str = Field(pattern=r"^[\w-]+$")
+    selected_area: dict  # GeoJSON; validated/compiled by geometry.py
+    zonal_statistic: Literal["mean", "median"] = "mean"
+    time_range: OptionalTimeRangeModel = OptionalTimeRangeModel()
+    transform: Transform = NoTransform()
+    requested_series_options: list[SeriesOptions] = Field(
+        default_factory=lambda: [SeriesOptions(name="original", smoother=NoSmoother())]
+    )
+    max_processing_time: int = Field(
+        default=MAX_PROCESSING_TIME_MS, ge=0, le=MAX_PROCESSING_TIME_MS
+    )
+
+
+class SeriesResult(BaseModel):
+    name: str
+    time_range: Optional[TimeRangeModel] = None
+    values: list[Optional[float]] = Field(default_factory=list)
+
+
+class SummaryStatRow(BaseModel):
+    name: str
+    mean: Optional[float] = None
+    median: Optional[float] = None
+    stdev: Optional[float] = None
+
+
+class TimeseriesV2Response(BaseModel):
+    dataset_id: str
+    variable_id: str
+    n_cells: int
+    area_m2: float
+    series: list[SeriesResult]
+    summary_stats: list[SummaryStatRow]
+    processing_time_ms: int
+
+
+class TimeseriesV1Request(BaseModel):
+    """Legacy shape (reference timeseries.py:277-287)."""
+
+    datasetId: str = Field(pattern=r"^[\w-]+$")
+    variableName: str = Field(pattern=r"^[\w-]+$")
+    boundaryGeometry: dict
+    start: Optional[str] = None
+    end: Optional[str] = None
+
+
+def parse_v1_date(s: str) -> date:
+    """Parse v1 "1" / "2000-01" strings (reference timeseries.py:295-325).
+
+    A bare year maps to Jan 1 on BOTH ends ("1" → 0001-01-01) — reference
+    parity: band resolution works on step starts, so an annual end year "5"
+    must resolve to 0005-01-01 (band 5), not 0005-12.
+    """
+    parts = s.split("-")
+    year = int(parts[0])
+    month = int(parts[1]) if len(parts) > 1 else 1
+    return date(year, month, 1)
+
+
+def v1_to_v2(req: TimeseriesV1Request) -> TimeseriesV2Request:
+    """P9 — legacy adapter: mean zonal stat, no transform, one raw series
+    (reference timeseries.py:327-343)."""
+    tr = OptionalTimeRangeModel(
+        gte=parse_v1_date(req.start) if req.start else None,
+        lte=parse_v1_date(req.end) if req.end else None,
+    )
+    return TimeseriesV2Request(
+        dataset_id=req.datasetId,
+        variable_id=req.variableName,
+        selected_area=req.boundaryGeometry,
+        zonal_statistic="mean",
+        time_range=tr,
+        transform=NoTransform(),
+        requested_series_options=[
+            SeriesOptions(name="original", smoother=NoSmoother())
+        ],
+    )

@@ -1,0 +1,390 @@
+"""Timeseries pipeline service — the v2 query lifecycle on Spark.
+
+Mirrors the reference lifecycle (SURVEY.md §3; reference
+``timeseries/app/core/services.py``): validate → bind catalog → plan
+(interval algebra) → extract (pruned scan + cell predicate) → zonal agg →
+transform → per-series smoothing → relabel/clip → summarize.
+
+Execution shape: ONE cached base-series subplan (the shared extraction,
+reference ``timeseries.py:402-415``), per-series window expressions unioned
+with a ``series_name`` column, ONE collect under a cancellable job group
+(cooperative timeout — reference's anyio ``fail_after`` → 504 becomes
+``TimeseriesTimeoutError``; the Spark jobs are actually cancelled, not
+orphaned).
+
+Known divergence from the reference (documented in SURVEY.md §2.5 W7): the
+reference hard-codes an annual PeriodIndex (``freq="A"``,
+``timeseries.py:222``) so *monthly* series get mislabeled time ranges; here
+times come from the cube's real ``time`` column at the dataset's
+resolution.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skope_api_spark.api import models as M
+from skope_api_spark.geometry import (
+    DEFAULT_MAX_CELLS,
+    Grid,
+    mask_df,
+    point_predicate,
+    rasterize_all_touched,
+    select_cells,
+)
+from skope_api_spark.operators import windows as wops
+from skope_api_spark.operators.zonal import zonal_series
+from skope_api_spark.plans.catalog import Catalog, DatasetMeta
+from skope_api_spark.plans.intervals import (
+    Adjustment,
+    BandRange,
+    TimeRange,
+    band_range_for_time_range,
+    extraction_band_range,
+    normalize_time_range,
+)
+from skope_api_spark.sources.cube import analytic_cube, cell_area_m2
+
+
+class TimeseriesTimeoutError(RuntimeError):
+    """Request exceeded max_processing_time; Spark jobs were cancelled."""
+
+
+def _grid(meta: DatasetMeta) -> Grid:
+    return Grid(
+        origin_lon=meta.origin_lon,
+        origin_lat=meta.origin_lat,
+        pixel_deg=meta.pixel_deg,
+        rows=meta.grid_rows,
+        cols=meta.grid_cols,
+    )
+
+
+def _shrink(r: BandRange | None, adj: Adjustment) -> BandRange | None:
+    """Bands still carrying full-window values after an op with ``adj``."""
+    if r is None:
+        return None
+    try:
+        return r.shift((-adj[0], -adj[1]))
+    except ValueError:
+        return None
+
+
+def collect_with_timeout(spark: SparkSession, df: DataFrame, timeout_ms: int):
+    """Collect under a job group; cancel the group when the budget expires.
+
+    Cooperative cancellation (reference services.py:187-201 → 504): the JVM
+    scheduler interrupts the stage tasks; nothing keeps running after the
+    deadline.
+    """
+    if timeout_ms <= 0:
+        return df.collect()
+    sc = spark.sparkContext
+    group = f"skope-{uuid.uuid4().hex[:8]}"
+    fired = threading.Event()
+
+    def cancel() -> None:
+        fired.set()
+        sc.cancelJobGroup(group)
+
+    sc.setJobGroup(group, "timeseries request", interruptOnCancel=True)
+    timer = threading.Timer(timeout_ms / 1000.0, cancel)
+    timer.start()
+    try:
+        return df.collect()
+    except Exception as ex:  # noqa: BLE001
+        if fired.is_set():
+            raise TimeseriesTimeoutError(
+                f"processing exceeded {timeout_ms} ms"
+            ) from ex
+        raise
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "", False)
+
+
+def _summary(values: list[float | None]) -> tuple[float | None, float | None, float | None]:
+    """Driver-side summary of a returned series (reference
+    timeseries.py:243-261): nan-skipping mean/median/POPULATION stddev;
+    all-missing → None."""
+    import numpy as np
+
+    xs = np.array([math.nan if v is None else v for v in values], dtype=float)
+    if np.all(np.isnan(xs)):
+        return None, None, None
+    return (
+        float(np.nanmean(xs)),
+        float(np.nanmedian(xs)),
+        float(np.nanstd(xs)),
+    )
+
+
+@dataclass
+class TimeseriesService:
+    spark: SparkSession
+    catalog: Catalog = field(default_factory=Catalog)
+    max_cells: int = DEFAULT_MAX_CELLS
+
+    def cube(self, meta: DatasetMeta, variable_id: str) -> DataFrame:
+        """Cube slice provider — dev default regenerates the analytic cube;
+        override/subclass to read the ingested Parquet lake instead."""
+        return analytic_cube(self.spark, meta.dataset_id, variable_id)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def execute(self, req: M.TimeseriesV2Request) -> M.TimeseriesV2Response:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        meta = self.catalog.variable(req.dataset_id, req.variable_id)
+        grid = _grid(meta)
+
+        available_time = meta.time_range
+        requested_time = normalize_time_range(
+            req.time_range.gte, req.time_range.lte, available_time
+        )
+        requested = band_range_for_time_range(
+            requested_time, available_time, meta.resolution
+        )
+        available = BandRange(1, meta.n_bands())
+
+        transform_adj = req.transform.adjustment()
+        smoother_adjs = tuple(
+            s.smoother.adjustment() for s in req.requested_series_options
+        )
+        extract = extraction_band_range(
+            requested,
+            available,
+            transform_adjustment=transform_adj,
+            smoother_adjustments=smoother_adjs,
+        )
+
+        # -- extraction: cell predicate + band pruning ----------------------
+        cube = self.cube(meta, req.variable_id)
+        area_type = req.selected_area.get("type")
+        if area_type == "Point" or (
+            area_type == "Feature"
+            and req.selected_area.get("geometry", {}).get("type") == "Point"
+        ):
+            pred = point_predicate(grid, req.selected_area)
+            cells = cube.where(pred)
+            r, c = grid.cell_index(*_point_coords(req.selected_area))
+            r, c = min(r, grid.rows - 1), min(c, grid.cols - 1)
+            n_cells = 1
+            area_m2 = cell_area_m2(grid.origin_lat - r * grid.pixel_deg, grid.pixel_deg)
+        else:
+            mask_cells = rasterize_all_touched(
+                grid, req.selected_area, max_cells=self.max_cells
+            )
+            cells = select_cells(cube, mask_df(self.spark, mask_cells))
+            n_cells = len(mask_cells)
+            area_m2 = sum(
+                cell_area_m2(grid.origin_lat - r * grid.pixel_deg, grid.pixel_deg)
+                for r, _ in mask_cells
+            )
+        cells = cells.where(F.col("band").between(extract.gte, extract.lte))
+
+        base = (
+            zonal_series(cells, req.zonal_statistic)
+            .select("band", "time", "value")
+            .cache()
+        )
+
+        # -- transform (W3/W4) ----------------------------------------------
+        transformed, post_transform = self._apply_transform(
+            req, meta, grid, cube, base, extract, requested
+        )
+
+        # -- per-series smoothing + clip (W1/W2/W7), union fan-out (A7) -----
+        parts: list[DataFrame] = []
+        ranges: dict[str, BandRange | None] = {}
+        for opt in req.requested_series_options:
+            sm = self._apply_smoother(transformed, opt.smoother)
+            out_range = _shrink(post_transform, opt.smoother.adjustment())
+            if out_range is not None:
+                try:
+                    out_range = out_range.intersect(requested)
+                except ValueError:  # disjoint → empty series (edge request)
+                    out_range = None
+            ranges[opt.name] = out_range
+            if out_range is None:
+                continue
+            parts.append(
+                sm.where(F.col("band").between(out_range.gte, out_range.lte))
+                .withColumn("series_name", F.lit(opt.name))
+                .select("series_name", "band", "time", "value")
+            )
+
+        result_rows: list = []
+        if parts:
+            fanout = parts[0]
+            for p in parts[1:]:
+                fanout = fanout.unionByName(p)
+            result_rows = collect_with_timeout(
+                self.spark, fanout.orderBy("series_name", "band"), req.max_processing_time
+            )
+
+        base_rows = collect_with_timeout(
+            self.spark, base.orderBy("band"), req.max_processing_time
+        )
+
+        # -- assemble response ----------------------------------------------
+        series_out: list[M.SeriesResult] = []
+        stats_out: list[M.SummaryStatRow] = []
+
+        if not isinstance(req.transform, M.NoTransform):
+            # A6 — stats of the UNtransformed series over the requested range
+            orig_vals = [
+                r.value for r in base_rows if requested.gte <= r.band <= requested.lte
+            ]
+            mean, median, stdev = _summary(orig_vals)
+            stats_out.append(
+                M.SummaryStatRow(name="Original", mean=mean, median=median, stdev=stdev)
+            )
+
+        by_series: dict[str, list] = {}
+        for row in result_rows:
+            by_series.setdefault(row.series_name, []).append(row)
+        for opt in req.requested_series_options:
+            rows = by_series.get(opt.name, [])
+            values = [r.value for r in rows]
+            tr = (
+                M.TimeRangeModel(gte=rows[0].time, lte=rows[-1].time) if rows else None
+            )
+            series_out.append(
+                M.SeriesResult(name=opt.name, time_range=tr, values=values)
+            )
+            mean, median, stdev = _summary(values)
+            stats_out.append(
+                M.SummaryStatRow(name=opt.name, mean=mean, median=median, stdev=stdev)
+            )
+
+        base.unpersist()
+        return M.TimeseriesV2Response(
+            dataset_id=req.dataset_id,
+            variable_id=req.variable_id,
+            n_cells=n_cells,
+            area_m2=area_m2,
+            series=series_out,
+            summary_stats=stats_out,
+            processing_time_ms=int((_time.perf_counter() - t0) * 1000),
+        )
+
+    def execute_v1(self, req: M.TimeseriesV1Request) -> dict:
+        """P9 — legacy adapter: run v2, reshape (reference routers/v1)."""
+        v2 = M.v1_to_v2(req)
+        resp = self.execute(v2)
+        s0 = resp.series[0]
+        return {
+            "datasetId": req.datasetId,
+            "variableName": req.variableName,
+            "boundaryGeometry": req.boundaryGeometry,
+            "start": s0.time_range.gte.isoformat() if s0.time_range else None,
+            "end": s0.time_range.lte.isoformat() if s0.time_range else None,
+            "values": s0.values,
+        }
+
+    def metadata(self) -> list[dict]:
+        """GET /metadata equivalent: catalog descriptors."""
+        return [
+            {
+                "dataset_id": m.dataset_id,
+                "resolution": m.resolution,
+                "time_range": {
+                    "gte": m.time_range.gte.isoformat(),
+                    "lte": m.time_range.lte.isoformat(),
+                },
+                "variables": list(m.variables),
+            }
+            for m in self.catalog.datasets.values()
+        ]
+
+    # -- internals -----------------------------------------------------------
+
+    def _apply_transform(
+        self,
+        req: M.TimeseriesV2Request,
+        meta: DatasetMeta,
+        grid: Grid,
+        cube: DataFrame,
+        base: DataFrame,
+        extract: BandRange,
+        requested: BandRange,
+    ) -> tuple[DataFrame, BandRange | None]:
+        """Returns (transformed series, bands with valid post-transform values)."""
+        t = req.transform
+        if isinstance(t, M.NoTransform):
+            return base, extract
+        if isinstance(t, M.ZScoreMovingInterval):
+            out = wops.rolling_zscore(
+                base, "value", order_by=("band",), width=t.width, out_col="__z"
+            ).select("band", "time", F.col("__z").alias("value"))
+            return out, _shrink(extract, t.adjustment())
+        if isinstance(t, M.ZScoreFixedInterval):
+            if t.time_range is None:
+                # scipy.zscore over the extracted interval (reference
+                # timeseries.py:163-167 applies it to the full padded slice)
+                out = wops.fixed_interval_zscore(
+                    base, "value", out_col="__z"
+                ).select("band", "time", F.col("__z").alias("value"))
+                return out, extract
+            ref_tr = TimeRange(t.time_range.gte, t.time_range.lte)
+            ref_bands = band_range_for_time_range(
+                ref_tr, meta.time_range, meta.resolution
+            )
+            # second slice over the same cells (reference services.py:131-147);
+            # reuses the same cell predicate, only the band filter changes
+            ref_cells = self._same_cells(req, grid, cube).where(
+                F.col("band").between(ref_bands.gte, ref_bands.lte)
+            )
+            ref_series = zonal_series(ref_cells, req.zonal_statistic).select(
+                "band", "value"
+            )
+            out = wops.fixed_reference_zscore(
+                base, ref_series, "value", out_col="__z"
+            ).select("band", "time", F.col("__z").alias("value"))
+            return out, extract
+        raise TypeError(f"unknown transform {type(t).__name__}")
+
+    def _same_cells(
+        self, req: M.TimeseriesV2Request, grid: Grid, cube: DataFrame
+    ) -> DataFrame:
+        area_type = req.selected_area.get("type")
+        if area_type == "Point" or (
+            area_type == "Feature"
+            and req.selected_area.get("geometry", {}).get("type") == "Point"
+        ):
+            return cube.where(point_predicate(grid, req.selected_area))
+        cells = rasterize_all_touched(grid, req.selected_area, max_cells=self.max_cells)
+        return select_cells(cube, mask_df(self.spark, cells))
+
+    def _apply_smoother(self, series: DataFrame, smoother) -> DataFrame:
+        if isinstance(smoother, M.NoSmoother):
+            return series
+        if isinstance(smoother, M.MovingAverageSmoother):
+            fn = (
+                wops.centered_moving_average
+                if smoother.method == "centered"
+                else wops.trailing_moving_average
+            )
+            return fn(
+                series,
+                "value",
+                order_by=("band",),
+                width=smoother.width,
+                out_col="__sm",
+            ).select("band", "time", F.col("__sm").alias("value"))
+        raise TypeError(f"unknown smoother {type(smoother).__name__}")
+
+
+def _point_coords(geojson: dict) -> tuple[float, float]:
+    if geojson.get("type") == "Feature":
+        geojson = geojson["geometry"]
+    lon, lat = geojson["coordinates"][:2]
+    return lon, lat

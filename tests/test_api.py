@@ -1,0 +1,239 @@
+"""End-to-end API pipeline tests — ports of the reference's route tests
+(``test_datasets.py:58-153``) against the Spark pipeline."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import numpy as np
+import pytest
+from pydantic import ValidationError
+
+from skope_api_spark.api import models as M
+from skope_api_spark.api.service import TimeseriesService
+from skope_api_spark.plans.catalog import DatasetNotFoundError
+from skope_api_spark.plans.intervals import TimeRangeContainmentError
+
+ORIGIN_POINT = {"type": "Point", "coordinates": [-123.0, 45.0]}
+INTERIOR_POINT = {"type": "Point", "coordinates": [-120.0, 42.5]}
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    return TimeseriesService(spark)
+
+
+def v2(**kw) -> M.TimeseriesV2Request:
+    base = dict(
+        dataset_id="annual_5x5x5_dataset",
+        variable_id="float32_variable",
+        selected_area=ORIGIN_POINT,
+    )
+    base.update(kw)
+    return M.TimeseriesV2Request(**base)
+
+
+class TestPointE2E:
+    def test_origin_series_is_band_times_100(self, service):
+        """Reference golden (test_datasets.py:68-88), all 6 time subranges."""
+        for gte, lte, expected in [
+            (None, None, [100.0, 200.0, 300.0, 400.0, 500.0]),
+            (date(1, 1, 1), date(3, 1, 1), [100.0, 200.0, 300.0]),
+            (date(3, 1, 1), date(5, 1, 1), [300.0, 400.0, 500.0]),
+            (date(2, 1, 1), date(2, 1, 1), [200.0]),
+        ]:
+            resp = service.execute(
+                v2(time_range=M.OptionalTimeRangeModel(gte=gte, lte=lte))
+            )
+            assert resp.series[0].values == expected
+            assert resp.n_cells == 1
+
+    def test_multi_series_window_labeling(self, service):
+        """Reference semantic golden (test_datasets.py:91-121): years 1–4,
+        [NoSmoother, trailing w=2, centered w=3] → ranges [1–4],[3–4],[2–4]."""
+        resp = service.execute(
+            v2(
+                time_range=M.OptionalTimeRangeModel(gte=date(1, 1, 1), lte=date(4, 1, 1)),
+                requested_series_options=[
+                    M.SeriesOptions(name="raw", smoother=M.NoSmoother()),
+                    M.SeriesOptions(
+                        name="tma",
+                        smoother=M.MovingAverageSmoother(method="trailing", width=2),
+                    ),
+                    M.SeriesOptions(
+                        name="cma",
+                        smoother=M.MovingAverageSmoother(method="centered", width=3),
+                    ),
+                ],
+            )
+        )
+        out = {s.name: s for s in resp.series}
+        assert out["raw"].values == [100.0, 200.0, 300.0, 400.0]
+        assert out["raw"].time_range == M.TimeRangeModel(gte=date(1, 1, 1), lte=date(4, 1, 1))
+        assert out["tma"].values == [150.0, 250.0]
+        assert out["tma"].time_range == M.TimeRangeModel(gte=date(3, 1, 1), lte=date(4, 1, 1))
+        assert out["cma"].values == [200.0, 300.0, 400.0]
+        assert out["cma"].time_range == M.TimeRangeModel(gte=date(2, 1, 1), lte=date(4, 1, 1))
+
+    def test_monthly_resolution_labels(self, service):
+        """Documented divergence from the reference's freq='A' bug: monthly
+        series carry real month labels."""
+        resp = service.execute(
+            v2(
+                dataset_id="monthly_5x5x60_dataset",
+                time_range=M.OptionalTimeRangeModel(gte=date(1, 11, 1), lte=date(2, 2, 1)),
+            )
+        )
+        s = resp.series[0]
+        assert s.time_range == M.TimeRangeModel(gte=date(1, 11, 1), lte=date(2, 2, 1))
+        assert s.values == [1100.0, 1200.0, 1300.0, 1400.0]
+
+    def test_summary_stats_population_stddev(self, service):
+        resp = service.execute(v2())
+        row = resp.summary_stats[0]
+        assert row.mean == pytest.approx(300.0)
+        assert row.median == pytest.approx(300.0)
+        assert row.stdev == pytest.approx(np.std([100, 200, 300, 400, 500]))
+
+
+class TestTransforms:
+    def test_fixed_zscore_with_original_row(self, service):
+        resp = service.execute(v2(transform=M.ZScoreFixedInterval()))
+        assert resp.summary_stats[0].name == "Original"
+        assert resp.summary_stats[0].mean == pytest.approx(300.0)
+        xs = np.array([100.0, 200, 300, 400, 500])
+        expected = (xs - xs.mean()) / xs.std()
+        assert resp.series[0].values == pytest.approx(list(expected))
+
+    def test_reference_interval_zscore(self, service):
+        resp = service.execute(
+            v2(
+                transform=M.ZScoreFixedInterval(
+                    time_range=M.TimeRangeModel(gte=date(1, 1, 1), lte=date(3, 1, 1))
+                )
+            )
+        )
+        ref = np.array([100.0, 200, 300])
+        xs = np.array([100.0, 200, 300, 400, 500])
+        expected = (xs - ref.mean()) / ref.std()
+        assert resp.series[0].values == pytest.approx(list(expected))
+
+    def test_rolling_zscore_shrinks_output(self, service):
+        resp = service.execute(v2(transform=M.ZScoreMovingInterval(width=2)))
+        s = resp.series[0]
+        # bands 1-2 lack 2 predecessors; output starts at band 3
+        assert s.time_range == M.TimeRangeModel(gte=date(3, 1, 1), lte=date(5, 1, 1))
+        # each window is [v-200, v-100] → mean v-150, std 50 → z = 3 everywhere
+        assert s.values == pytest.approx([3.0, 3.0, 3.0])
+
+
+class TestPolygonE2E:
+    def test_polygon_mean_and_area(self, service):
+        square = {
+            "type": "Polygon",
+            "coordinates": [
+                [[-121.9, 43.9], [-120.1, 43.9], [-120.1, 42.1], [-121.9, 42.1], [-121.9, 43.9]]
+            ],
+        }
+        resp = service.execute(v2(selected_area=square, variable_id="uint16_variable"))
+        assert resp.n_cells == 4  # cells (1,1),(1,2),(2,1),(2,2)
+        vals = [[b * 100 + r * 10 + c for (r, c) in [(1, 1), (1, 2), (2, 1), (2, 2)]] for b in range(1, 6)]
+        assert resp.series[0].values == [sum(v) / 4 for v in vals]
+        assert resp.area_m2 == pytest.approx(4 * 8.6e9, rel=0.1)  # ~1° cells at 43°N
+
+    def test_zonal_median(self, service):
+        resp = service.execute(
+            v2(
+                selected_area={
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-122.9, 44.9], [-118.1, 44.9], [-118.1, 40.1], [-122.9, 40.1], [-122.9, 44.9]]
+                    ],
+                },
+                variable_id="uint16_variable",
+                zonal_statistic="median",
+            )
+        )
+        assert resp.n_cells == 25
+        assert resp.series[0].values == [float(np.median([b * 100 + r * 10 + c for r in range(5) for c in range(5)])) for b in range(1, 6)]
+
+
+class TestErrors:
+    def test_unknown_dataset(self, service):
+        with pytest.raises(DatasetNotFoundError):
+            service.execute(v2(dataset_id="nope"))
+
+    def test_unknown_variable(self, service):
+        with pytest.raises(DatasetNotFoundError):
+            service.execute(v2(variable_id="nope"))
+
+    def test_out_of_span_time_range(self, service):
+        with pytest.raises(TimeRangeContainmentError):
+            service.execute(
+                v2(time_range=M.OptionalTimeRangeModel(gte=date(1, 1, 1), lte=date(9, 1, 1)))
+            )
+
+    def test_validation_422_equivalents(self):
+        with pytest.raises(ValidationError):
+            M.TimeseriesV2Request(
+                dataset_id="bad id!",
+                variable_id="v",
+                selected_area=ORIGIN_POINT,
+            )
+        with pytest.raises(ValidationError):
+            M.MovingAverageSmoother(method="centered", width=4)  # even
+        with pytest.raises(ValidationError):
+            M.MovingAverageSmoother(method="trailing", width=500)  # > 200
+        with pytest.raises(ValidationError):
+            M.TimeseriesV2Request(
+                dataset_id="d",
+                variable_id="v",
+                selected_area=ORIGIN_POINT,
+                max_processing_time=99_999_999,
+            )
+
+
+class TestV1Adapter:
+    def test_v1_roundtrip(self, service):
+        resp = service.execute_v1(
+            M.TimeseriesV1Request(
+                datasetId="annual_5x5x5_dataset",
+                variableName="float32_variable",
+                boundaryGeometry=ORIGIN_POINT,
+                start="1",
+                end="5",
+            )
+        )
+        assert resp["values"] == [100.0, 200.0, 300.0, 400.0, 500.0]
+        assert resp["start"] == "0001-01-01"
+        assert resp["datasetId"] == "annual_5x5x5_dataset"
+
+    def test_v1_year_month_parsing(self):
+        assert M.parse_v1_date("1") == date(1, 1, 1)
+        assert M.parse_v1_date("2000-01") == date(2000, 1, 1)
+        assert M.parse_v1_date("3") == date(3, 1, 1)
+
+
+class TestTimeout:
+    def test_timeout_cancels_jobs(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.api.service import (
+            TimeseriesTimeoutError,
+            collect_with_timeout,
+        )
+
+        big = (
+            spark.range(2_000_000_000)
+            .groupBy((F.col("id") % 99991).alias("k"))
+            .agg(F.sum("id").alias("s"))
+        )
+        with pytest.raises(TimeseriesTimeoutError):
+            collect_with_timeout(spark, big, timeout_ms=100)
+
+
+class TestMetadata:
+    def test_metadata_lists_datasets(self, service):
+        md = service.metadata()
+        ids = {m["dataset_id"] for m in md}
+        assert ids == {"annual_5x5x5_dataset", "monthly_5x5x60_dataset"}
