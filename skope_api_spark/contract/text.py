@@ -88,6 +88,33 @@ def text_langid_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_binary_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal cheap path: opaque binary column → JVM-side length +
+    digest (the group-by key for exact blob dedup). Text bytes stand in for
+    media blobs so the binary-column path is cross-engine checkable."""
+    from skope_api_spark.operators.multimodal import binary_stats
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return (
+        binary_stats(docs)
+        .select("media_id", "n_bytes", "content_sha256")
+        .orderBy("media_id")
+    )
+
+
+@query(
     "text_bottomk_fingerprint",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

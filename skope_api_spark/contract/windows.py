@@ -250,6 +250,44 @@ def running_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_native_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def sessionize_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (the streaming-capable session
+    operator, incremental merge state) must reproduce the lag-based batch
+    sessionization — same gap, same boundaries. Oracle = the explicit
+    gap-flag SQL. See ``skope_api_spark.streaming.events`` for the
+    streaming form of the identical code."""
+    from skope_api_spark.streaming.events import sessionized_events
+
+    return sessionized_events(_events(spark, sf_dir), gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query(
     "sessionize_events",
     oracle="""
 WITH flagged AS (

@@ -1,0 +1,100 @@
+"""Streaming event operators: watermarked windows + native sessionization.
+
+The reference is strictly batch (SURVEY.md §2.8); these are the engine
+extensions a continuously-ingested event table needs. Every transformation
+below is expressed so the SAME code runs in batch and streaming mode —
+``F.window`` / ``F.session_window`` aggregations are mode-agnostic; only
+the source (``read`` vs ``readStream``) and the sink differ.
+
+Scale notes:
+- watermarks bound state: late events beyond the watermark are dropped,
+  so window state is O(active windows), not O(history);
+- ``session_window`` is Spark's native gap-merging session operator —
+  state per (user, open session), merged incrementally; the batch result
+  equals the window-function sessionization in ``operators.windows``
+  (oracle-checked by the ``sessionize_native_session_window`` contract
+  query);
+- ``availableNow`` triggers give incremental batch-over-stream execution
+  (catch-up runs over a file-backed table) with exactly-once sink
+  semantics via checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, *, with_watermark: str | None = "2 hours"
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files (ns→µs ts
+    conversion as in ``tables.load``). New files landing in the directory
+    are picked up incrementally — the standard landing-zone ingestion
+    shape. (The file source requires a DIRECTORY; point it at the landing
+    zone, not a single file.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(source_dir).schema  # streams must declare schema
+    raw = spark.readStream.schema(raw_schema).parquet(source_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if with_watermark:
+        raw = raw.withWatermark("ts", with_watermark)
+    return raw
+
+
+def windowed_event_counts(
+    events: DataFrame, *, window: str = "1 hour", by: str = "event_type"
+) -> DataFrame:
+    """Tumbling-window counts + value stats — the canonical streaming agg.
+
+    Works identically on a batch DataFrame (window start/end become plain
+    group keys).
+    """
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), F.col(by))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            by,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame, *, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native gap-based sessions via ``F.session_window`` (incremental
+    merge state in streaming; equals the batch window-function
+    sessionization in results)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, *, query_name: str, checkpoint: str
+) -> None:
+    """Drain everything currently available into a memory sink and stop —
+    the incremental catch-up execution used by tests and backfills."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

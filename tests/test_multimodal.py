@@ -1,0 +1,97 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, determinism.
+
+The decode kernels are stubs (no media libs in this environment), but the
+mapInPandas pipelines, header sniffing, and fan-out shapes are real.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from skope_api_spark.operators import multimodal as mm
+
+
+def png_bytes(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00" + b"pad" * 20
+    )
+
+
+def gif_bytes(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 64
+
+
+def jpeg_bytes(w, h):
+    # APP0 length field counts itself + payload: 2 + 5 + 9 = 16
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03\x01\x02\x03"
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 32
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", bytearray(png_bytes(640, 480)), "image/png"),
+        (2, "image", bytearray(gif_bytes(320, 200)), "image/gif"),
+        (3, "image", bytearray(jpeg_bytes(1024, 768)), "image/jpeg"),
+        (4, "video", bytearray(b"\x00\x01" * 9000), "video/raw"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, content_type string"
+    )
+    return df.withColumn("n_bytes", mm.F.length("content").cast("bigint"))
+
+
+class TestDecode:
+    def test_header_sniffing(self, media_df):
+        out = {r.media_id: r for r in mm.decode_image_metadata(media_df).collect()}
+        assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+        assert (out[2].format, out[2].width, out[2].height) == ("gif", 320, 200)
+        assert (out[3].format, out[3].width, out[3].height) == ("jpeg", 1024, 768)
+        assert out[4].format is None and out[4].width is None
+
+    def test_schema(self, media_df):
+        assert mm.decode_image_metadata(media_df).schema == mm.IMAGE_META_SCHEMA
+
+
+class TestFeatures:
+    def test_shape_and_determinism(self, media_df):
+        a = {r.media_id: r.feature for r in mm.extract_features(media_df).collect()}
+        b = {r.media_id: r.feature for r in mm.extract_features(media_df).collect()}
+        assert a == b  # deterministic across runs
+        for vec in a.values():
+            assert len(vec) == mm.FEATURE_DIM
+            assert all(-1.0 <= x <= 1.0 for x in vec)
+        assert a[1] != a[2]  # different content → different vector
+
+
+class TestFrameSampling:
+    def test_fanout_shape(self, media_df):
+        frames = mm.sample_frames(media_df, every_n_bytes=4096, max_frames=8).collect()
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r.media_id, []).append(r)
+        # 18000-byte video → 4 strides; tiny images → 1 frame each
+        assert len(by_id[4]) == 4
+        assert [r.byte_offset for r in sorted(by_id[4], key=lambda r: r.frame_idx)] == [
+            0, 4096, 8192, 12288,
+        ]
+        assert all(len(by_id[m]) == 1 for m in (1, 2, 3))
+
+
+class TestBinaryStats:
+    def test_jvm_side_digests(self, media_df):
+        import hashlib
+        import zlib
+
+        out = {r.media_id: r for r in mm.binary_stats(media_df).collect()}
+        raw = png_bytes(640, 480)
+        assert out[1].n_bytes == len(raw)
+        assert out[1].content_sha256 == hashlib.sha256(raw).hexdigest()
+        assert out[1].content_crc32 == zlib.crc32(raw)

@@ -1,0 +1,94 @@
+"""Structured Streaming tests: the same operators run in batch and stream,
+and the streaming (availableNow) result equals the batch result."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from skope_api_spark.streaming import events as se
+from skope_api_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # the streaming file source needs a directory: symlink the fixture in
+    d = tmp_path_factory.mktemp("events_landing")
+    (d / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    return str(d)
+
+
+class TestBatchStreamParity:
+    def test_windowed_counts_stream_equals_batch(self, spark, batch_events, events_dir):
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in se.windowed_event_counts(batch_events).collect()
+        }
+        stream = se.stream_events(spark, events_dir)
+        agg = se.windowed_event_counts(stream)
+        with tempfile.TemporaryDirectory() as ckpt:
+            se.run_available_now(agg, query_name="wc_test", checkpoint=ckpt)
+            got = {
+                (r.window_start, r.event_type): (r.n_events, r.sum_value)
+                for r in spark.sql("SELECT * FROM wc_test").collect()
+            }
+        assert got == batch
+        assert len(got) > 0
+
+    def test_session_window_stream_equals_batch(self, spark, batch_events, events_dir):
+        batch = {
+            (r.user_id, r.session_start): (r.n_events, r.session_end)
+            for r in se.sessionized_events(batch_events).collect()
+        }
+        stream = se.stream_events(spark, events_dir)
+        sess = se.sessionized_events(stream)
+        with tempfile.TemporaryDirectory() as ckpt:
+            se.run_available_now(sess, query_name="sess_test", checkpoint=ckpt)
+            got = {
+                (r.user_id, r.session_start): (r.n_events, r.session_end)
+                for r in spark.sql("SELECT * FROM sess_test").collect()
+            }
+        assert got == batch
+        assert len(got) > 0
+
+
+class TestSessionWindowSemantics:
+    def test_native_sessions_match_window_function_sessionize(self, spark, batch_events):
+        """F.session_window must agree with the lag-based batch sessionizer
+        (operators.windows.sessionize) on session boundaries."""
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.windows import sessionize
+
+        native = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in se.sessionized_events(batch_events, gap="30 minutes").collect()
+        }
+        lagged = (
+            sessionize(
+                batch_events,
+                ts_col="ts",
+                order_by=("ts", "event_id"),
+                partition_by=("user_id",),
+                gap="30 minutes",
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+        )
+        derived = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in lagged.collect()
+        }
+        assert native == derived
