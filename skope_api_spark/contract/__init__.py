@@ -15,6 +15,7 @@ def _load_all() -> None:
     # Import for registration side effects.
     from skope_api_spark.contract import (  # noqa: F401
         dedup,
+        extensions,
         relational,
         similarity,
         skope,

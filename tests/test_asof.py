@@ -1,0 +1,54 @@
+"""As-of join unit tests (hand-computed golden + tie semantics)."""
+
+from __future__ import annotations
+
+from skope_api_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestAsofJoin:
+    def test_backward_match_and_left_outer(self, spark):
+        left = _df(
+            spark,
+            [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 7, "L3")],
+            "k string, ts int, lv string",
+        )
+        right = _df(
+            spark,
+            [("a", 8, "R8"), ("a", 15, "R15"), ("c", 1, "RC")],
+            "k string, ts int, rv string",
+        )
+        out = {
+            r.lv: r.rv_m
+            for r in asof_join(
+                left, right, on=("k",), right_cols=("rv",), suffix="_m"
+            ).collect()
+        }
+        assert out == {
+            "L0": None,   # ts 5: nothing at or before
+            "L1": "R8",   # ts 10: latest right <= 10 is 8
+            "L2": "R15",  # ts 20: latest right <= 20 is 15
+            "L3": None,   # key b: no right rows
+        }
+
+    def test_equal_timestamp_matches(self, spark):
+        left = _df(spark, [("a", 10, "L")], "k string, ts int, lv string")
+        right = _df(spark, [("a", 10, "R10")], "k string, ts int, rv string")
+        out = asof_join(left, right, on=("k",), right_cols=("rv",)).collect()
+        assert out[0].rv_matched == "R10"
+
+    def test_single_shuffle_plan(self, spark):
+        left = _df(spark, [("a", 10, "L")], "k string, ts int, lv string")
+        right = _df(spark, [("a", 8, "R")], "k string, ts int, rv string")
+        plan = (
+            asof_join(left, right, on=("k",), right_cols=("rv",))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # union-merge shape: no join operator at all, one hash exchange
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
