@@ -383,6 +383,55 @@ def skope_polygon_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batched multi-geometry execution (the 100 TB shape) --------------------
+_BATCH_MASKS = {
+    "origin_point": [(0, 0)],
+    "center_square": [(1, 1), (1, 2), (2, 1), (2, 2)],
+    "triangle": None,  # filled below from the rasterizer
+}
+
+
+def _batch_masks() -> dict[str, list[tuple[int, int]]]:
+    out = dict(_BATCH_MASKS)
+    out["triangle"] = _TRIANGLE_CELLS
+    return out
+
+
+def _batch_mask_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', {r}, {c})"
+        for qid, cells in _batch_masks().items()
+        for (r, c) in cells
+    )
+    return f"(VALUES {rows})"
+
+
+@query(
+    "skope_batched_multi_query",
+    oracle=_cube_sql(ANNUAL, F32)
+    + f"""
+, mask(query_id, mr, mc) AS (SELECT * FROM {_batch_mask_sql()})
+SELECT m.query_id, cube.band,
+       ROUND(AVG(value), 4) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM cube JOIN mask m ON cube.r = m.mr AND cube.c = m.mc
+GROUP BY m.query_id, cube.band
+ORDER BY query_id, band
+""",
+)
+def skope_batched_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N geometries → ONE scan + ONE aggregation via a query_id-tagged
+    broadcast mask join — the batched execution model that replaces
+    one-job-per-request at cluster scale."""
+    from skope_api_spark.operators.batch import batched_zonal_series
+
+    cube = analytic_cube(spark, ANNUAL, F32)
+    out = batched_zonal_series(cube, _batch_masks(), "mean")
+    return out.select(
+        "query_id", "band", F.round("value", 4).alias("value"), "n_cells"
+    ).orderBy("query_id", "band")
+
+
 # --- multi-series fan-out with padding planner (A7, W6, W7) -----------------
 @query(
     "skope_multi_series_fanout",
