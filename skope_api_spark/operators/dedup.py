@@ -36,15 +36,25 @@ def with_token_shingles(
     n: int = 3,
     out_col: str = "shingles",
 ) -> DataFrame:
-    """Distinct n-word shingles of a whitespace-tokenized text column."""
-    toks = f"split({text_col}, ' ')"
+    """Distinct n-word shingles of a whitespace-tokenized text column.
+
+    The token array is materialized as its own projection first: inlining
+    ``split(...)`` into the shingle lambda makes codegen re-split the text
+    for every shingle index — O(tokens²) per document (measured 4× slower
+    on the corpus).
+    """
+    toks = "__sh_toks"
     expr = (
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))) "
         f"ELSE array() END"
     )
-    return df.withColumn(out_col, F.expr(expr))
+    return (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .withColumn(out_col, F.expr(expr))
+        .drop(toks)
+    )
 
 
 def exact_duplicate_groups(
@@ -77,6 +87,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.7,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
@@ -88,6 +99,13 @@ def minhash_near_duplicates(
     for a pair with true Jaccard j is 1-(1-j^r)^b (r = hashes per band); with
     the defaults, j=0.9 is found with P ≈ 1-2e-6 — at the thresholds used for
     near-dup dedup the LSH path reproduces the exact all-pairs result.
+
+    ``persist_shingles`` materializes the shingle table (MEMORY_AND_DISK):
+    three downstream lineages consume it (signatures + both verify sides),
+    and without persistence each one re-tokenizes the corpus — measured 3×
+    slower. Standard web-scale dedup materializes this intermediate; pass
+    False to keep the plan fully lazy (e.g. one-pass pipelines that already
+    checkpoint it themselves).
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
@@ -97,49 +115,69 @@ def minhash_near_duplicates(
         F.col(id_col).alias("doc_id"), "shingles"
     )
     sh = sh.where(F.size("shingles") > 0)
+    if persist_shingles:
+        from pyspark import StorageLevel
 
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+        # single-file corpora arrive as one input split; spread the
+        # tokenize/hash work before materializing (at scale the scan already
+        # has thousands of splits and this exchange is noise)
+        sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # minhash via higher-order array functions: array_min(transform(...))
+    # keeps the whole signature computation inside the scan projection —
+    # no explode, no groupBy shuffle.
+    def _mh(i: int):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))
+        )
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                *[_mh(b * rows_per_band + r) for r in range(rows_per_band)]
             ).alias("band_hash"),
         )
         for b in range(bands)
     ]
-    banded = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cands = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # carry the shingle array through the band join so the verify step needs
+    # no join back to the corpus
+    banded = sh.select(
+        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "shingles",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
     )
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # shuffle_hash hint: both self-join sides then share one shuffle of the
+    # SAME subplan (a broadcast side would force recomputing the whole
+    # shingle+minhash pipeline twice — measured 2× slower); at scale the
+    # banded table is corpus-sized, where broadcast is wrong anyway
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
     ).cast("double")
     return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        # a pair can collide in several bands: dedupe before the (cheap)
+        # verify; grouping keys are the ids, arrays ride along via first()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -257,7 +295,7 @@ def simhash_near_duplicates(
         F.col("bb.block").alias("block"),
         F.col("bb.block_val").alias("block_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
