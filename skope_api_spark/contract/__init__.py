@@ -17,6 +17,7 @@ def _load_all() -> None:
         dedup,
         extensions,
         relational,
+        scalars2,
         similarity,
         skope,
         text,

@@ -1,0 +1,187 @@
+"""Second scalar/aggregate capability sweep: exact quantiles, range frames,
+correlated subqueries, string & date function batteries.
+
+Every function here was chosen for identical cross-engine semantics (or is
+explicitly reconciled in the oracle, e.g. day-of-week numbering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from skope_api_spark.contract.registry import query
+from skope_api_spark.tables import load
+
+
+@query(
+    "quantile_stats_orders",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def quantile_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; never percentile_approx in a checked query)."""
+    orders = load(spark, sf_dir, "orders")
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(o_totalprice, {p})"), 4
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.50).alias("p50"),
+            pct(0.75).alias("p75"),
+            pct(0.90).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "range_frame_rolling_hour",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       ROUND(SUM(value) OVER w, 4) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_MS(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def range_frame_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): all events within the
+    trailing hour — the time-windowed rolling agg row frames can't express
+    when event spacing is irregular."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "correlated_subquery_above_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+""",
+)
+def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders > 2× their customer's average) —
+    Catalyst decorrelates this into an aggregate + join automatically."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        FROM __orders_corr o
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(o2.o_totalprice) FROM __orders_corr o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "string_functions_sweep",
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_name)                                   AS name_upper,
+       LOWER(c_mktsegment)                             AS seg_lower,
+       CAST(LENGTH(c_name) AS INT)                     AS name_len,
+       REVERSE(c_mktsegment)                           AS seg_rev,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0')        AS key_padded,
+       REPLACE(c_name, '#', '-')                       AS name_dashed,
+       SUBSTR(c_mktsegment, 2, 3)                      AS seg_mid,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_building,
+       CONCAT_WS('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       CAST(POSITION('1' IN c_name) AS INT)            AS pos_one
+FROM customer
+WHERE c_custkey % 5 = 0
+ORDER BY c_custkey
+""",
+)
+def string_functions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.length("c_name").alias("name_len"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+            F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+            F.substring("c_mktsegment", 2, 3).alias("seg_mid"),
+            F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+            F.concat_ws(
+                "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+            ).alias("seg_nation"),
+            F.instr("c_name", "1").alias("pos_one"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "date_functions_sweep",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE)      AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)   AS month_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INT)             AS dow,
+       CAST(dayofyear(o_orderdate) AS INT)                 AS doy,
+       CAST(CAST(o_orderdate AS DATE) + 90 AS DATE)        AS plus_90d,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95
+FROM orders
+WHERE o_orderkey % 9 = 0
+ORDER BY o_orderkey
+""",
+)
+def date_functions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date battery. Reconciled numbering: Spark ``dayofweek`` is 1=Sunday,
+    DuckDB's is 0=Sunday — the oracle adds 1."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") % 9 == 0)
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.date_add(F.col("o_orderdate").cast("date"), 90).alias("plus_90d"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("days_since_95"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -317,6 +317,53 @@ def skope_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row", "col")
 
 
+# --- uncertainty companion variable (S6) ------------------------------------
+@query(
+    "skope_point_with_uncertainty",
+    oracle=_cube_sql(ANNUAL, F32).rstrip()
+    + ",\n"
+    + _cube_sql(ANNUAL, "float32_variable_uncertainty")
+    .strip()
+    .removeprefix("WITH ")
+    .replace("cube AS", "ucube AS", 1)
+    + """
+SELECT c.band, c.time, c.value,
+       u.value AS uncertainty,
+       ROUND(c.value - u.value, 4) AS lo,
+       ROUND(c.value + u.value, 4) AS hi
+FROM cube c JOIN ucube u ON c.band = u.band AND c.r = u.r AND c.c = u.c
+WHERE c.r = 0 AND c.c = 0
+ORDER BY c.band
+""",
+)
+def skope_point_with_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the companion ``{variable_id}_uncertainty`` slice joined to the
+    value slice on (band, row, col), yielding value ± uncertainty bands
+    (the reference wires this source but never serves it; here it is a
+    first-class co-located join — same partition layout, no extra shuffle
+    when both slices are bucketed by the ingestion sort)."""
+    val = analytic_cube(spark, ANNUAL, F32).where(
+        (F.col("row") == 0) & (F.col("col") == 0)
+    )
+    unc = (
+        analytic_cube(spark, ANNUAL, "float32_variable_uncertainty")
+        .where((F.col("row") == 0) & (F.col("col") == 0))
+        .select("band", "row", "col", F.col("value").alias("uncertainty"))
+    )
+    return (
+        val.join(unc, ["band", "row", "col"])
+        .select(
+            "band",
+            "time",
+            "value",
+            "uncertainty",
+            F.round(F.col("value") - F.col("uncertainty"), 4).alias("lo"),
+            F.round(F.col("value") + F.col("uncertainty"), 4).alias("hi"),
+        )
+        .orderBy("band")
+    )
+
+
 # --- polygon mask → broadcast semi-join (P6, J1, A4) ------------------------
 _TRIANGLE = {
     "type": "Polygon",
