@@ -24,10 +24,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: TPC-H-ish Q5 (6-way join → agg → sort)."""
+    """Flagship query on sf0.001: TPC-H-ish Q1 (scan → filter → 8-agg
+    group-by → sort). Always yields one row per (returnflag, linestatus)
+    group even at tiny scale factors."""
     from skope_api_spark import contract
 
-    return contract.QUERIES["q5_local_supplier_volume"](spark, SMOKE_SF_DIR)
+    return contract.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,61 @@
+"""Registry integrity: the driver-contract surface stays wired and sane."""
+
+from __future__ import annotations
+
+import re
+
+
+class TestRegistry:
+    def test_entry_module_exposes_registry(self):
+        import __spark_entry__ as e
+
+        qs, oracles = e.queries(), e.oracle_sql()
+        assert len(qs) >= 58
+        assert set(oracles) <= set(qs)
+        # every query callable, every oracle a non-empty SELECT/WITH
+        for name, fn in qs.items():
+            assert callable(fn), name
+            assert re.fullmatch(r"[a-z0-9_]+", name), name
+        for name, sql in oracles.items():
+            assert sql.strip().upper().startswith(("SELECT", "WITH")), name
+
+    def test_no_duplicate_registration_on_reimport(self):
+        import importlib
+
+        import skope_api_spark.contract as c
+
+        n = len(c.QUERIES)
+        importlib.reload(c)
+        assert len(c.QUERIES) == n
+
+    def test_entry_runs(self, spark):
+        import __spark_entry__ as e
+
+        rows = e.entry(spark).collect()
+        assert len(rows) > 0
+
+
+class TestOracleHygiene:
+    """The rules from registry.py's docstring, enforced."""
+
+    def test_no_percentile_approx_in_oracle_checked_queries(self):
+        import inspect
+
+        import skope_api_spark.contract as c
+
+        for name in c.ORACLES:
+            src = inspect.getsource(c.QUERIES[name])
+            assert "percentile_approx(" not in src, name
+            assert "approx_count_distinct(" not in src, name
+
+    def test_round_used_on_float_aggregates(self):
+        """Order-dependent double aggregates must be rounded in oracles
+        (registry.py rule) — spot-check that SUM over doubles is wrapped."""
+        import skope_api_spark.contract as c
+
+        for name, sql in c.ORACLES.items():
+            for m in re.finditer(r"SUM\((l_extendedprice|o_totalprice|value)\b", sql):
+                prefix = sql[max(0, m.start() - 30) : m.start()].upper()
+                assert "ROUND" in prefix or "EPOCH" in prefix, (
+                    f"{name}: unrounded double SUM at …{sql[m.start():m.start()+50]!r}"
+                )

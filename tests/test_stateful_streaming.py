@@ -1,0 +1,59 @@
+"""applyInPandasWithState operator: streaming result ≡ batch equivalent."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from skope_api_spark.streaming import stateful as sf
+from skope_api_spark.streaming.events import stream_events
+from skope_api_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_landing_state")
+    (d / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    return str(d)
+
+
+class TestStatefulAnomalies:
+    def test_stream_equals_batch_equivalent(self, spark, events_dir):
+        batch_events = load(spark, SF_DIR, "events")
+        expected = {
+            r.event_id: (r.n_prior, r.is_anomaly)
+            for r in sf.running_anomalies_batch(batch_events).collect()
+        }
+
+        stream = stream_events(spark, events_dir, with_watermark=None)
+        out = sf.running_anomalies_stream(stream)
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                out.writeStream.format("memory")
+                .queryName("anom_test")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                r.event_id: (r.n_prior, r.is_anomaly)
+                for r in spark.sql("SELECT * FROM anom_test").collect()
+            }
+        assert len(got) == len(expected) > 0
+        assert got == expected
+
+    def test_welford_flags_known_outlier(self, spark):
+        rows = [(1, i, f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(
+            [10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.1, 50.0, 10.0]
+        )]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_s string, value double"
+        ).selectExpr("user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+        out = {r.event_id: r.is_anomaly for r in sf.running_anomalies_batch(df).collect()}
+        assert out[7] is True          # the 50.0 spike
+        assert sum(out.values()) == 1  # and nothing else
