@@ -138,72 +138,63 @@ class TimeseriesService:
 
     # -- lifecycle -----------------------------------------------------------
 
-    def execute(self, req: M.TimeseriesV2Request) -> M.TimeseriesV2Response:
-        import time as _time
-
-        t0 = _time.perf_counter()
+    def _plan(self, req: M.TimeseriesV2Request):
+        """Bind catalog + compute requested/extraction band ranges."""
         meta = self.catalog.variable(req.dataset_id, req.variable_id)
         grid = _grid(meta)
-
-        available_time = meta.time_range
         requested_time = normalize_time_range(
-            req.time_range.gte, req.time_range.lte, available_time
+            req.time_range.gte, req.time_range.lte, meta.time_range
         )
         requested = band_range_for_time_range(
-            requested_time, available_time, meta.resolution
-        )
-        available = BandRange(1, meta.n_bands())
-
-        transform_adj = req.transform.adjustment()
-        smoother_adjs = tuple(
-            s.smoother.adjustment() for s in req.requested_series_options
+            requested_time, meta.time_range, meta.resolution
         )
         extract = extraction_band_range(
             requested,
-            available,
-            transform_adjustment=transform_adj,
-            smoother_adjustments=smoother_adjs,
+            BandRange(1, meta.n_bands()),
+            transform_adjustment=req.transform.adjustment(),
+            smoother_adjustments=tuple(
+                s.smoother.adjustment() for s in req.requested_series_options
+            ),
         )
+        return meta, grid, requested, extract
 
-        # -- extraction: cell predicate + band pruning ----------------------
-        cube = self.cube(meta, req.variable_id)
+    def _selection_cells(
+        self, req: M.TimeseriesV2Request, grid: Grid
+    ) -> list[tuple[int, int]]:
+        """The selected (row, col) set for any geometry (validated)."""
         area_type = req.selected_area.get("type")
         if area_type == "Point" or (
             area_type == "Feature"
             and req.selected_area.get("geometry", {}).get("type") == "Point"
         ):
-            pred = point_predicate(grid, req.selected_area)
-            cells = cube.where(pred)
+            point_predicate(grid, req.selected_area)  # bounds validation
             r, c = grid.cell_index(*_point_coords(req.selected_area))
-            r, c = min(r, grid.rows - 1), min(c, grid.cols - 1)
-            n_cells = 1
-            area_m2 = cell_area_m2(grid.origin_lat - r * grid.pixel_deg, grid.pixel_deg)
-        else:
-            mask_cells = rasterize_all_touched(
-                grid, req.selected_area, max_cells=self.max_cells
-            )
-            cells = select_cells(cube, mask_df(self.spark, mask_cells))
-            n_cells = len(mask_cells)
-            area_m2 = sum(
-                cell_area_m2(grid.origin_lat - r * grid.pixel_deg, grid.pixel_deg)
-                for r, _ in mask_cells
-            )
-        cells = cells.where(F.col("band").between(extract.gte, extract.lte))
+            return [(min(r, grid.rows - 1), min(c, grid.cols - 1))]
+        return rasterize_all_touched(grid, req.selected_area, max_cells=self.max_cells)
 
-        base = (
-            zonal_series(cells, req.zonal_statistic)
-            .select("band", "time", "value")
-            .cache()
+    @staticmethod
+    def _area_m2(grid: Grid, cells: list[tuple[int, int]]) -> float:
+        return sum(
+            cell_area_m2(grid.origin_lat - r * grid.pixel_deg, grid.pixel_deg)
+            for r, _ in cells
         )
 
-        # -- transform (W3/W4) ----------------------------------------------
+    def _series_parts(
+        self,
+        req: M.TimeseriesV2Request,
+        meta: DatasetMeta,
+        grid: Grid,
+        cube: DataFrame,
+        base: DataFrame,
+        extract: BandRange,
+        requested: BandRange,
+    ) -> list[DataFrame]:
+        """Transform + per-series smoothing + clip; one tagged frame per
+        requested series (W1/W2/W7 + A7)."""
         transformed, post_transform = self._apply_transform(
             req, meta, grid, cube, base, extract, requested
         )
-
-        # -- per-series smoothing + clip (W1/W2/W7), union fan-out (A7) -----
         parts: list[DataFrame] = []
-        ranges: dict[str, BandRange | None] = {}
         for opt in req.requested_series_options:
             sm = self._apply_smoother(transformed, opt.smoother)
             out_range = _shrink(post_transform, opt.smoother.adjustment())
@@ -212,7 +203,6 @@ class TimeseriesService:
                     out_range = out_range.intersect(requested)
                 except ValueError:  # disjoint → empty series (edge request)
                     out_range = None
-            ranges[opt.name] = out_range
             if out_range is None:
                 continue
             parts.append(
@@ -220,21 +210,20 @@ class TimeseriesService:
                 .withColumn("series_name", F.lit(opt.name))
                 .select("series_name", "band", "time", "value")
             )
+        return parts
 
-        result_rows: list = []
-        if parts:
-            fanout = parts[0]
-            for p in parts[1:]:
-                fanout = fanout.unionByName(p)
-            result_rows = collect_with_timeout(
-                self.spark, fanout.orderBy("series_name", "band"), req.max_processing_time
-            )
+    def _assemble(
+        self,
+        req: M.TimeseriesV2Request,
+        requested: BandRange,
+        result_rows: list,
+        base_rows: list,
+        n_cells: int,
+        area_m2: float,
+        t0: float,
+    ) -> M.TimeseriesV2Response:
+        import time as _time
 
-        base_rows = collect_with_timeout(
-            self.spark, base.orderBy("band"), req.max_processing_time
-        )
-
-        # -- assemble response ----------------------------------------------
         series_out: list[M.SeriesResult] = []
         stats_out: list[M.SummaryStatRow] = []
 
@@ -252,7 +241,7 @@ class TimeseriesService:
         for row in result_rows:
             by_series.setdefault(row.series_name, []).append(row)
         for opt in req.requested_series_options:
-            rows = by_series.get(opt.name, [])
+            rows = sorted(by_series.get(opt.name, []), key=lambda r: r.band)
             values = [r.value for r in rows]
             tr = (
                 M.TimeRangeModel(gte=rows[0].time, lte=rows[-1].time) if rows else None
@@ -265,7 +254,6 @@ class TimeseriesService:
                 M.SummaryStatRow(name=opt.name, mean=mean, median=median, stdev=stdev)
             )
 
-        base.unpersist()
         return M.TimeseriesV2Response(
             dataset_id=req.dataset_id,
             variable_id=req.variable_id,
@@ -275,6 +263,143 @@ class TimeseriesService:
             summary_stats=stats_out,
             processing_time_ms=int((_time.perf_counter() - t0) * 1000),
         )
+
+    def execute(self, req: M.TimeseriesV2Request) -> M.TimeseriesV2Response:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        meta, grid, requested, extract = self._plan(req)
+
+        # -- extraction: cell predicate + band pruning ----------------------
+        cube = self.cube(meta, req.variable_id)
+        sel = self._selection_cells(req, grid)
+        if len(sel) == 1:
+            (r, c) = sel[0]  # point: pushdown equality, no join
+            cells = cube.where((F.col("row") == r) & (F.col("col") == c))
+        else:
+            cells = select_cells(cube, mask_df(self.spark, sel))
+        n_cells, area_m2 = len(sel), self._area_m2(grid, sel)
+        cells = cells.where(F.col("band").between(extract.gte, extract.lte))
+
+        base = (
+            zonal_series(cells, req.zonal_statistic)
+            .select("band", "time", "value")
+            .cache()
+        )
+
+        parts = self._series_parts(req, meta, grid, cube, base, extract, requested)
+        result_rows: list = []
+        if parts:
+            fanout = parts[0]
+            for p in parts[1:]:
+                fanout = fanout.unionByName(p)
+            result_rows = collect_with_timeout(
+                self.spark, fanout.orderBy("series_name", "band"), req.max_processing_time
+            )
+        base_rows = collect_with_timeout(
+            self.spark, base.orderBy("band"), req.max_processing_time
+        )
+        base.unpersist()
+        return self._assemble(
+            req, requested, result_rows, base_rows, n_cells, area_m2, t0
+        )
+
+    def execute_many(
+        self, reqs: list[M.TimeseriesV2Request]
+    ) -> list[M.TimeseriesV2Response]:
+        """Batched execution: requests sharing (dataset, variable, statistic)
+        compile into ONE scan + ONE zonal aggregation via a query_id-tagged
+        broadcast mask join (operators.batch pattern) — the 100 TB serving
+        shape: thousands of requests, a handful of jobs.
+
+        Per-request transforms/smoothers still run as (tiny) window plans
+        over the shared cached base, unioned into one collect per group.
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        results: list[M.TimeseriesV2Response | None] = [None] * len(reqs)
+
+        groups: dict[tuple, list[int]] = {}
+        for i, req in enumerate(reqs):
+            key = (req.dataset_id, req.variable_id, req.zonal_statistic)
+            groups.setdefault(key, []).append(i)
+
+        for (dataset_id, variable_id, stat), idxs in groups.items():
+            meta = self.catalog.variable(dataset_id, variable_id)
+            grid = _grid(meta)
+            cube = self.cube(meta, variable_id)
+
+            plans: dict[int, tuple] = {}
+            mask_rows: list[tuple[str, int, int]] = []
+            range_rows: list[tuple[str, int, int]] = []
+            for i in idxs:
+                req = reqs[i]
+                _, _, requested, extract = self._plan(req)
+                sel = self._selection_cells(req, grid)
+                qid = f"q{i}"
+                plans[i] = (requested, extract, sel, qid)
+                mask_rows.extend((qid, r, c) for r, c in sel)
+                range_rows.append((qid, extract.gte, extract.lte))
+
+            mask = self.spark.createDataFrame(
+                mask_rows, "query_id string, row int, col int"
+            )
+            ranges = self.spark.createDataFrame(
+                range_rows, "query_id string, bgte int, blte int"
+            )
+            # one scan: inner broadcast mask join (fan-out per membership),
+            # then per-query band clipping via the broadcast ranges dim
+            tagged = (
+                cube.join(F.broadcast(mask), ["row", "col"])
+                .join(F.broadcast(ranges), "query_id")
+                .where(F.col("band").between(F.col("bgte"), F.col("blte")))
+            )
+            base_all = (
+                zonal_series(tagged, stat, keys=("query_id", "band", "time"))
+                .select("query_id", "band", "time", "value")
+                .cache()
+            )
+
+            parts: list[DataFrame] = []
+            for i in idxs:
+                req = reqs[i]
+                requested, extract, sel, qid = plans[i]
+                base_i = base_all.where(F.col("query_id") == qid).select(
+                    "band", "time", "value"
+                )
+                for p in self._series_parts(
+                    req, meta, grid, cube, base_i, extract, requested
+                ):
+                    parts.append(p.withColumn("query_id", F.lit(qid)))
+
+            timeout = max(reqs[i].max_processing_time for i in idxs)
+            result_rows: list = []
+            if parts:
+                fanout = parts[0]
+                for p in parts[1:]:
+                    fanout = fanout.unionByName(p)
+                result_rows = collect_with_timeout(self.spark, fanout, timeout)
+            base_rows_all = collect_with_timeout(self.spark, base_all, timeout)
+            base_all.unpersist()
+
+            for i in idxs:
+                requested, extract, sel, qid = plans[i]
+                rr = [r for r in result_rows if r.query_id == qid]
+                br = sorted(
+                    (r for r in base_rows_all if r.query_id == qid),
+                    key=lambda r: r.band,
+                )
+                results[i] = self._assemble(
+                    reqs[i],
+                    requested,
+                    rr,
+                    br,
+                    len(sel),
+                    self._area_m2(grid, sel),
+                    t0,
+                )
+        return results  # type: ignore[return-value]
 
     def execute_v1(self, req: M.TimeseriesV1Request) -> dict:
         """P9 — legacy adapter: run v2, reshape (reference routers/v1)."""
