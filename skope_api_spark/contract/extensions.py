@@ -113,6 +113,105 @@ def pivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_event_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation over the 5 hot event_type keys —
+    identical results to a plain group-by (the oracle), but each hot key
+    fans across 16 reducers in the partial phase."""
+    from skope_api_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        salt_source=F.col("event_id"),
+        n_salts=16,
+        sums=["value"],
+    )
+    return out.select(
+        "event_type", "n", F.round("sum_value", 4).alias("sum_value")
+    ).orderBy("event_type")
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+""",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join → per-key count → count histogram
+    (a double aggregation with a different key each phase)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "exists_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def exists_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (compiles to a left-semi join)
+    with a cross-table predicate inside the subquery."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("__orders_q4")
+    li.createOrReplaceTempView("__lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM __orders_q4 o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM __lineitem_q4 l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 @query("approx_count_distinct_suppliers")
 def approx_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — sketch values are engine-
