@@ -29,13 +29,18 @@ def get_spark(
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    fair_scheduling: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``fair_scheduling=True`` enables FAIR scheduler pools so concurrent
+    API requests on one session share executors instead of FIFO-queuing
+    (serving deployments; see api/service.py)."""
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.scheduler.mode", "FAIR" if fair_scheduling else "FIFO")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
