@@ -109,6 +109,56 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), un AS (
+  SELECT label, i AS idx, v[i] AS x FROM ex, range(1, 65) t(i)
+), cm AS (
+  SELECT label AS cell, idx, AVG(x) AS m FROM un GROUP BY label, idx
+), cent AS (
+  SELECT cell, list(m ORDER BY idx) AS c FROM cm GROUP BY cell
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell) AS rk
+    FROM ex e CROSS JOIN cent c
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, a.v) AS cs
+  FROM assigned a JOIN q USING (cell) WHERE q.query_id != a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: data-adaptive coarse quantizer (label centroids),
+    probe the query's cell, exact re-rank. Oracle mirrors the identical
+    algorithm (centroid construction included) in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
+@query(
     "sim_embedding_near_dup_bucketed",
     oracle=_bucketed_oracle(
         """

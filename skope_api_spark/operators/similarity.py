@@ -149,6 +149,82 @@ def lsh_bucket_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Element-wise mean vector per label — the IVF coarse codebook.
+
+    (A full IVF trains centroids with k-means; with labeled data the class
+    means are a deterministic stand-in with the same plumbing. Swapping in
+    trained centroids changes only this function.)
+    Returns (cell, centroid: array<double>).
+    """
+    ex = df.select(
+        F.col(label_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    per_dim = ex.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid (max
+    cosine), probe only the query's cell, exact re-rank inside it.
+
+    Centroids are a tiny broadcast codebook; assignment is a broadcast
+    nested-loop over ~n_cells rows per vector (cheap); the candidate join
+    is an equi-join on the cell id — same scale shape as the LSH path with
+    a data-adaptive quantizer instead of random hyperplanes.
+    """
+    cents = label_centroids(corpus, vec_col=vec_col, label_col=label_col)
+
+    def assign(df: DataFrame, idc: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = W.partitionBy(idc).orderBy(F.desc("__csim"), "cell")
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk", "__csim", "centroid")
+        )
+
+    qa = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
+    ).select("query_id", F.col(vec_col).alias("q_vec"), "cell")
+    ca = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).select("neighbor_id", F.col(vec_col).alias("c_vec"), "cell")
+
+    scored = (
+        ca.join(qa, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,
