@@ -72,6 +72,41 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@query(
+    "dedup_duplicate_clusters",
+    oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+ORDER BY doc_id
+""",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (Spark) vs transitive closure via recursive CTE (oracle).
+    The cluster_id is the canonical representative — the key a dedup
+    pipeline keeps one row per."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ops.minhash_near_duplicates(docs, threshold=0.7)
+    return ops.duplicate_clusters(pairs).orderBy("doc_id")
+
+
 def _simhash_sig_sql(bits: int = ops.SIMHASH_BITS) -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"

@@ -115,6 +115,60 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tfc AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok
+), dfc AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY tok
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tfc t JOIN dfc d USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, tok, tfidf
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF ln((N+1)/(df+1)); top-3 terms per doc.
+    Document frequency is a tiny dimension (vocab-sized) broadcast back
+    onto term frequencies — two aggregations, one broadcast join."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@query(
     "text_bottomk_fingerprint",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -159,6 +159,42 @@ def w4_reference_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_window_suite",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(FIRST_VALUE(value) OVER w, 4)                    AS first_val,
+       ROUND(LAST_VALUE(value)  OVER w, 4)                    AS last_val,
+       ROUND(NTH_VALUE(value, 3) OVER w, 4)                   AS third_val,
+       ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS cdist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+""",
+)
+def value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over full frames + cume_dist ranking."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wc = W.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.first("value").over(w), 4).alias("first_val"),
+            F.round(F.last("value").over(w), 4).alias("last_val"),
+            F.round(F.nth_value("value", 3).over(w), 4).alias("third_val"),
+            F.round(F.cume_dist().over(wc), 6).alias("cdist"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "ranking_suite",
     oracle="""
 SELECT

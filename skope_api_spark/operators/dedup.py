@@ -214,6 +214,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    id_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    Iterative min-label propagation (the Pregel/GraphX pattern in plain
+    DataFrame ops): every node starts labeled with its own id and
+    repeatedly takes the min of its neighbors' labels until a fixpoint —
+    the label converges to the smallest id reachable, i.e. the canonical
+    representative of each duplicate cluster. Converges in O(cluster
+    diameter) rounds; near-dup graphs are shallow (pairs/cliques), so 2-3
+    rounds in practice. The per-round convergence check is a driver-side
+    scalar (count of changed labels) — the standard shape for iterative
+    algorithms, not a data collect.
+
+    Returns (doc_id, cluster_id = min reachable id) for every node that
+    appears in ``pairs``.
+    """
+    a, b = id_cols
+    fwd = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("label").alias("old")), "u"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

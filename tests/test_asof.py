@@ -52,3 +52,17 @@ class TestAsofJoin:
         # union-merge shape: no join operator at all, one hash exchange
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestDuplicateClusters:
+    def test_chain_triangle_and_pair(self, spark):
+        from skope_api_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            # chain 1-2-3-4 (tests multi-hop propagation), triangle 10-11-12,
+            # isolated pair 20-21
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "doc_a long, doc_b long",
+        )
+        out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
