@@ -110,6 +110,40 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "null_semantics_battery",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(COALESCE(o.o_orderkey, -1) AS BIGINT)        AS order_or_default,
+       NULLIF(c.c_mktsegment, 'BUILDING')                AS seg_or_null,
+       CAST(o.o_orderkey IS NULL AS BOOLEAN)             AS no_order,
+       CAST(o.o_custkey IS NOT DISTINCT FROM c.c_custkey AS BOOLEAN) AS nullsafe_eq,
+       CAST(GREATEST(COALESCE(o.o_orderkey, 0), c.c_custkey) AS BIGINT) AS greatest_val
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderkey % 50 = 0
+WHERE c.c_custkey % 7 = 0
+ORDER BY c.c_custkey, order_or_default
+""",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling across engines: COALESCE/NULLIF/IS NULL, null-safe
+    equality (Spark ``<=>`` ≡ DuckDB ``IS NOT DISTINCT FROM``), GREATEST
+    over nullable inputs — exercised on real outer-join nulls."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("order_or_default"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.col("o_custkey").eqNullSafe(F.col("c_custkey")).alias("nullsafe_eq"),
+        F.greatest(F.coalesce("o_orderkey", F.lit(0)), "c_custkey").alias(
+            "greatest_val"
+        ),
+    ).orderBy("c_custkey", "order_or_default")
+
+
+@query(
     "string_functions_sweep",
     oracle="""
 SELECT c_custkey,

@@ -95,3 +95,20 @@ class TestBinaryStats:
         assert out[1].n_bytes == len(raw)
         assert out[1].content_sha256 == hashlib.sha256(raw).hexdigest()
         assert out[1].content_crc32 == zlib.crc32(raw)
+
+
+class TestPipelineComposability:
+    def test_features_feed_similarity_search(self, media_df, spark):
+        """Multimodal features compose with the similarity operators: the
+        extracted array<float> column drops straight into brute-force
+        top-k (media_id plays vec_id)."""
+        from skope_api_spark.operators.similarity import brute_force_topk
+
+        feats = mm.extract_features(media_df).withColumnRenamed(
+            "feature", "embedding"
+        ).withColumnRenamed("media_id", "vec_id")
+        out = brute_force_topk(feats, feats.where(mm.F.col("vec_id") == 1), k=2)
+        rows = sorted(out.collect(), key=lambda r: r.rk)
+        assert [r.query_id for r in rows] == [1, 1]
+        assert rows[0].cosine_sim >= rows[1].cosine_sim
+        assert {r.neighbor_id for r in rows} <= {2, 3, 4}
