@@ -49,7 +49,7 @@ def w1_centered_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "event_id", "user_id", "ts", "value", F.round("cma", 4).alias("cma")
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 @query(
@@ -78,7 +78,7 @@ def w2_trailing_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "event_id", "user_id", "ts", "value", F.round("tma", 4).alias("tma")
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 @query(
@@ -106,7 +106,7 @@ def w3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "event_id", "user_id", "ts", F.round("z", 4).alias("z")
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 @query(
@@ -129,9 +129,7 @@ def w4_fixed_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=("user_id",),
         out_col="z",
     )
-    return df.select("event_id", "user_id", F.round("z", 4).alias("z")).orderBy(
-        "user_id", "event_id"
-    )
+    return df.select("event_id", "user_id", F.round("z", 4).alias("z"))
 
 
 @query(
@@ -155,7 +153,7 @@ def w4_reference_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
     )
     df = ops.fixed_reference_zscore(ev, ref, "value", out_col="z")
-    return df.select("event_id", F.round("z", 4).alias("z")).orderBy("event_id")
+    return df.select("event_id", F.round("z", 4).alias("z"))
 
 
 @query(
@@ -190,7 +188,6 @@ def value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.nth_value("value", 3).over(w), 4).alias("third_val"),
             F.round(F.cume_dist().over(wc), 6).alias("cdist"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -222,7 +219,6 @@ def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).alias("quartile"),
             F.round(F.percent_rank().over(w), 6).alias("prank"),
         )
-        .orderBy("user_id", "rn")
     )
 
 
@@ -250,7 +246,6 @@ def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lead("value").over(w) - F.col("value"), 4).alias("next_delta"),
             (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -281,7 +276,6 @@ def running_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value").over(w), 4).alias("running_total"),
             F.count(F.lit(1)).over(w).alias("running_n"),
         )
-        .orderBy("user_id", "ts", "event_id")
     )
 
 

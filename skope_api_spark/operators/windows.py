@@ -173,6 +173,48 @@ def fixed_reference_zscore(
     return joined.withColumn(out_col, z).drop("__ref_mean", "__ref_sigma")
 
 
+_GAP_UNITS_MS = {
+    "ms": 1,
+    "millisecond": 1,
+    "milliseconds": 1,
+    "s": 1000,
+    "sec": 1000,
+    "second": 1000,
+    "seconds": 1000,
+    "min": 60_000,
+    "minute": 60_000,
+    "minutes": 60_000,
+    "h": 3_600_000,
+    "hour": 3_600_000,
+    "hours": 3_600_000,
+    "d": 86_400_000,
+    "day": 86_400_000,
+    "days": 86_400_000,
+}
+
+
+def parse_gap_ms(gap: str | int) -> int:
+    """Parse a session gap: an int (milliseconds) or a string like
+    ``"30 minutes"``, ``"30min"``, ``"500 ms"``, ``"2 days"``.
+
+    Raises ``ValueError`` naming the supported units on anything else.
+    """
+    if isinstance(gap, int):
+        if gap <= 0:
+            raise ValueError(f"gap must be positive, got {gap}")
+        return gap
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", gap)
+    unit_ms = _GAP_UNITS_MS.get(m.group(2).lower()) if m else None
+    if unit_ms is None:
+        raise ValueError(
+            f"unparseable gap {gap!r}; expected '<n> <unit>' with unit one of "
+            f"{sorted(set(_GAP_UNITS_MS))}"
+        )
+    return int(m.group(1)) * unit_ms
+
+
 def sessionize(
     df: DataFrame,
     *,
@@ -186,13 +228,7 @@ def sessionize(
     previous row exceeds ``gap``. Batch analogue of a streaming session window
     (the streaming form lives in ``skope_api_spark.streaming``).
     """
-    num, unit = gap.split()
-    unit_ms = {
-        "second": 1000, "seconds": 1000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-    }[unit]
-    gap_ms = int(num) * unit_ms
+    gap_ms = parse_gap_ms(gap)
     w = _ordered_window(partition_by, order_by)
     prev_ms = F.lag(F.unix_millis(F.col(ts_col))).over(w)
     is_new = F.when(
