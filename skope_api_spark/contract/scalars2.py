@@ -110,6 +110,41 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "histogram_order_prices",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 13
+            ELSE FLOOR(o_totalprice / 50000) + 1 END AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the single-pass binning
+    shape (no per-bin scans)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "null_semantics_battery",
     oracle="""
 SELECT c.c_custkey,
