@@ -22,18 +22,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # land) the LLM-pipeline operators. Names missing from the registry are
 # skipped so bench.py never breaks on a partial build.
 HEADLINE = [
+    # relational spine
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_parts_by_revenue",
     "distinct_agg_suppliers_per_brand",
+    # window / time-series core
     "w1_centered_moving_average",
     "w3_rolling_zscore",
     "sessionize_events",
+    "range_frame_rolling_hour",
+    "asof_join_purchase_to_click",
+    # LLM-pipeline operators
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
+    "dedup_simhash_near_duplicates",
     "sim_cosine_topk",
+    "sim_lsh_bucket_topk",
     "text_quality_stats",
+    "text_tfidf_top_terms",
 ]
 
 
