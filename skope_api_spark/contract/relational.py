@@ -354,6 +354,36 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets_order_matrix",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def grouping_sets_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    with grouping_id to disambiguate real NULL keys from subtotal rows."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               COUNT(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
 # --- set operators ------------------------------------------------------------
 @query(
     "setop_nation_keys",
