@@ -16,11 +16,17 @@ Layout:
 - ``plans``      — plan-time Python: interval algebra, band-padding planner,
                    dataset catalog.
 - ``sources``    — cube ingestion (analytic fixture generator → Parquet long
-                   table) and readers.
-- ``operators``  — zonal stats, window smoothers/transforms, dedup,
-                   similarity, text analysis.
-- ``functions``  — reusable column expressions (vector math, text metrics).
-- ``api``        — pydantic request façade compiling to DataFrame plans.
+                   table), store path guards, lake provider, format round-trips.
+- ``geometry``   — GeoJSON → cell predicates: affine index, pure-Python
+                   all_touched rasterization, broadcast mask semi-join.
+- ``operators``  — zonal stats, window smoothers/transforms, as-of join,
+                   dedup (exact/MinHash/SimHash/clusters), similarity
+                   (brute-force/LSH/IVF), text analysis, multimodal binary
+                   stages, skew-safe aggregation, batched multi-query.
+- ``streaming``  — watermarked windows, native session_window sessions,
+                   applyInPandasWithState stateful operators.
+- ``api``        — pydantic request façade compiling to DataFrame plans;
+                   single and batched execution.
 - ``contract``   — the driver-contract query registry (queries + DuckDB
                    oracle SQL) assembled by ``__spark_entry__.py``.
 """

@@ -237,3 +237,60 @@ class TestMetadata:
         md = service.metadata()
         ids = {m["dataset_id"] for m in md}
         assert ids == {"annual_5x5x5_dataset", "monthly_5x5x60_dataset"}
+
+
+class TestNullSeriesEdgeCases:
+    def test_all_null_cell_selection(self, service):
+        """Selecting only the all-nodata cell (row 3, col 4): values come
+        back as Nones, summary stats are None — numpy all-NaN parity."""
+        cell_poly = {
+            "type": "Polygon",
+            "coordinates": [
+                [[-118.9, 41.9], [-118.1, 41.9], [-118.1, 41.1], [-118.9, 41.1], [-118.9, 41.9]]
+            ],
+        }
+        resp = service.execute(v2(selected_area=cell_poly))
+        assert resp.n_cells == 1
+        assert resp.series[0].values == [None] * 5
+        row = resp.summary_stats[0]
+        assert row.mean is None and row.median is None and row.stdev is None
+
+    def test_partial_null_series_summary_skips(self, service):
+        """Cell (2,4) is NULL only in band 3: the series has one hole and
+        summaries skip it (nan* semantics)."""
+        cell_poly = {
+            "type": "Polygon",
+            "coordinates": [
+                [[-118.9, 42.9], [-118.1, 42.9], [-118.1, 42.1], [-118.9, 42.1], [-118.9, 42.9]]
+            ],
+        }
+        resp = service.execute(v2(selected_area=cell_poly))
+        vals = resp.series[0].values
+        assert vals[2] is None and all(v is not None for i, v in enumerate(vals) if i != 2)
+        expected = [v for v in vals if v is not None]
+        assert resp.summary_stats[0].mean == pytest.approx(sum(expected) / 4)
+
+    def test_monthly_trailing_over_year_boundary(self, service):
+        """Monthly trailing w=2 across the year-1 → year-2 boundary: labels
+        advance by real months (the reference's freq='A' bug would break
+        this)."""
+        resp = service.execute(
+            v2(
+                dataset_id="monthly_5x5x60_dataset",
+                time_range=M.OptionalTimeRangeModel(gte=date(1, 11, 1), lte=date(2, 2, 1)),
+                requested_series_options=[
+                    M.SeriesOptions(
+                        name="tma",
+                        smoother=M.MovingAverageSmoother(method="trailing", width=2),
+                    )
+                ],
+            )
+        )
+        s = resp.series[0]
+        # requested months 11..14; trailing 2 full windows exist everywhere
+        # (extraction padded back to month 9)
+        assert s.time_range == M.TimeRangeModel(gte=date(1, 11, 1), lte=date(2, 2, 1))
+        # value at month b = mean(100*(b-2), 100*(b-1))
+        assert s.values == [
+            (100 * (b - 2) + 100 * (b - 1)) / 2 for b in (11, 12, 13, 14)
+        ]
