@@ -212,6 +212,60 @@ def exists_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "sketch_kmv_distinct_suppliers",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, hv,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(ROUND(15.0 / (MAX(CASE WHEN rk = 16 THEN hv END)::DOUBLE
+                          / 1152921504606846976.0)) AS BIGINT) AS kmv_estimate,
+       CAST(COUNT(*) AS BIGINT) AS exact_distinct
+FROM ranked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sketch_kmv_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=16) distinct-count sketch — a mergeable
+    bottom-k sketch like HLL, but built from md5-derived uniform hashes so
+    both engines produce the IDENTICAL estimate (HLL sketches are
+    engine-specific; this one is oracle-checkable). Estimator:
+    (k-1) / (kth_min / 2^60). The exact count rides along for comparison."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_suppkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = li.select("l_returnflag", hv.alias("hv")).distinct()
+    w = W.partitionBy("l_returnflag").orderBy("hv")
+    ranked = h.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.lit(15.0)
+                / (
+                    F.max(F.when(F.col("rk") == 16, F.col("hv"))).cast("double")
+                    / F.lit(float(1 << 60))
+                )
+            )
+            .cast("long")
+            .alias("kmv_estimate"),
+            F.count(F.lit(1)).alias("exact_distinct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("approx_count_distinct_suppliers")
 def approx_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — sketch values are engine-

@@ -103,3 +103,24 @@ class TestParquetStreamingSink:
         back = spark.read.parquet(out)
         assert back.count() == load(spark, SF_DIR, "events").count()
         assert "value_x2" in back.columns
+
+
+class TestBroadcastDegradation:
+    def test_q5_degrades_to_shuffle_join_without_broadcast(self, spark):
+        """The PERF.md claim, proven: with auto-broadcast disabled (as if
+        customer/supplier exceeded the threshold at 100 TB), q5's big
+        joins fall back to shuffle joins instead of OOMing — nothing
+        scale-proportional is force-broadcast. (The explicit hints on the
+        fixed 5/25-row region/nation dims remain, as intended.)"""
+        from skope_api_spark.contract.relational import q5_local_supplier_volume
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = q5_local_supplier_volume(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            rows = df.collect()
+            assert len(rows) >= 1  # still correct, just a different strategy
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
