@@ -32,9 +32,11 @@ def batched_zonal_series(
     cube: DataFrame,
     masks: Mapping[str, Sequence[tuple[int, int]]],
     stat: str = "mean",
+    *,
+    series_keys: Sequence[str] = ("band", "time"),
 ) -> DataFrame:
-    """All queries' zonal series in one job: (query_id, band, time, value,
-    n_cells, n_valid)."""
+    """All queries' zonal series in one job: (query_id, *series_keys,
+    value, n_cells, n_valid)."""
     mask = batch_mask_df(cube.sparkSession, masks)
     tagged = cube.join(F.broadcast(mask), ["row", "col"])  # inner, fan-out
-    return zonal_series(tagged, stat, keys=("query_id", "band", "time"))
+    return zonal_series(tagged, stat, keys=("query_id", *series_keys))
