@@ -57,6 +57,35 @@ def cosine(va: Column, vb: Column) -> Column:
     return dot / (norm(va) * norm(vb))
 
 
+def cosine_pandas_udf(dim: int = DIM):
+    """Arrow-vectorized cosine kernel — the alternative to the JVM
+    higher-order-function path, benchmarked in PERF.md.
+
+    Batch semantics: both inputs arrive as pandas Series of lists; numpy
+    stacks them and computes the whole batch in one einsum pass. Measured
+    at 250k pairs × 64 dims (sf0.1): ~2× faster than the ``zip_with``/
+    ``aggregate`` expressions once Python workers are warm (0.95 s vs
+    1.98 s), slower cold (worker startup). Oracle-checked queries use the
+    JVM path (sequential fold matches DuckDB bit-closer); bulk scoring
+    pipelines should pass ``use_arrow=True`` to ``brute_force_topk``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit returnType style: postponed annotations (PEP 563) stringify
+    # type hints, which pandas_udf's hint inference cannot resolve here
+    def _cos(a, b):
+        va = np.stack(a.to_numpy()).astype("float64")
+        vb = np.stack(b.to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", va, vb)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        return pd.Series(dots / (na * nb))
+
+    return pandas_udf(_cos, "double")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,11 +93,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self-matches excluded).
 
     Returns (query_id, neighbor_id, cosine_sim, rk). ``queries`` is
     broadcast — it must be a bounded batch, not a scale-proportional table.
+    ``use_arrow`` switches the scoring kernel to the vectorized pandas UDF
+    (~2× faster warm for bulk scoring; see ``cosine_pandas_udf``).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -76,10 +108,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    kernel = cosine_pandas_udf() if use_arrow else cosine
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine_sim", kernel(F.col("q_vec"), F.col("c_vec")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (

@@ -124,3 +124,21 @@ class TestBroadcastDegradation:
             assert len(rows) >= 1  # still correct, just a different strategy
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestArrowCosineParity:
+    def test_arrow_kernel_matches_jvm_kernel(self, spark):
+        """The two cosine kernels agree (same top-k, sims within 1e-9)."""
+        from skope_api_spark.operators.similarity import brute_force_topk
+        from skope_api_spark.tables import load
+
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        jvm = {(r.query_id, r.rk): (r.neighbor_id, r.cosine_sim)
+               for r in brute_force_topk(emb, q, k=3).collect()}
+        arw = {(r.query_id, r.rk): (r.neighbor_id, r.cosine_sim)
+               for r in brute_force_topk(emb, q, k=3, use_arrow=True).collect()}
+        assert set(jvm) == set(arw)
+        for key in jvm:
+            assert jvm[key][0] == arw[key][0]
+            assert abs(jvm[key][1] - arw[key][1]) < 1e-9
