@@ -75,6 +75,21 @@ def handle_metadata(service: TimeseriesService) -> tuple[int, list[dict]]:
     return 200, service.metadata()
 
 
+def handle_settings(service: TimeseriesService) -> tuple[int, dict[str, Any]]:
+    """GET /settings equivalent (reference main.py:41-45, debug surface)."""
+    return 200, {
+        "max_cells": service.max_cells,
+        "datasets": sorted(service.catalog.datasets),
+        "spark": {
+            "master": service.spark.sparkContext.master,
+            "shuffle_partitions": service.spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "aqe": service.spark.conf.get("spark.sql.adaptive.enabled", "true"),
+        },
+    }
+
+
 def build_app(service: TimeseriesService):
     """Real FastAPI app when the library is present (deployments)."""
     try:

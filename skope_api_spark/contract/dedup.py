@@ -107,6 +107,57 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+@query(
+    "pipeline_clean_corpus_stats",
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT doc_id FROM documents
+  WHERE len(string_split(text, ' ')) >= 30
+    AND len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))::DOUBLE
+        / len(string_split(text, ' ')) <= 0.5
+), kept AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id)
+), toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), losers AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) != u
+), clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(LENGTH(text)), 4) AS avg_chars
+FROM clean
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def pipeline_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: quality filter → LSH near-dup dedup →
+    cluster-representative selection → per-language corpus stats, all as
+    one chained DataFrame pipeline (operators.pipeline). The oracle
+    re-derives the identical corpus in SQL (recursive CTE for clusters)."""
+    from skope_api_spark.operators.pipeline import clean_corpus, corpus_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_stats(clean_corpus(docs)).orderBy("lang")
+
+
 def _simhash_sig_sql(bits: int = ops.SIMHASH_BITS) -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
