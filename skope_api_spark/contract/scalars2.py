@@ -110,6 +110,40 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "array_agg_battery",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT) AS n_statuses,
+       CAST(list_contains(list(DISTINCT o_orderstatus), 'F') AS BOOLEAN) AS has_final
+FROM orders
+WHERE o_custkey % 11 = 0
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def array_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type aggregation: collect_set → sorted array → string
+    serialization (arrays are serialized so cross-engine value hashing
+    stays representation-independent), plus membership and cardinality."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 11 == 0)
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", statuses).alias("statuses"),
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.size(statuses).alias("n_statuses"),
+            F.array_contains(F.collect_set("o_orderstatus"), "F").alias("has_final"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
     "histogram_order_prices",
     oracle="""
 SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
