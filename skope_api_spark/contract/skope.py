@@ -177,6 +177,33 @@ def skope_bbox_zonal_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- area-weighted zonal mean (extension beyond reference) ------------------
+@query(
+    "skope_area_weighted_mean",
+    oracle=_cube_sql(ANNUAL, F32)
+    + """
+SELECT band,
+       ROUND(SUM(CASE WHEN value IS NOT NULL THEN value * cell_area END)
+             / SUM(CASE WHEN value IS NOT NULL THEN cell_area END), 4)
+         AS weighted_mean,
+       CAST(COUNT(value) AS BIGINT) AS n_valid
+FROM cube
+GROUP BY band
+ORDER BY band
+""",
+)
+def skope_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal mean over the full grid: cos-φ-correct averaging
+    for lat-lon cells (reference averages unweighted; extension)."""
+    from skope_api_spark.operators.zonal import weighted_zonal_series
+
+    cube = analytic_cube(spark, ANNUAL, F32)
+    out = weighted_zonal_series(cube, keys=("band",))
+    return out.select(
+        "band", F.round("weighted_mean", 4).alias("weighted_mean"), "n_valid"
+    ).orderBy("band")
+
+
 # --- smoothers on the extracted series (W1, W2) -----------------------------
 _SERIES_SQL = (
     _cube_sql(ANNUAL, F32)

@@ -52,6 +52,30 @@ def zonal_series(
     )
 
 
+def weighted_zonal_series(
+    cells: DataFrame,
+    *,
+    keys: Sequence[str] = ("band", "time"),
+    value_col: str = "value",
+    weight_col: str = "cell_area",
+) -> DataFrame:
+    """Area-weighted zonal mean — the geographically correct zonal statistic
+    for lat-lon grids (unweighted means over-count high-latitude cells,
+    whose areas shrink by cos φ). Weights of NULL-valued cells are excluded
+    from the denominator, preserving nan*-skipping semantics.
+
+    An engine extension beyond the reference (which averages cells
+    unweighted); both forms are exposed so results are comparable.
+    """
+    v, w = F.col(value_col), F.col(weight_col)
+    num = F.sum(F.when(v.isNotNull(), v * w))
+    den = F.sum(F.when(v.isNotNull(), w))
+    return cells.groupBy(*keys).agg(
+        (num / den).alias("weighted_mean"),
+        F.count(value_col).alias("n_valid"),
+    )
+
+
 def summary_stats(
     series: DataFrame,
     *,

@@ -114,3 +114,41 @@ class TestPlannerInvariants:
             full_lo = extract.gte - adj[0]  # first band with a full window
             full_hi = extract.lte - adj[1]
             assert full_lo <= out.gte and out.lte <= full_hi
+
+
+class TestRasterizerProperty:
+    """For axis-aligned rectangles the touched-cell set is exactly
+    computable: any cell whose [lon0,lon1]×[lat0,lat1] square intersects
+    the rectangle (closed sets). The rasterizer must agree for arbitrary
+    rectangles — including degenerate edge-on-boundary cases hypothesis
+    loves to find."""
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(min_value=-123.0, max_value=-118.0),
+        st.floats(min_value=-123.0, max_value=-118.0),
+        st.floats(min_value=40.0, max_value=45.0),
+        st.floats(min_value=40.0, max_value=45.0),
+    )
+    def test_rectangles_match_interval_overlap(self, x1, x2, y1, y2):
+        from skope_api_spark.geometry import Grid, rasterize_all_touched
+
+        grid = Grid(origin_lon=-123.0, origin_lat=45.0, pixel_deg=1.0, rows=5, cols=5)
+        lo_x, hi_x = min(x1, x2), max(x1, x2)
+        lo_y, hi_y = min(y1, y2), max(y1, y2)
+        if hi_x - lo_x < 1e-9 or hi_y - lo_y < 1e-9:
+            return  # degenerate (zero-area) rectangles are not polygons
+        rect = {
+            "type": "Polygon",
+            "coordinates": [
+                [[lo_x, lo_y], [hi_x, lo_y], [hi_x, hi_y], [lo_x, hi_y], [lo_x, lo_y]]
+            ],
+        }
+        got = set(rasterize_all_touched(grid, rect))
+        expected = set()
+        for r in range(5):
+            for c in range(5):
+                cx0, cy0, cx1, cy1 = grid.cell_bounds(r, c)
+                if lo_x <= cx1 and hi_x >= cx0 and lo_y <= cy1 and hi_y >= cy0:
+                    expected.add((r, c))
+        assert got == expected
