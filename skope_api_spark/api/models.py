@@ -126,6 +126,10 @@ class TimeseriesV2Request(BaseModel):
     max_processing_time: int = Field(
         default=MAX_PROCESSING_TIME_MS, ge=0, le=MAX_PROCESSING_TIME_MS
     )
+    # S6: also extract the companion `{variable_id}_uncertainty` slice over
+    # the same cells/requested range (reference wires this source but never
+    # serves it; here it is a first-class option)
+    include_uncertainty: bool = False
 
 
 class SeriesResult(BaseModel):
@@ -149,6 +153,7 @@ class TimeseriesV2Response(BaseModel):
     series: list[SeriesResult]
     summary_stats: list[SummaryStatRow]
     processing_time_ms: int
+    uncertainty: Optional[SeriesResult] = None
 
 
 class TimeseriesV1Request(BaseModel):

@@ -300,8 +300,43 @@ class TimeseriesService:
             self.spark, base.orderBy("band"), req.max_processing_time
         )
         base.unpersist()
-        return self._assemble(
+        resp = self._assemble(
             req, requested, result_rows, base_rows, n_cells, area_m2, t0
+        )
+        if req.include_uncertainty:
+            resp.uncertainty = self._uncertainty_series(req, meta, grid, requested)
+        return resp
+
+    def _uncertainty_series(
+        self,
+        req: M.TimeseriesV2Request,
+        meta: DatasetMeta,
+        grid: Grid,
+        requested: BandRange,
+    ) -> M.SeriesResult | None:
+        """S6 — zonal series of the companion uncertainty slice over the
+        same cells, clipped to the requested range (no padding: transforms
+        and smoothers never apply to the uncertainty channel)."""
+        try:
+            ucube = self.cube(meta, req.variable_id + "_uncertainty")
+        except KeyError:
+            return None  # dataset has no uncertainty companion
+        ucells = self._same_cells(req, grid, ucube).where(
+            F.col("band").between(requested.gte, requested.lte)
+        )
+        rows = collect_with_timeout(
+            self.spark,
+            zonal_series(ucells, req.zonal_statistic)
+            .select("band", "time", "value")
+            .orderBy("band"),
+            req.max_processing_time,
+        )
+        if not rows:
+            return None
+        return M.SeriesResult(
+            name="uncertainty",
+            time_range=M.TimeRangeModel(gte=rows[0].time, lte=rows[-1].time),
+            values=[r.value for r in rows],
         )
 
     def execute_many(

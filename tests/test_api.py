@@ -294,3 +294,22 @@ class TestNullSeriesEdgeCases:
         assert s.values == [
             (100 * (b - 2) + 100 * (b - 1)) / 2 for b in (11, 12, 13, 14)
         ]
+
+
+class TestUncertainty:
+    def test_include_uncertainty_series(self, service):
+        resp = service.execute(v2(include_uncertainty=True))
+        u = resp.uncertainty
+        assert u is not None and u.name == "uncertainty"
+        # uncertainty rule at origin cell: b*10 + 0 + 0 (float32)
+        assert u.values == [10.0, 20.0, 30.0, 40.0, 50.0]
+        assert u.time_range == M.TimeRangeModel(gte=date(1, 1, 1), lte=date(5, 1, 1))
+
+    def test_uncertainty_absent_for_variable_without_companion(self, service):
+        resp = service.execute(
+            v2(variable_id="uint16_variable", include_uncertainty=True)
+        )
+        assert resp.uncertainty is None
+
+    def test_uncertainty_off_by_default(self, service):
+        assert service.execute(v2()).uncertainty is None
