@@ -110,6 +110,39 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "regexp_battery",
+    oracle="""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS extracted_id,
+       regexp_replace(c_name, '^Customer#0*', '')                   AS short_id,
+       CAST(regexp_matches(c_name, '0{3,}') AS BOOLEAN)             AS has_zero_run,
+       CAST(LENGTH(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT) AS n_digits
+FROM customer
+WHERE c_custkey % 13 = 0
+ORDER BY c_custkey
+""",
+)
+def regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex functions over a cross-dialect-safe pattern subset (capture
+    groups, anchored replace, run detection, character-class strip —
+    no backreferences, whose syntax differs between engines)."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.where(F.col("c_custkey") % 13 == 0)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+            .cast("bigint")
+            .alias("extracted_id"),
+            F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
+            F.col("c_name").rlike("0{3,}").alias("has_zero_run"),
+            F.length(F.regexp_replace("c_name", "[^0-9]", "")).alias("n_digits"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "array_agg_battery",
     oracle="""
 SELECT o_custkey,
