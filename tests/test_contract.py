@@ -55,7 +55,9 @@ class TestOracleHygiene:
 
         for name, sql in c.ORACLES.items():
             for m in re.finditer(r"SUM\((l_extendedprice|o_totalprice|value)\b", sql):
-                prefix = sql[max(0, m.start() - 30) : m.start()].upper()
+                # the ROUND may wrap a larger expression (e.g. a ratio of
+                # sums), so look back far enough to find it
+                prefix = sql[max(0, m.start() - 160) : m.start()].upper()
                 assert "ROUND" in prefix or "EPOCH" in prefix, (
                     f"{name}: unrounded double SUM at …{sql[m.start():m.start()+50]!r}"
                 )
