@@ -254,6 +254,9 @@ def duplicate_clusters(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nbr_label"))
         )
+        # localCheckpoint (not cache): each iteration's plan references the
+        # previous one — without truncation the lineage doubles per round
+        # and the final plan grows exponentially with graph diameter
         new_labels = (
             labels.join(nbr, "u", "left")
             .select(
@@ -262,7 +265,7 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(
@@ -271,7 +274,6 @@ def duplicate_clusters(
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
