@@ -287,18 +287,22 @@ class TimeseriesService:
             .cache()
         )
 
+        # ONE collect: the base series rides along under a sentinel name, so
+        # a request is a single Spark job (the reference's one-read model)
         parts = self._series_parts(req, meta, grid, cube, base, extract, requested)
-        result_rows: list = []
-        if parts:
-            fanout = parts[0]
-            for p in parts[1:]:
-                fanout = fanout.unionByName(p)
-            result_rows = collect_with_timeout(
-                self.spark, fanout.orderBy("series_name", "band"), req.max_processing_time
+        parts.append(
+            base.withColumn("series_name", F.lit("__base")).select(
+                "series_name", "band", "time", "value"
             )
-        base_rows = collect_with_timeout(
-            self.spark, base.orderBy("band"), req.max_processing_time
         )
+        fanout = parts[0]
+        for p in parts[1:]:
+            fanout = fanout.unionByName(p)
+        all_rows = collect_with_timeout(
+            self.spark, fanout.orderBy("series_name", "band"), req.max_processing_time
+        )
+        base_rows = [r for r in all_rows if r.series_name == "__base"]
+        result_rows = [r for r in all_rows if r.series_name != "__base"]
         base.unpersist()
         resp = self._assemble(
             req, requested, result_rows, base_rows, n_cells, area_m2, t0

@@ -177,6 +177,43 @@ def skope_bbox_zonal_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal resampling: monthly → annual (extension) ----------------------
+@query(
+    "skope_monthly_to_annual_resample",
+    oracle=_cube_sql(MONTHLY, F32)
+    + """
+, series AS (
+  SELECT band, time, AVG(value) AS value
+  FROM cube GROUP BY band, time
+)
+SELECT CAST(EXTRACT(year FROM time) AS INT) AS year,
+       ROUND(AVG(value), 4) AS annual_mean,
+       ROUND(MIN(value), 4) AS annual_min,
+       ROUND(MAX(value), 4) AS annual_max,
+       CAST(COUNT(*) AS BIGINT) AS n_months
+FROM series
+GROUP BY year
+ORDER BY year
+""",
+)
+def skope_monthly_to_annual_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal resampling: the monthly zonal series rolled up to annual
+    statistics by calendar year — the time-dimension rollup the reference
+    cannot express (its band arithmetic is fixed-resolution)."""
+    cube = analytic_cube(spark, MONTHLY, F32)
+    series = zonal_series(cube, "mean").select("band", "time", "value")
+    return (
+        series.groupBy(F.year("time").alias("year"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("annual_mean"),
+            F.round(F.min("value"), 4).alias("annual_min"),
+            F.round(F.max("value"), 4).alias("annual_max"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .orderBy("year")
+    )
+
+
 # --- area-weighted zonal mean (extension beyond reference) ------------------
 @query(
     "skope_area_weighted_mean",

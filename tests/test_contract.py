@@ -61,3 +61,29 @@ class TestOracleHygiene:
                 assert "ROUND" in prefix or "EPOCH" in prefix, (
                     f"{name}: unrounded double SUM at …{sql[m.start():m.start()+50]!r}"
                 )
+
+
+class TestEngineRules:
+    def test_no_collect_in_operator_hot_paths(self):
+        """The engine's own rule: no driver-side collect/toPandas inside
+        operator modules — iterative convergence counts (dedup clusters)
+        are the one documented exception."""
+        import pathlib
+
+        ops_dir = pathlib.Path("skope_api_spark/operators")
+        allowed_counts = {"dedup.py"}  # iterative convergence check
+        for mod in ops_dir.glob("*.py"):
+            src = mod.read_text()
+            assert ".toPandas(" not in src, mod.name
+            if mod.name in allowed_counts:
+                continue
+            assert ".collect(" not in src, mod.name
+
+    def test_no_row_at_a_time_python_udf(self):
+        """F.udf (per-row Python) never appears; only pandas_udf /
+        mapInPandas / applyInPandasWithState (Arrow-batched) are allowed."""
+        import pathlib
+
+        for mod in pathlib.Path("skope_api_spark").rglob("*.py"):
+            src = mod.read_text()
+            assert "F.udf(" not in src and "functions.udf(" not in src, str(mod)
