@@ -157,6 +157,33 @@ def w4_reference_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "moving_median_smoother",
+    oracle="""
+SELECT event_id, user_id, ROUND(mm, 4) AS mm FROM (
+  SELECT event_id, user_id,
+    CASE WHEN COUNT(*) OVER w = 5 THEN MEDIAN(value) OVER w END AS mm
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+ORDER BY user_id, event_id
+""",
+)
+def moving_median_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median) smoother, w=5 — exact windowed median cross-checked;
+    extension beyond the reference's moving averages."""
+    df = ops.moving_median(
+        _events(spark, sf_dir),
+        "value",
+        order_by=("ts", "event_id"),
+        partition_by=("user_id",),
+        width=5,
+        out_col="mm",
+    )
+    return df.select("event_id", "user_id", F.round("mm", 4).alias("mm"))
+
+
+@query(
     "value_window_suite",
     oracle="""
 SELECT event_id, user_id,

@@ -96,6 +96,34 @@ def trailing_moving_average(
     return out
 
 
+def moving_median(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    partition_by: ColumnsArg = (),
+    width: int = 3,
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """Centered moving MEDIAN — the robust smoother variant (spike-immune,
+    unlike the mean which a single outlier drags). Engine extension beyond
+    the reference's moving averages; same full-window 'valid' contract
+    (odd width, partial windows → NULL), but NULLs are SKIPPED inside the
+    window (median of the present values) rather than poisoning it.
+    """
+    if width < 1 or width % 2 == 0:
+        raise ValueError(f"moving median width must be odd >= 1, got {width}")
+    half = width // 2
+    frame = _ordered_window(partition_by, order_by).rowsBetween(-half, half)
+    n_rows = F.count(F.lit(1)).over(frame)
+    # exact percentile, not median(): Spark's median aggregate rejects
+    # window frames; percentile(_, 0.5) is the frame-capable exact form
+    smoothed = F.when(
+        n_rows == width, F.percentile(F.col(value_col), F.lit(0.5)).over(frame)
+    )
+    return df.withColumn(out_col, smoothed)
+
+
 def rolling_zscore(
     df: DataFrame,
     value_col: str,

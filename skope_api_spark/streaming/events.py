@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,6 +84,24 @@ def sessionized_events(
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame, *, keys: Sequence[str] = ("event_id",)
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated ``keys`` arrivals, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark``) — the
+    streaming form of the batch exact-dedup operator. An at-least-once
+    upstream (replayed files, retried producers) becomes exactly-once per
+    key within the watermark horizon; state is O(keys per horizon), not
+    O(history).
+
+    Falls back to plain ``dropDuplicates`` on batch DataFrames (no
+    watermark concept), so the same call works in both modes.
+    """
+    if events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
 
 
 def run_available_now(

@@ -92,3 +92,38 @@ class TestSessionWindowSemantics:
             for r in lagged.collect()
         }
         assert native == derived
+
+
+class TestStreamingDedup:
+    def test_duplicated_stream_dedups_to_batch_distinct(self, spark, tmp_path_factory):
+        """A landing dir containing the same events file TWICE (replayed
+        upload) streams through dropDuplicatesWithinWatermark down to the
+        distinct event set."""
+        import shutil
+
+        d = tmp_path_factory.mktemp("events_dup")
+        shutil.copy(f"{SF_DIR}/events.parquet", d / "events_a.parquet")
+        shutil.copy(f"{SF_DIR}/events.parquet", d / "events_b.parquet")
+
+        stream = se.stream_events(spark, str(d), with_watermark="10 minutes")
+        deduped = se.dedup_events_within_watermark(stream)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName("dedup_stream_test")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream_test").first()
+        expected = load(spark, SF_DIR, "events").count()
+        assert got.n == got.d == expected
+
+    def test_batch_fallback(self, spark, batch_events):
+        doubled = batch_events.unionByName(batch_events)
+        out = se.dedup_events_within_watermark(doubled)
+        assert out.count() == batch_events.count()
