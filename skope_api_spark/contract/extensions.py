@@ -57,6 +57,48 @@ def asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_click_to_purchase",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       p.event_id AS next_purchase_id,
+       CAST(EPOCH_MS(p.ts) - EPOCH_MS(c.ts) AS BIGINT) AS ms_to_purchase
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+""",
+)
+def asof_forward_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's NEXT purchase
+    (time-to-conversion). Oracle = DuckDB forward ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("next_purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=("user_id",),
+        right_cols=("next_purchase_id", "ts"),
+        suffix="_p",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("next_purchase_id_p").alias("next_purchase_id"),
+        (F.unix_millis("ts_p") - F.unix_millis("ts")).alias("ms_to_purchase"),
+    ).orderBy("event_id")
+
+
+@query(
     "json_scalars_events",
     oracle="""
 SELECT event_id,

@@ -31,14 +31,21 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key group (backward
-    as-of, LEFT OUTER: unmatched left rows keep NULLs).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key group (LEFT OUTER: unmatched left rows keep NULLs):
 
-    ``right_cols`` are the right-side columns to carry, renamed with
-    ``suffix`` (default: all non-key, non-ts right columns).
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``;
+    - ``forward``: earliest right with ``right_ts >= left_ts``
+      (implemented as the same merge scanned in descending time order).
+
+    Equal timestamps match in both directions. ``right_cols`` are the
+    right-side columns to carry, renamed with ``suffix`` (default: all
+    non-key, non-ts right columns).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in on and c != right_ts
@@ -60,10 +67,12 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *left_rest,
     )
-    # right rows sort FIRST at equal ts (desc flag) so exact-ts rows match
+    # right rows sort FIRST at equal ts (desc flag) so exact-ts rows match;
+    # forward direction = the same running carry over a descending time scan
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__is_right").desc())
+        .orderBy(ts_order, F.col("__is_right").desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = r.unionByName(l).withColumn(

@@ -66,3 +66,27 @@ class TestDuplicateClusters:
         )
         out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+class TestForwardAsof:
+    def test_forward_matches_earliest_following(self, spark):
+        left = spark.createDataFrame(
+            [("a", 10, "L1"), ("a", 16, "L2"), ("a", 99, "L3")],
+            "k string, ts int, lv string",
+        )
+        right = spark.createDataFrame(
+            [("a", 8, "R8"), ("a", 15, "R15"), ("a", 16, "R16")],
+            "k string, ts int, rv string",
+        )
+        out = {
+            r.lv: r.rv_m
+            for r in asof_join(
+                left, right, on=("k",), right_cols=("rv",), suffix="_m",
+                direction="forward",
+            ).collect()
+        }
+        assert out == {
+            "L1": "R15",  # earliest right >= 10
+            "L2": "R16",  # equal ts matches
+            "L3": None,   # nothing follows
+        }
