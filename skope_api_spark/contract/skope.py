@@ -381,6 +381,45 @@ def skope_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row", "col")
 
 
+# --- catalog dimension join (J2, S5) ----------------------------------------
+@query(
+    "skope_catalog_metadata_join",
+    oracle=_cube_sql(ANNUAL, F32)
+    + """
+, catalog(dataset_id, variable_id, resolution, time_gte, time_lte) AS (
+  VALUES
+    ('annual_5x5x5_dataset', 'float32_variable', 'year', DATE '0001-01-01', DATE '0005-01-01'),
+    ('annual_5x5x5_dataset', 'uint16_variable', 'year', DATE '0001-01-01', DATE '0005-01-01'),
+    ('monthly_5x5x60_dataset', 'float32_variable', 'month', DATE '0001-01-01', DATE '0005-12-01'),
+    ('monthly_5x5x60_dataset', 'int16_variable', 'month', DATE '0001-01-01', DATE '0005-12-01')
+)
+SELECT c.resolution, cube.band, c.time_lte,
+       ROUND(AVG(cube.value), 4) AS value
+FROM cube
+JOIN catalog c
+  ON c.dataset_id = 'annual_5x5x5_dataset' AND c.variable_id = 'float32_variable'
+GROUP BY c.resolution, cube.band, c.time_lte
+ORDER BY band
+""",
+)
+def skope_catalog_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S5 — the catalog as a broadcast dimension DataFrame joined into
+    the query (metadata-driven plans at scale batch over this dim instead
+    of looping driver-side). The oracle inlines the same catalog rows."""
+    from skope_api_spark.plans.catalog import catalog_df
+
+    cube = analytic_cube(spark, ANNUAL, F32)
+    cat = catalog_df(spark).where(
+        (F.col("dataset_id") == ANNUAL) & (F.col("variable_id") == F32)
+    )
+    return (
+        cube.crossJoin(F.broadcast(cat.select("resolution", "time_lte")))
+        .groupBy("resolution", "band", "time_lte")
+        .agg(F.round(F.avg("value"), 4).alias("value"))
+        .orderBy("band")
+    )
+
+
 # --- uncertainty companion variable (S6) ------------------------------------
 @query(
     "skope_point_with_uncertainty",
