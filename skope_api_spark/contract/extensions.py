@@ -308,17 +308,41 @@ def sketch_kmv_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("approx_count_distinct_suppliers")
+@query(
+    "approx_count_distinct_suppliers",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS suppliers_within_5pct,
+       TRUE AS parts_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def approx_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — sketch values are engine-
-    specific, so this registers WITHOUT an oracle (driver rows-only check).
-    The exact-count companion is ``distinct_agg_suppliers_per_brand``."""
+    """HyperLogLog++ approximate distinct. Raw sketch estimates are
+    engine-specific, so the checkable contract is determinism-safe: emit the
+    EXACT count plus a boolean asserting the HLL estimate (rsd=0.02) landed
+    within 5% of it; the oracle computes the exact counts and literal TRUE.
+    This turns the accuracy guarantee itself into the hashed value."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        )
-        .orderBy("l_returnflag")
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    within = (
+        lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
+    )
+    return out.select(
+        "l_returnflag",
+        "exact_suppliers",
+        "exact_parts",
+        within("approx_suppliers", "exact_suppliers").alias(
+            "suppliers_within_5pct"
+        ),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
+    ).orderBy("l_returnflag")

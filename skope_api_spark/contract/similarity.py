@@ -15,12 +15,13 @@ from skope_api_spark.operators import similarity as ops
 from skope_api_spark.tables import load
 
 _PLANES = ops.hyperplanes()
+_PLANES16 = ops.hyperplanes(16)
 
 
-def _planes_sql() -> str:
+def _planes_sql(planes: list[list[float]] | None = None) -> str:
     """DuckDB bucket expression from the shared hyperplane constants."""
     terms = []
-    for p, plane in enumerate(_PLANES):
+    for p, plane in enumerate(planes if planes is not None else _PLANES):
         arr = "[" + ", ".join(str(x) for x in plane) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) >= 0 "
@@ -63,10 +64,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-def _bucketed_oracle(tail: str) -> str:
+def _bucketed_oracle(tail: str, planes: list[list[float]] | None = None) -> str:
     return f"""
 WITH b AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_planes_sql()} AS bucket
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_planes_sql(planes)} AS bucket
   FROM embeddings
 )
 {tail}
@@ -174,6 +175,34 @@ def sim_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     """Embedding-cosine near-dup pairs, bucket-local by definition."""
     emb = load(spark, sf_dir, "embeddings")
     out = ops.embedding_near_duplicates(emb, threshold=0.25, planes=_PLANES)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    ).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "sim_embedding_near_dup_16planes",
+    oracle=_bucketed_oracle(
+        """
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b2.v), 4) AS cosine_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.25
+ORDER BY vec_a, vec_b
+""",
+        planes=_PLANES16,
+    ),
+)
+def sim_embedding_near_dup_16planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-default variant of embedding near-dup: 16 hyperplanes →
+    65,536 buckets, so the quadratic bucket-local candidate set shrinks by
+    ~256× vs the 8-plane query (expected pairs-per-bucket ∝ (N/2^b)²; see
+    PERF.md for the measured sweep). Candidate recall for cosine ≥ 0.25
+    drops accordingly — the standard banding answer is to union multiple
+    independent 16-plane tables (OR-of-ANDs), which is a union of this
+    query's shape; the contract here checks one table bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.embedding_near_duplicates(emb, threshold=0.25, planes=_PLANES16)
     return out.select(
         "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
     ).orderBy("vec_a", "vec_b")

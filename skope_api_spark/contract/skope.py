@@ -38,6 +38,15 @@ MONTHLY = "monthly_5x5x60_dataset"
 F32 = "float32_variable"
 
 
+def _iso(col: str = "time"):
+    """Ancient-date hash stability: the dev cubes start at year 1 CE, which
+    is outside pandas' ns-timestamp range (1677-2262), so any DateType
+    output would be mis-represented by Arrow/pandas-based hashers. Checked
+    queries therefore emit dates as ISO strings (both engines zero-pad:
+    Spark date_format 'yyyy-MM-dd' and DuckDB CAST(date AS VARCHAR))."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
 def _cube_sql(dataset_id: str, variable_id: str) -> str:
     """DuckDB CTE regenerating one cube slice from the analytic rule."""
     meta = DEV_CATALOG[dataset_id]
@@ -51,15 +60,16 @@ def _cube_sql(dataset_id: str, variable_id: str) -> str:
         else f"CAST({val} AS DOUBLE)"
     )
     k = AUTHALIC_RADIUS_M**2 * math.radians(meta.pixel_deg)
+    px = meta.pixel_deg
     return f"""
 WITH cube AS (
   SELECT b AS band,
          CAST(DATE '0001-01-01' + (b - 1) * {step} * INTERVAL 1 MONTH AS DATE) AS time,
          r, c,
-         {meta.origin_lon!r} + c + {meta.pixel_deg / 2!r} AS lon,
-         {meta.origin_lat!r} - r - {meta.pixel_deg / 2!r} AS lat,
-         {k!r} * (sin(radians({meta.origin_lat!r} - r))
-                  - sin(radians({meta.origin_lat!r} - r - {meta.pixel_deg!r}))) AS cell_area,
+         {meta.origin_lon!r} + c * {px!r} + {px / 2!r} AS lon,
+         {meta.origin_lat!r} - r * {px!r} - {px / 2!r} AS lat,
+         {k!r} * (sin(radians({meta.origin_lat!r} - r * {px!r}))
+                  - sin(radians({meta.origin_lat!r} - r * {px!r} - {px!r}))) AS cell_area,
          CASE WHEN {rule["null"]} THEN NULL ELSE {val} END AS value
   FROM range(1, {nb + 1}) tb(b), range(0, {meta.grid_rows}) tr(r),
        range(0, {meta.grid_cols}) tc(c)
@@ -91,7 +101,7 @@ def _point_series(
     "skope_point_extraction",
     oracle=_cube_sql(ANNUAL, F32)
     + """
-SELECT band, time, value
+SELECT band, CAST(time AS VARCHAR) AS time, value
 FROM cube WHERE r = 0 AND c = 0
 ORDER BY band
 """,
@@ -99,7 +109,11 @@ ORDER BY band
 def skope_point_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden identity: value at the cube origin = band·100 exactly
     (reference test_datasets.py:88)."""
-    return _point_series(spark).select("band", "time", "value").orderBy("band")
+    return (
+        _point_series(spark)
+        .select("band", _iso().alias("time"), "value")
+        .orderBy("band")
+    )
 
 
 # --- zonal mean + counts over the full grid (A1, A3) ------------------------
@@ -107,7 +121,7 @@ def skope_point_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skope_zonal_mean",
     oracle=_cube_sql(ANNUAL, F32)
     + """
-SELECT band, time,
+SELECT band, CAST(time AS VARCHAR) AS time,
        ROUND(AVG(value), 4) AS value,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(COUNT(value) AS BIGINT) AS n_valid
@@ -120,7 +134,11 @@ def skope_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube = analytic_cube(spark, ANNUAL, F32)
     out = zonal_series(cube, "mean")
     return out.select(
-        "band", "time", F.round("value", 4).alias("value"), "n_cells", "n_valid"
+        "band",
+        _iso().alias("time"),
+        F.round("value", 4).alias("value"),
+        "n_cells",
+        "n_valid",
     ).orderBy("band")
 
 
@@ -129,7 +147,7 @@ def skope_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skope_zonal_median_monthly",
     oracle=_cube_sql(MONTHLY, F32)
     + """
-SELECT band, time,
+SELECT band, CAST(time AS VARCHAR) AS time,
        ROUND(MEDIAN(value), 4) AS value,
        CAST(COUNT(value) AS BIGINT) AS n_valid
 FROM cube
@@ -141,7 +159,10 @@ def skope_zonal_median_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube = analytic_cube(spark, MONTHLY, F32)
     out = zonal_series(cube, "median")
     return out.select(
-        "band", "time", F.round("value", 4).alias("value"), "n_valid"
+        "band",
+        _iso().alias("time"),
+        F.round("value", 4).alias("value"),
+        "n_valid",
     ).orderBy("band")
 
 
@@ -252,7 +273,7 @@ _SERIES_SQL = (
     "skope_trailing_ma",
     oracle=_SERIES_SQL
     + """
-SELECT band, time, ROUND(sm, 4) AS smoothed FROM (
+SELECT band, CAST(time AS VARCHAR) AS time, ROUND(sm, 4) AS smoothed FROM (
   SELECT band, time,
     CASE WHEN COUNT(*) OVER w = 2 AND COUNT(value) OVER w = 2
          THEN AVG(value) OVER w END AS sm
@@ -271,7 +292,7 @@ def skope_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.where(F.col("smoothed").isNotNull())
-        .select("band", "time", F.round("smoothed", 4).alias("smoothed"))
+        .select("band", _iso().alias("time"), F.round("smoothed", 4).alias("smoothed"))
         .orderBy("band")
     )
 
@@ -280,7 +301,7 @@ def skope_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skope_centered_ma",
     oracle=_SERIES_SQL
     + """
-SELECT band, time, ROUND(sm, 4) AS smoothed FROM (
+SELECT band, CAST(time AS VARCHAR) AS time, ROUND(sm, 4) AS smoothed FROM (
   SELECT band, time,
     CASE WHEN COUNT(*) OVER w = 3 AND COUNT(value) OVER w = 3
          THEN AVG(value) OVER w END AS sm
@@ -298,9 +319,70 @@ def skope_centered_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.where(F.col("smoothed").isNotNull())
-        .select("band", "time", F.round("smoothed", 4).alias("smoothed"))
+        .select("band", _iso().alias("time"), F.round("smoothed", 4).alias("smoothed"))
         .orderBy("band")
     )
+
+
+# --- NaN-poisoning under the oracle (W1/W2 on a NULL-bearing series) --------
+_NULL_SERIES_SQL = (
+    _cube_sql(ANNUAL, F32)
+    + ", series AS (SELECT band, time, value FROM cube WHERE r = 2 AND c = 4)\n"
+)
+
+
+@query(
+    "skope_nan_poisoning_smoothers",
+    oracle=_NULL_SERIES_SQL
+    + """
+, trailing2 AS (
+  SELECT 'trailing_2' AS series_name, band, time, sm FROM (
+    SELECT band, time,
+      CASE WHEN COUNT(*) OVER w = 2 AND COUNT(value) OVER w = 2
+           THEN AVG(value) OVER w END AS sm
+    FROM series
+    WINDOW w AS (ORDER BY band ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+  ) WHERE sm IS NOT NULL
+), centered3 AS (
+  SELECT 'centered_3' AS series_name, band, time, sm FROM (
+    SELECT band, time,
+      CASE WHEN COUNT(*) OVER w = 3 AND COUNT(value) OVER w = 3
+           THEN AVG(value) OVER w END AS sm
+    FROM series
+    WINDOW w AS (ORDER BY band ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+  ) WHERE sm IS NOT NULL
+)
+SELECT series_name, band, CAST(time AS VARCHAR) AS time,
+       ROUND(sm, 4) AS smoothed
+FROM (SELECT * FROM trailing2 UNION ALL SELECT * FROM centered3)
+ORDER BY series_name, band
+""",
+)
+def skope_nan_poisoning_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 NaN-poisoning at the gate: cell (2, 4) of the annual cube has a
+    mid-series NULL at band 3 (VARIABLE_RULES), so every centered w=3 window
+    touches it (5 bands → 0 rows emitted) and trailing w=2 emits ONLY band 3
+    (window = bands 1-2, the sole all-valid window). Reference parity:
+    np.convolve(mode='valid') over a NaN-bearing series poisons every
+    overlapping window (reference timeseries.py:110-112)."""
+    series = _point_series(spark, row=2, col=4)
+    parts = []
+    for name, fn, width in (
+        ("trailing_2", wops.trailing_moving_average, 2),
+        ("centered_3", wops.centered_moving_average, 3),
+    ):
+        sm = fn(series, "value", order_by=("band",), width=width, out_col="sm")
+        parts.append(
+            sm.where(F.col("sm").isNotNull())
+            .withColumn("series_name", F.lit(name))
+            .select(
+                "series_name",
+                "band",
+                _iso().alias("time"),
+                F.round("sm", 4).alias("smoothed"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("series_name", "band")
 
 
 # --- z-score transforms on the series (W3, W4) ------------------------------
@@ -393,7 +475,7 @@ def skope_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('monthly_5x5x60_dataset', 'float32_variable', 'month', DATE '0001-01-01', DATE '0005-12-01'),
     ('monthly_5x5x60_dataset', 'int16_variable', 'month', DATE '0001-01-01', DATE '0005-12-01')
 )
-SELECT c.resolution, cube.band, c.time_lte,
+SELECT c.resolution, cube.band, CAST(c.time_lte AS VARCHAR) AS time_lte,
        ROUND(AVG(cube.value), 4) AS value
 FROM cube
 JOIN catalog c
@@ -416,6 +498,9 @@ def skope_catalog_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cube.crossJoin(F.broadcast(cat.select("resolution", "time_lte")))
         .groupBy("resolution", "band", "time_lte")
         .agg(F.round(F.avg("value"), 4).alias("value"))
+        .select(
+            "resolution", "band", _iso("time_lte").alias("time_lte"), "value"
+        )
         .orderBy("band")
     )
 
@@ -430,7 +515,7 @@ def skope_catalog_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     .removeprefix("WITH ")
     .replace("cube AS", "ucube AS", 1)
     + """
-SELECT c.band, c.time, c.value,
+SELECT c.band, CAST(c.time AS VARCHAR) AS time, c.value,
        u.value AS uncertainty,
        ROUND(c.value - u.value, 4) AS lo,
        ROUND(c.value + u.value, 4) AS hi
@@ -457,7 +542,7 @@ def skope_point_with_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.join(unc, ["band", "row", "col"])
         .select(
             "band",
-            "time",
+            _iso().alias("time"),
             "value",
             "uncertainty",
             F.round(F.col("value") - F.col("uncertainty"), 4).alias("lo"),
@@ -605,9 +690,12 @@ def skope_batched_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (ORDER BY band ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
   ) WHERE band BETWEEN 2 AND 4
 )
-SELECT series_name, band, time, ROUND(value, 4) AS value FROM no_smoother
-UNION ALL SELECT series_name, band, time, ROUND(value, 4) FROM trailing2
-UNION ALL SELECT series_name, band, time, ROUND(value, 4) FROM centered3
+SELECT series_name, band, CAST(time AS VARCHAR) AS time,
+       ROUND(value, 4) AS value FROM no_smoother
+UNION ALL SELECT series_name, band, CAST(time AS VARCHAR), ROUND(value, 4)
+FROM trailing2
+UNION ALL SELECT series_name, band, CAST(time AS VARCHAR), ROUND(value, 4)
+FROM centered3
 ORDER BY series_name, band
 """,
 )
@@ -647,7 +735,12 @@ def skope_multi_series_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             sm.where(F.col("band").between(out_range.gte, out_range.lte))
             .withColumn("series_name", F.lit(name))
-            .select("series_name", "band", "time", F.round("value", 4).alias("value"))
+            .select(
+                "series_name",
+                "band",
+                _iso().alias("time"),
+                F.round("value", 4).alias("value"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:

@@ -140,8 +140,9 @@ ORDER BY doc_id, rk
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with smoothed IDF ln((N+1)/(df+1)); top-3 terms per doc.
-    Document frequency is a tiny dimension (vocab-sized) broadcast back
-    onto term frequencies — two aggregations, one broadcast join."""
+    Document frequency joins back onto term frequencies on the token key;
+    no forced broadcast — vocabulary grows with corpus size (heavy-tailed,
+    billions of distinct tokens at 100 TB), so AQE decides the strategy."""
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
@@ -152,7 +153,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "tok").select(
+    scored = tf.join(df_, "tok").select(
         "doc_id",
         "tok",
         F.round(

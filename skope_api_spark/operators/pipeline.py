@@ -54,9 +54,11 @@ def clean_corpus(
     pairs = minhash_near_duplicates(kept, threshold=dedup_threshold)
     clusters = duplicate_clusters(pairs)
     # nodes whose cluster representative is someone else → drop.
-    # the duplicate graph is tiny relative to the corpus → broadcast anti-join
+    # no broadcast hint: the duplicate-id set is corpus-proportional (30-60%
+    # of a web corpus is near-duplicate), so a forced broadcast OOMs at scale;
+    # AQE picks broadcast on its own when the set is actually small.
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return kept.join(F.broadcast(losers), "doc_id", "left_anti")
+    return kept.join(losers, "doc_id", "left_anti")
 
 
 def corpus_stats(docs: DataFrame) -> DataFrame:

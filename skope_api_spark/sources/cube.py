@@ -104,16 +104,17 @@ def analytic_cube(
     else:
         time = F.add_months(origin, (F.col("b") - 1) * 12)
 
-    lon = F.lit(meta.origin_lon) + F.col("c") + F.lit(meta.pixel_deg / 2)
-    lat = F.lit(meta.origin_lat) - F.col("r") - F.lit(meta.pixel_deg / 2)
+    # general form for arbitrary pixel_deg (matches Grid.cell_bounds):
+    # cell (r, c) spans [origin + c*px, origin + (c+1)*px); center at +px/2.
+    px = meta.pixel_deg
+    lon = F.lit(meta.origin_lon) + F.col("c") * F.lit(px) + F.lit(px / 2)
+    lat = F.lit(meta.origin_lat) - F.col("r") * F.lit(px) - F.lit(px / 2)
     r2 = AUTHALIC_RADIUS_M**2
-    dlon = math.radians(meta.pixel_deg)
+    dlon = math.radians(px)
+    lat_top = F.lit(meta.origin_lat) - F.col("r") * F.lit(px)
     area = (
         F.lit(r2 * dlon)
-        * (
-            F.sin(F.radians(F.lit(meta.origin_lat) - F.col("r")))
-            - F.sin(F.radians(F.lit(meta.origin_lat) - F.col("r") - F.lit(meta.pixel_deg)))
-        )
+        * (F.sin(F.radians(lat_top)) - F.sin(F.radians(lat_top - F.lit(px))))
     )
 
     return df.select(

@@ -56,8 +56,20 @@ def compact(
     re-sorted so min/max stats stay tight). Returns the file count after.
 
     Safe swap: writes to a sibling temp dir, verifies row count, then
-    replaces the original directory.
+    replaces the original directory. The two renames are NOT atomic
+    together: a crash between them leaves no live data at ``path`` but the
+    full dataset intact at ``<path>.__compact_old`` — recovery (automatic,
+    below) renames it back. Stale ``.__compact_tmp`` dirs from a crashed
+    write are discarded at entry (the original was still live then).
     """
+    tmp_stale = path.rstrip("/") + ".__compact_tmp"
+    old_stale = path.rstrip("/") + ".__compact_old"
+    if os.path.exists(old_stale) and not os.path.exists(path):
+        # crashed mid-swap last run: the old dir is the only complete copy
+        os.rename(old_stale, path)
+    shutil.rmtree(tmp_stale, ignore_errors=True)
+    shutil.rmtree(old_stale, ignore_errors=True)
+
     df = spark.read.parquet(path)
     n_before = df.count()
     out = df.repartition(target_files)

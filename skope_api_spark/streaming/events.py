@@ -105,14 +105,24 @@ def dedup_events_within_watermark(
 
 
 def run_available_now(
-    stream_df: DataFrame, *, query_name: str, checkpoint: str
+    stream_df: DataFrame,
+    *,
+    query_name: str,
+    checkpoint: str,
+    output_mode: str = "append",
 ) -> None:
     """Drain everything currently available into a memory sink and stop —
-    the incremental catch-up execution used by tests and backfills."""
+    the incremental catch-up execution used by tests and backfills.
+
+    ``output_mode`` defaults to ``append``, the mode watermarked pipelines
+    use in production (state is dropped once the watermark passes; final
+    results only). Pass ``"complete"`` explicitly for unwatermarked
+    aggregations — noting that complete mode retains ALL aggregation state,
+    so it is a dev/test convenience, never the scale path."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

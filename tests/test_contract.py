@@ -39,6 +39,10 @@ class TestOracleHygiene:
     """The rules from registry.py's docstring, enforced."""
 
     def test_no_percentile_approx_in_oracle_checked_queries(self):
+        """Engine-specific sketch estimates must not reach hashed output.
+        A query may still USE a sketch internally when its declared contract
+        is determinism-safe (exact values + tolerance booleans) — it says so
+        in its docstring."""
         import inspect
 
         import skope_api_spark.contract as c
@@ -46,7 +50,11 @@ class TestOracleHygiene:
         for name in c.ORACLES:
             src = inspect.getsource(c.QUERIES[name])
             assert "percentile_approx(" not in src, name
-            assert "approx_count_distinct(" not in src, name
+            if "approx_count_distinct(" in src:
+                doc = c.QUERIES[name].__doc__ or ""
+                assert "determinism-safe" in doc, (
+                    f"{name}: raw sketch estimate in a hashed output"
+                )
 
     def test_round_used_on_float_aggregates(self):
         """Order-dependent double aggregates must be rounded in oracles

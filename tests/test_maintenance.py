@@ -48,6 +48,20 @@ class TestCompaction:
         assert not os.path.exists(fragmented_lake + ".__compact_tmp")
         assert not os.path.exists(fragmented_lake + ".__compact_old")
 
+    def test_compact_recovers_from_mid_swap_crash(self, spark, fragmented_lake):
+        """Simulate a crash between the two swap renames (live dir gone,
+        data only at .__compact_old) plus a stale tmp dir: the next compact
+        run must restore and proceed."""
+        n_rows = spark.read.parquet(fragmented_lake).count()
+        os.rename(fragmented_lake, fragmented_lake + ".__compact_old")
+        os.makedirs(fragmented_lake + ".__compact_tmp")  # stale partial write
+
+        n_files = compact(spark, fragmented_lake, target_files=1)
+        assert n_files == 1
+        assert spark.read.parquet(fragmented_lake).count() == n_rows
+        assert not os.path.exists(fragmented_lake + ".__compact_tmp")
+        assert not os.path.exists(fragmented_lake + ".__compact_old")
+
     def test_partition_report_counts_every_row(self, spark, fragmented_lake):
         rep = partition_report(spark, fragmented_lake)
         total = rep.agg(F.sum("n_rows")).first()[0]

@@ -34,6 +34,49 @@ class TestStore:
             DatasetStore(base_path="/data", template="../{dataset_id}_{variable_id}").dataset_path("a", "b")
 
 
+class TestNonUnitGrid:
+    def test_half_degree_grid_coordinates_and_area(self, spark, monkeypatch):
+        """lon/lat/cell_area must scale row/col by pixel_deg (a 1.0° grid
+        hides the bug because r*px == r)."""
+        import datetime as dt
+
+        from skope_api_spark.plans.catalog import DatasetMeta, TimeRange
+        from skope_api_spark.sources import cube as cu
+
+        meta = DatasetMeta(
+            dataset_id="halfdeg",
+            resolution="year",
+            time_range=TimeRange(dt.date(1, 1, 1), dt.date(2, 1, 1)),
+            variables=("v",),
+            grid_rows=3,
+            grid_cols=3,
+            origin_lon=-10.0,
+            origin_lat=40.0,
+            pixel_deg=0.5,
+        )
+        monkeypatch.setitem(cu.DEV_CATALOG, "halfdeg", meta)
+        monkeypatch.setitem(
+            cu.VARIABLE_RULES,
+            ("halfdeg", "v"),
+            {"value": "b", "f32": False, "null": "FALSE"},
+        )
+        got = {
+            (r.row, r.col): (r.lon, r.lat, r.cell_area)
+            for r in analytic_cube(spark, "halfdeg", "v")
+            .where(F.col("band") == 1)
+            .collect()
+        }
+        for (rr, cc), (lon, lat, area) in got.items():
+            assert lon == pytest.approx(-10.0 + cc * 0.5 + 0.25)
+            assert lat == pytest.approx(40.0 - rr * 0.5 - 0.25)
+            assert area == pytest.approx(
+                cu.cell_area_m2(40.0 - rr * 0.5, 0.5), rel=1e-12
+            )
+        # row 2 of a 0.5° grid sits at a DIFFERENT latitude than row 2 of a
+        # 1° grid — the exact case the unscaled form got wrong
+        assert got[(2, 0)][1] == pytest.approx(40.0 - 1.25)
+
+
 class TestIngestionRoundTrip:
     @pytest.fixture(scope="class")
     def lake(self, spark, tmp_path_factory):

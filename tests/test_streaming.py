@@ -35,7 +35,12 @@ class TestBatchStreamParity:
         stream = se.stream_events(spark, events_dir)
         agg = se.windowed_event_counts(stream)
         with tempfile.TemporaryDirectory() as ckpt:
-            se.run_available_now(agg, query_name="wc_test", checkpoint=ckpt)
+            # complete mode: the parity check wants ALL windows, including
+            # those still inside the watermark at end-of-drain (append mode
+            # would withhold the tail — correct for production, wrong here)
+            se.run_available_now(
+                agg, query_name="wc_test", checkpoint=ckpt, output_mode="complete"
+            )
             got = {
                 (r.window_start, r.event_type): (r.n_events, r.sum_value)
                 for r in spark.sql("SELECT * FROM wc_test").collect()
@@ -51,7 +56,9 @@ class TestBatchStreamParity:
         stream = se.stream_events(spark, events_dir)
         sess = se.sessionized_events(stream)
         with tempfile.TemporaryDirectory() as ckpt:
-            se.run_available_now(sess, query_name="sess_test", checkpoint=ckpt)
+            se.run_available_now(
+                sess, query_name="sess_test", checkpoint=ckpt, output_mode="complete"
+            )
             got = {
                 (r.user_id, r.session_start): (r.n_events, r.session_end)
                 for r in spark.sql("SELECT * FROM sess_test").collect()
@@ -110,15 +117,9 @@ class TestStreamingDedup:
         import tempfile
 
         with tempfile.TemporaryDirectory() as ckpt:
-            q = (
-                deduped.writeStream.format("memory")
-                .queryName("dedup_stream_test")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
+            se.run_available_now(
+                deduped, query_name="dedup_stream_test", checkpoint=ckpt
             )
-            q.awaitTermination()
             got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream_test").first()
         expected = load(spark, SF_DIR, "events").count()
         assert got.n == got.d == expected
