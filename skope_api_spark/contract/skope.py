@@ -28,8 +28,10 @@ from skope_api_spark.plans.intervals import (
     trailing_adjustment,
 )
 from skope_api_spark.sources.cube import (
-    AUTHALIC_RADIUS_M,
     VARIABLE_RULES,
+    WGS84_A_M,
+    WGS84_E,
+    WGS84_E2,
     analytic_cube,
 )
 
@@ -59,8 +61,20 @@ def _cube_sql(dataset_id: str, variable_id: str) -> str:
         if rule["f32"]
         else f"CAST({val} AS DOUBLE)"
     )
-    k = AUTHALIC_RADIUS_M**2 * math.radians(meta.pixel_deg)
     px = meta.pixel_deg
+    k = math.radians(px) * WGS84_A_M**2 / 2.0
+    # exact WGS84 ellipsoidal band area (same formula as sources.cube —
+    # Snyder eq. 3-12); both engines evaluate IEEE sin/ln on identical
+    # inputs, and contract outputs ROUND the area, so the hash is stable.
+    q = (
+        f"{1.0 - WGS84_E2!r} * (SIN_PHI / (1 - {WGS84_E2!r} * SIN_PHI * SIN_PHI)"
+        f" + ln((1 + {WGS84_E!r} * SIN_PHI) / (1 - {WGS84_E!r} * SIN_PHI))"
+        f" / {2.0 * WGS84_E!r})"
+    )
+    q_top = q.replace("SIN_PHI", f"sin(radians({meta.origin_lat!r} - r * {px!r}))")
+    q_bot = q.replace(
+        "SIN_PHI", f"sin(radians({meta.origin_lat!r} - r * {px!r} - {px!r}))"
+    )
     return f"""
 WITH cube AS (
   SELECT b AS band,
@@ -68,8 +82,7 @@ WITH cube AS (
          r, c,
          {meta.origin_lon!r} + c * {px!r} + {px / 2!r} AS lon,
          {meta.origin_lat!r} - r * {px!r} - {px / 2!r} AS lat,
-         {k!r} * (sin(radians({meta.origin_lat!r} - r * {px!r}))
-                  - sin(radians({meta.origin_lat!r} - r * {px!r} - {px!r}))) AS cell_area,
+         {k!r} * (({q_top}) - ({q_bot})) AS cell_area,
          CASE WHEN {rule["null"]} THEN NULL ELSE {val} END AS value
   FROM range(1, {nb + 1}) tb(b), range(0, {meta.grid_rows}) tr(r),
        range(0, {meta.grid_cols}) tc(c)

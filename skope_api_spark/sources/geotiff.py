@@ -1,0 +1,170 @@
+"""GeoTIFF → Parquet ingestion (the S1 reader half for real rasters).
+
+The reference reads rasters per-request with rasterio
+(``timeseries/app/core/services.py:150-151``, ``schemas/geometry.py:90``);
+at 100 TB the engine instead ingests each raster ONCE into the partitioned
+long-table layout (``sources.cube.ingest_to_parquet``'s schema) and serves
+every query from Parquet, where band ranges and spatial windows prune.
+
+Execution model — distributed over FILES, not pixels:
+
+- the driver only lists (file, dataset_id, variable_id) tuples;
+- ``mapInPandas`` fans the list out so each task opens its own files with
+  rasterio (C library, GIL-free raster decode) and emits Arrow batches of
+  long rows — no raster bytes ever move through the driver;
+- nodata values become NULL at ingestion (P4), so every downstream
+  aggregate's count/mean semantics are uniform.
+
+rasterio is NOT available in this sandbox, so the import lives inside the
+task function behind a guard; everything Spark-side (schema, fan-out,
+partitioned write) is real and unit-tested with a fake reader.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator, Sequence
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# one long row per (band, row, col) cell — identical to sources.cube
+CUBE_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset_id", T.StringType(), False),
+        T.StructField("variable_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("time", T.DateType(), True),
+        T.StructField("row", T.IntegerType(), False),
+        T.StructField("col", T.IntegerType(), False),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("cell_area", T.DoubleType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+_FILES_SCHEMA = "path string, dataset_id string, variable_id string, resolution string, start_date date"
+
+
+def _read_with_rasterio(path: str):
+    """Yield (band_index, 2-D ndarray-with-NaN-nodata, affine transform).
+
+    Isolated so tests can substitute a fake; the rasterio import only
+    happens inside executor tasks, and only when this default reader runs.
+    """
+    try:
+        import rasterio  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - sandbox has no rasterio
+        raise ImportError(
+            "GeoTIFF ingestion needs the 'rasterio' package on the Spark "
+            "executors (pip install rasterio). The rest of the engine does "
+            "not depend on it - only ingest_geotiff()."
+        ) from exc
+
+    with rasterio.Env(), rasterio.open(path) as ds:
+        t = ds.transform
+        for b in range(1, ds.count + 1):
+            data = ds.read(b, masked=True).astype("float64").filled(float("nan"))
+            yield b, data, (t.a, t.c, t.e, t.f)  # px_w, origin_lon, px_h, origin_lat
+
+
+def _add_months(d: date, months: int) -> date:
+    """ns-safe month arithmetic (pd.Timestamp cannot hold year-1 dates;
+    SKOPE time axes start at 0001-01-01)."""
+    y, m0 = divmod(d.year * 12 + (d.month - 1) + months, 12)
+    return date(y, m0 + 1, d.day)
+
+
+def _cells(reader, files_pdf, cell_area_fn):
+    """One task's work: decode every assigned file, emit long rows."""
+    import numpy as np
+    import pandas as pd
+
+    for rec in files_pdf.itertuples(index=False):
+        months = 1 if rec.resolution == "month" else 12
+        for band, data, (px_w, origin_lon, px_h, origin_lat) in reader(rec.path):
+            nrow, ncol = data.shape
+            rr, cc = np.meshgrid(
+                np.arange(nrow, dtype="int32"),
+                np.arange(ncol, dtype="int32"),
+                indexing="ij",
+            )
+            px = abs(px_h)
+            lat_top = origin_lat - rr * px
+            yield pd.DataFrame(
+                {
+                    "dataset_id": rec.dataset_id,
+                    "variable_id": rec.variable_id,
+                    "band": np.int32(band),
+                    "time": _add_months(rec.start_date, (band - 1) * months),
+                    "row": rr.ravel(),
+                    "col": cc.ravel(),
+                    "lon": (origin_lon + cc * px_w + px_w / 2).ravel(),
+                    "lat": (lat_top - px / 2).ravel(),
+                    "cell_area": cell_area_fn(lat_top, px).ravel(),
+                    "value": np.where(
+                        np.isnan(data), None, data.astype(object)
+                    ).ravel(),
+                }
+            )
+
+
+def geotiff_cells(
+    spark: SparkSession,
+    files: Sequence[tuple[str, str, str, str, date]],
+    *,
+    reader: Callable | None = None,
+) -> DataFrame:
+    """Decode (path, dataset_id, variable_id, resolution, start_date) files
+    into the long cube DataFrame, one executor task per file batch."""
+    from skope_api_spark.sources.cube import WGS84_A_M, WGS84_E, WGS84_E2
+
+    def q(s):
+        import numpy as np
+
+        return (1.0 - WGS84_E2) * (
+            s / (1.0 - WGS84_E2 * s * s)
+            + np.log((1.0 + WGS84_E * s) / (1.0 - WGS84_E * s)) / (2.0 * WGS84_E)
+        )
+
+    def cell_area(lat_top_deg, px):
+        import numpy as np
+
+        k = math.radians(px) * WGS84_A_M**2 / 2.0
+        return k * (
+            q(np.sin(np.radians(lat_top_deg)))
+            - q(np.sin(np.radians(lat_top_deg - px)))
+        )
+
+    rd = reader if reader is not None else _read_with_rasterio
+    files_df = spark.createDataFrame(list(files), _FILES_SCHEMA)
+    # one file per partition: raster decode is the unit of parallelism
+    files_df = files_df.repartition(max(len(files), 1), "path")
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield from _cells(rd, pdf, cell_area)
+
+    return files_df.mapInPandas(run, CUBE_SCHEMA)
+
+
+def ingest_geotiff(
+    spark: SparkSession,
+    files: Sequence[tuple[str, str, str, str, date]],
+    out_path: str,
+    *,
+    reader: Callable | None = None,
+) -> None:
+    """ETL entry point: decode → partitioned/sorted Parquet (same layout as
+    ``sources.cube.ingest_to_parquet``, so all pruning behavior carries)."""
+    (
+        geotiff_cells(spark, files, reader=reader)
+        .repartition("dataset_id", "variable_id")
+        .sortWithinPartitions("band", "row", "col")
+        .write.mode("overwrite")
+        .partitionBy("dataset_id", "variable_id")
+        .parquet(out_path)
+    )

@@ -1,0 +1,86 @@
+"""GeoTIFF ETL seam: Spark-side plumbing tested with a fake reader (the
+rasterio decode itself is environment-gated — see sources/geotiff.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skope_api_spark.sources.cube import cell_area_m2
+from skope_api_spark.sources.geotiff import (
+    _add_months,
+    _read_with_rasterio,
+    geotiff_cells,
+    ingest_geotiff,
+)
+
+# 3x3 grid, top-left (-123, 45), 1.0 deg pixels; band 2 has a nodata hole
+_TRANSFORM = (1.0, -123.0, -1.0, 45.0)
+
+
+def make_fake_reader():
+    """Return a CLOSURE (cloudpickle ships it by value — a module-level
+    function in a test file is not importable on executors)."""
+
+    def fake_reader(path: str):
+        import numpy as np
+
+        for b in range(1, 3):
+            data = np.fromfunction(
+                lambda r, c: b * 100.0 + r * 10 + c, (3, 3), dtype=float
+            )
+            if b == 2:
+                data[1, 2] = np.nan  # masked/nodata cell
+            yield b, data, (1.0, -123.0, -1.0, 45.0)
+
+    return fake_reader
+
+
+FILES = [
+    ("/fake/annual.tif", "ds", "var", "year", dt.date(1, 1, 1)),
+]
+
+
+class TestGeotiffCells:
+    def test_long_rows_with_nodata_null_and_ancient_dates(self, spark):
+        out = geotiff_cells(spark, FILES, reader=make_fake_reader())
+        rows = {(r.band, r.row, r.col): r for r in out.collect()}
+        assert len(rows) == 2 * 3 * 3
+        # values follow the rule; the nodata cell is NULL (P4)
+        assert rows[(1, 0, 0)].value == 100.0
+        assert rows[(2, 1, 2)].value is None
+        # annual bands advance the year-1 start date by whole years
+        assert rows[(1, 0, 0)].time == dt.date(1, 1, 1)
+        assert rows[(2, 0, 0)].time == dt.date(2, 1, 1)
+        # coordinates + exact ellipsoidal area match the ingest formula
+        r = rows[(1, 2, 1)]
+        assert r.lon == pytest.approx(-123.0 + 1 + 0.5)
+        assert r.lat == pytest.approx(45.0 - 2 - 0.5)
+        assert r.cell_area == pytest.approx(cell_area_m2(45.0 - 2, 1.0), rel=1e-12)
+
+    def test_ingest_roundtrip_partitioned(self, spark, tmp_path):
+        path = str(tmp_path / "tiff_lake")
+        ingest_geotiff(spark, FILES, path, reader=make_fake_reader())
+        back = spark.read.parquet(path)
+        assert back.count() == 18
+        assert back.where(F.col("value").isNull()).count() == 1
+        # partition layout matches the S1 contract (dataset_id/variable_id)
+        assert (tmp_path / "tiff_lake" / "dataset_id=ds" / "variable_id=var").exists()
+
+    def test_rasterio_guard_raises_helpfully(self):
+        if "rasterio" in __import__("sys").modules:
+            pytest.skip("rasterio installed; guard not reachable")
+        with pytest.raises(ImportError, match="rasterio"):
+            list(_read_with_rasterio("/nonexistent.tif"))
+
+
+class TestMonthArithmetic:
+    def test_add_months_handles_year_one(self):
+        assert _add_months(dt.date(1, 1, 1), 0) == dt.date(1, 1, 1)
+        assert _add_months(dt.date(1, 1, 1), 13) == dt.date(2, 2, 1)
+        assert _add_months(dt.date(1, 11, 1), 2) == dt.date(2, 1, 1)
+        assert _add_months(dt.date(1, 1, 1), 12 * math.floor(4)) == dt.date(5, 1, 1)
