@@ -83,11 +83,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_embedding_near_dup_bucketed",
     "sim_embedding_near_dup_16planes",
-    # as-of joins, skew, sketches
+    "sim_embedding_near_dup_multiprobe",
+    # as-of joins, skew, sketches (KMV was driver-green in r02; its slot
+    # goes to the new multiprobe query — check_correctness still covers it)
     "asof_join_purchase_to_click",
     "asof_forward_click_to_purchase",
     "skew_salted_event_rollup",
-    "sketch_kmv_distinct_suppliers",
     "approx_count_distinct_suppliers",
 )
 

@@ -16,6 +16,7 @@ from skope_api_spark.tables import load
 
 _PLANES = ops.hyperplanes()
 _PLANES16 = ops.hyperplanes(16)
+_PLANES32 = ops.hyperplanes(32)  # two disjoint 16-plane tables for multiprobe
 
 
 def _planes_sql(planes: list[list[float]] | None = None) -> str:
@@ -203,6 +204,48 @@ def sim_embedding_near_dup_16planes(spark: SparkSession, sf_dir: str) -> DataFra
     query's shape; the contract here checks one table bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     out = ops.embedding_near_duplicates(emb, threshold=0.25, planes=_PLANES16)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    ).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "sim_embedding_near_dup_multiprobe",
+    oracle=f"""
+WITH b1 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {{p1}} AS bucket
+  FROM embeddings
+), b2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {{p2}} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         list_cosine_similarity(a.v, c.v) AS cs
+  FROM b1 a JOIN b1 c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.25
+  UNION
+  SELECT a.vec_id, c.vec_id, list_cosine_similarity(a.v, c.v)
+  FROM b2 a JOIN b2 c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.25
+)
+SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
+FROM pairs
+ORDER BY vec_a, vec_b
+""".format(
+        p1=_planes_sql(_PLANES32[:16]), p2=_planes_sql(_PLANES32[16:])
+    ),
+)
+def sim_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs: union of two independent 16-plane bucket tables (the
+    production recall construction for narrow buckets — see PERF.md sweep).
+    The oracle replays both tables from the same deterministic hyperplane
+    family and unions the pair sets."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25, n_tables=2, planes_per_table=16
+    )
     return out.select(
         "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
     ).orderBy("vec_a", "vec_b")

@@ -291,3 +291,39 @@ def embedding_near_duplicates(
             "cosine_sim",
         )
     )
+
+
+def embedding_near_duplicates_multiprobe(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 2,
+    planes_per_table: int = 16,
+) -> DataFrame:
+    """OR-of-ANDs near-dup: union of ``n_tables`` independent bucket tables.
+
+    The production recall shape for narrow (high-plane-count) buckets: a
+    pair is a candidate if it collides in ANY table, so recall approaches
+    1−(1−p^b)^k while each table's candidate set stays ~N²/2^(b+1). The
+    tables use disjoint slices of the deterministic hyperplane family, so
+    any engine (the DuckDB oracle included) reproduces them exactly.
+    Candidate cost is k× one table; the final ``dropDuplicates`` merges
+    pairs found by several tables (same Jaccard-banding OR-construction as
+    MinHash LSH — Broder et al.'s scheme applied to sign-random-projection
+    buckets).
+    """
+    all_planes = hyperplanes(n_tables * planes_per_table)
+    out = None
+    for t in range(n_tables):
+        table = all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        part = embedding_near_duplicates(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            planes=table,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates(["vec_a", "vec_b"])

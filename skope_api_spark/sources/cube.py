@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from skope_api_spark.plans.catalog import DEV_CATALOG, DatasetMeta
 from skope_api_spark.plans.intervals import MONTH
 
-AUTHALIC_RADIUS_M = 6371007.1809  # WGS84 authalic (equal-area) radius
 # WGS84 ellipsoid — cell areas use the EXACT ellipsoidal band integral
 # (Snyder, "Map Projections — A Working Manual", eq. 3-12): for a cell
 # bounded by meridians and parallels,
