@@ -190,3 +190,65 @@ ORDER BY doc_id, rk
 def text_bottomk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ops.bottomk_fingerprint(docs).orderBy("doc_id", "rk")
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS g2,
+         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          for i in range(1, len(ws) - 1)] AS g3
+  FROM toks
+)
+SELECT doc_id,
+       ROUND(2.0 * list_max([len(list_filter(g2, x -> x = u))
+                             for u in list_distinct(g2)])::DOUBLE / len(ws), 4)
+         AS top2gram_frac,
+       ROUND((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 4)
+         AS dup3gram_frac
+FROM g
+ORDER BY doc_id
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter features (top-2-gram token fraction,
+    duplicate-3-gram fraction) — shuffle-free per-row array math."""
+    from skope_api_spark.operators.text import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "text_decontaminate_probe_overlap",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+),
+probes AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id < 3)
+SELECT d.doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+FROM sh d, unnest(d.s) t(gram)
+WHERE d.doc_id >= 3 AND gram IN (SELECT gram FROM probes)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def text_decontaminate_probe_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 3-gram with the
+    probe set (doc_id < 3 stands in for an eval benchmark). Broadcast
+    probe-gram semi-join — the n-gram-overlap contamination check every
+    training pipeline runs."""
+    from skope_api_spark.operators.text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.where(F.col("doc_id") >= 3), docs.where(F.col("doc_id") < 3)
+    )
+    return out.orderBy("doc_id")

@@ -144,3 +144,85 @@ def bottomk_fingerprint(
         .where(F.col("rk") <= k)
         .select("doc_id", F.col("rk").cast("int").alias("rk"), "fp")
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality features (Rae et al. 2021, §A1.1):
+    the token fraction covered by the most frequent 2-gram and the
+    duplicate-3-gram fraction. High values mark boilerplate/spam documents
+    that repetition filters drop before training.
+
+    Entirely per-row array math inside the scan projection — NO shuffle
+    (the alternative explode→groupBy(doc, gram)→groupBy(doc) shape costs
+    two corpus-sized shuffles for a per-document statistic). The inner
+    count-per-distinct-gram pass is O(grams²) per document, bounded by
+    document length, embarrassingly parallel — the scale-right trade.
+    """
+    toks = "__rep_toks"
+    # 2.0D: a bare 2.0 literal parses as DECIMAL in Spark SQL, which would
+    # propagate decimal(17,4) into the output instead of double
+    top2 = (
+        f"2.0D * array_max(transform(array_distinct(__g2), "
+        f"u -> size(filter(__g2, x -> x = u)))) / size({toks})"
+    )
+    return (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .withColumn(
+            "__g2",
+            F.expr(
+                f"transform(sequence(1, size({toks}) - 1), "
+                f"i -> concat({toks}[i - 1], ' ', {toks}[i]))"
+            ),
+        )
+        .withColumn(
+            "__g3",
+            F.expr(
+                f"transform(sequence(1, size({toks}) - 2), "
+                f"i -> concat({toks}[i - 1], ' ', {toks}[i], ' ', {toks}[i + 1]))"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.round(F.expr(top2), 4).alias("top2gram_frac"),
+            F.round(
+                (F.size("__g3") - F.size(F.array_distinct("__g3")))
+                / F.size("__g3").cast("double"),
+                4,
+            ).alias("dup3gram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``shingle_n``-gram with a probe (benchmark/eval) set — the standard
+    n-gram-overlap contamination check run before training.
+
+    Returns (doc_id, n_shared_grams) for contaminated documents only.
+    Scale shape: the probe side is benchmark-sized (thousands of docs, not
+    corpus-sized), so its distinct gram set is broadcast; the corpus scan
+    explodes shingles once and semi-aggregates — one broadcast join, one
+    groupBy(doc_id) shuffle of only the matching rows.
+    """
+    probe_grams = (
+        with_token_shingles(probe_df, text_col, shingle_n, "shingles")
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    corpus = with_token_shingles(df, text_col, shingle_n, "shingles").select(
+        F.col(id_col).alias("doc_id"), F.explode("shingles").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(probe_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
