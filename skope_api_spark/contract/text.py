@@ -252,3 +252,57 @@ def text_decontaminate_probe_overlap(spark: SparkSession, sf_dir: str) -> DataFr
         docs.where(F.col("doc_id") >= 3), docs.where(F.col("doc_id") < 3)
     )
     return out.orderBy("doc_id")
+
+
+_H = "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_H.format(c="doc_id")} <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END
+ORDER BY doc_id
+""",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: keep 50% en / 25% de / 10% rest
+    via an md5-hash threshold (no RNG — reproducible, nested, shuffle-free).
+    The oracle replays the identical hash arithmetic."""
+    from skope_api_spark.operators.sampling import stratified_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "pack_documents_token_budget",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CAST({_H.format(c="doc_id")} % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, shard,
+       CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512) AS INT) AS bin_id
+FROM sized
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY doc_id
+""",
+)
+def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing into (shard, bin) training slots: hash-sharded,
+    sequential first-fit WITHIN each shard via a partitioned running-sum
+    window — the distributed relaxation of greedy packing (parallel across
+    shards, each bin overflows by at most one document)."""
+    from skope_api_spark.operators.sampling import pack_documents
+
+    docs = load(spark, sf_dir, "documents")
+    out = pack_documents(docs, budget_tokens=512, n_shards=8)
+    return out.orderBy("doc_id")

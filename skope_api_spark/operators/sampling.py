@@ -1,0 +1,108 @@
+"""Deterministic sampling + sequence packing for training-data assembly.
+
+The two operators a pipeline runs AFTER cleaning/dedup to turn a corpus
+into training shards:
+
+- **stratified hash sampling** — per-stratum keep-fractions (the "data
+  mixing" step: e.g. 100% books, 30% web). Uses an md5-derived uniform
+  hash of the document id, so (a) the sample is deterministic and
+  reproducible across runs/engines (no RNG state), and (b) re-running with
+  a larger fraction yields a superset (hash thresholds nest). A pure
+  filter in the scan projection — no shuffle, prunes at full scan speed.
+
+- **token-budget packing** — assign documents to fixed-token-budget bins
+  ("~budget tokens per shard"). Greedy bin packing is inherently
+  sequential, so the scale shape is: hash documents into ``n_shards``
+  independent shards, then run the sequential fill WITHIN each shard via a
+  partitioned window (running token cumsum → bin = floor(start/budget)).
+  One shuffle (the window partition), shards fill in parallel, and every
+  bin overflows its budget by at most one document — the standard
+  distributed relaxation of first-fit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# md5 → 15 hex chars → int64 (positive, engine-independent; same recipe as
+# the SimHash token hash, reproducible in the DuckDB oracle)
+_HASH_MOD = 1_000_000
+
+
+def _uniform_hash(col):
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % _HASH_MOD
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each stratum at its configured fraction, deterministically.
+
+    A document survives iff ``hash(id) / MOD < fraction(stratum)`` — no
+    RNG, no sampling shuffle; strata not in ``fractions`` fall back to
+    ``default_fraction``.
+    """
+    frac = None
+    for stratum, f in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(
+            cond, F.lit(float(f))
+        )
+    frac = (
+        frac.otherwise(F.lit(float(default_fraction)))
+        if frac is not None
+        else F.lit(float(default_fraction))
+    )
+    return df.where(_uniform_hash(F.col(id_col)) < frac * _HASH_MOD)
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to (shard, bin) training-shard slots.
+
+    Within a shard (hash-assigned, so shards are balanced and the layout
+    is deterministic), documents fill bins in ``id`` order: a document
+    starts at the running token offset of its predecessors and lands in
+    ``floor(start / budget)``. Returns
+    (doc_id, n_tokens, shard, bin_id) — every (shard, bin_id) group is a
+    ready-to-concatenate training shard of ~``budget_tokens`` tokens.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    shard = (_uniform_hash(F.col(id_col)) % n_shards).cast("int")
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            n_tok.alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .withColumn("__end", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "shard",
+            F.floor((F.col("__end") - F.col("n_tokens")) / budget_tokens)
+            .cast("int")
+            .alias("bin_id"),
+        )
+    )
