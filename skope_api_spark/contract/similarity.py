@@ -249,3 +249,70 @@ def sim_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     return out.select(
         "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
     ).orderBy("vec_a", "vec_b")
+
+
+_ASSIGN_SQL = """
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rk
+    FROM ex e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+"""
+
+_UPDATE_SQL = """
+  SELECT cell, list(m ORDER BY idx) AS v FROM (
+    SELECT cell, i AS idx, ROUND(AVG(v[i]), 6) AS m
+    FROM {assigned}, range(1, 65) t(i) GROUP BY cell, i
+  ) GROUP BY cell
+"""
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, v
+  FROM ex
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+), a1 AS ({_ASSIGN_SQL.format(cents="seeds")}
+), c1 AS ({_UPDATE_SQL.format(assigned="a1")}
+), a2 AS ({_ASSIGN_SQL.format(cents="c1")}
+), c2 AS ({_UPDATE_SQL.format(assigned="a2")}
+), af AS ({_ASSIGN_SQL.format(cents="c2")}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM af WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, a.v) AS cs
+  FROM af a JOIN q USING (cell) WHERE q.query_id != a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL k-means codebook: deterministic md5-sampled seeds,
+    two Lloyd iterations (6-decimal-rounded updates for cross-engine
+    bit-stability), assign, probe the query's cell, exact re-rank. The
+    oracle unrolls the identical two iterations in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ops.kmeans_centroids(emb, n_cells=8, iters=2)
+    out = ops.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=3, centroids=cents
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rk",
+    ).orderBy("query_id", "rk")

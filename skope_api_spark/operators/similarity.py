@@ -207,6 +207,72 @@ def label_centroids(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means codebook (the real IVF trainer).
+
+    - **Seeds**: the ``n_cells`` vectors with the smallest md5(id) — a
+      deterministic uniform sample any engine reproduces (no RNG state).
+    - **Iterate**: assign every vector to its max-cosine centroid
+      (broadcast codebook, one shuffle-free scan + window per iteration),
+      then recompute element-wise means (posexplode → two aggregations).
+    - **Bit-stability**: each centroid component is ROUNDed to 6 decimals
+      after every update, so cross-engine float accumulation-order noise
+      (~1e-15) cannot flip a later assignment — the DuckDB oracle replays
+      the identical iteration trajectory.
+
+    Per iteration: one broadcast of k×dim doubles + two aggregations; the
+    codebook is ``localCheckpoint``ed so iteration N+1's plan does not
+    re-execute iteration N (same lineage-truncation pattern as the
+    duplicate-cluster propagation). Returns (cell, centroid).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    seed_order = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cents = (
+        vecs.withColumn("__rk", F.row_number().over(seed_order))
+        .where(F.col("__rk") <= n_cells)
+        .select(
+            (F.col("__rk") - 1).cast("int").alias("cell"),
+            F.col("v").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        w = W.partitionBy("vec_id").orderBy(F.desc("__csim"), "cell")
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("__csim", cosine(F.col("v"), F.col("centroid")))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("vec_id", "v", "cell")
+        )
+        per_dim = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cents = (
+            per_dim.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -215,16 +281,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid (max
     cosine), probe only the query's cell, exact re-rank inside it.
 
-    Centroids are a tiny broadcast codebook; assignment is a broadcast
-    nested-loop over ~n_cells rows per vector (cheap); the candidate join
-    is an equi-join on the cell id — same scale shape as the LSH path with
-    a data-adaptive quantizer instead of random hyperplanes.
+    Centroids are a tiny broadcast codebook — pass a trained one
+    (``kmeans_centroids``) or default to the label-mean stand-in;
+    assignment is a broadcast nested-loop over ~n_cells rows per vector
+    (cheap); the candidate join is an equi-join on the cell id — same
+    scale shape as the LSH path with a data-adaptive quantizer instead of
+    random hyperplanes.
     """
-    cents = label_centroids(corpus, vec_col=vec_col, label_col=label_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(corpus, vec_col=vec_col, label_col=label_col)
+    )
 
     def assign(df: DataFrame, idc: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
