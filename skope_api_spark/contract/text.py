@@ -306,3 +306,77 @@ def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = pack_documents(docs, budget_tokens=512, n_shards=8)
     return out.orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+), total AS (SELECT COUNT(*) AS t FROM toks)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       ROUND(AVG(ln(f.n / total.t)), 6) AS mean_logprob
+FROM toks d JOIN freq f USING (tok) CROSS JOIN total
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus unigram
+    distribution — the cheap LM-perplexity quality proxy (CCNet-style)."""
+    from skope_api_spark.operators.text import unigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com or 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS clean_md5,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))
+          + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT)
+         AS n_redactions
+FROM seeded
+ORDER BY doc_id
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phones / IPv4 → typed placeholder tokens).
+    The corpus has no PII, so each doc is deterministically seeded with one
+    of each before redaction; output is the md5 of the cleaned text plus
+    the redaction count, proving byte-identical scrubbing cross-engine."""
+    from skope_api_spark.operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_redactions"
+    ).orderBy("doc_id")

@@ -226,3 +226,61 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap stand-in for the LM-perplexity quality
+    filter (CCNet-style): gibberish and off-distribution documents score
+    low, fluent in-distribution text scores high.
+
+    Two aggregations + one token-keyed join (vocabulary-sized side, no
+    forced broadcast — AQE decides, same reasoning as TF-IDF). Returns
+    (doc_id, n_tokens, mean_logprob).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.count()
+    scored = toks.join(freq, "tok").select(
+        "doc_id", F.log(F.col("n") / F.lit(float(total))).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
+# conservative patterns; identical semantics in Java regex and RE2 so the
+# DuckDB oracle reproduces the redaction byte-for-byte
+PII_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "<PHONE>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals from a text column —
+    the standard pre-training PII pass. Pure ``regexp_replace`` chain in
+    the scan projection (no shuffle, no Python); returns
+    (doc_id, clean_text, n_redactions).
+    """
+    clean = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    n_red = sum(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
+        for p, _ in PII_PATTERNS
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        n_red.cast("int").alias("n_redactions"),
+    )
