@@ -245,9 +245,13 @@ def unigram_logprob(
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.count()
-    scored = toks.join(freq, "tok").select(
-        "doc_id", F.log(F.col("n") / F.lit(float(total))).alias("lp")
+    # corpus total folded into the plan as a broadcast 1-row aggregate of
+    # the (vocab-sized) freq table — no separate driver-side count() pass
+    total = freq.agg(F.sum("n").cast("double").alias("t"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n") / F.col("t")).alias("lp"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
