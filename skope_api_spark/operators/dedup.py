@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 SIMHASH_BITS = 60  # 15 hex chars of md5 — stays positive in a signed int64
 
 
+def md5_long(col) -> "F.Column":
+    """First 60 bits of md5 as a positive int64 — the engine-independent
+    uniform hash every determinism-sensitive operator shares (SimHash token
+    hash, stratified sampling, shard assignment). The DuckDB oracle replays
+    it as ``('0x' || substr(md5(x), 1, 15))::BIGINT``; change BOTH together
+    or cross-engine parity breaks."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def with_token_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -353,7 +362,7 @@ def simhash_signatures(
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    h = md5_long(F.col("tok"))
     tf = tf.withColumn("th", h)
     bit_sums = [
         F.sum(

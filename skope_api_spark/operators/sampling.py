@@ -28,14 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-# md5 → 15 hex chars → int64 (positive, engine-independent; same recipe as
-# the SimHash token hash, reproducible in the DuckDB oracle)
+from skope_api_spark.operators.dedup import md5_long
+
 _HASH_MOD = 1_000_000
 
 
 def _uniform_hash(col):
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-    return h % _HASH_MOD
+    return md5_long(col.cast("string")) % _HASH_MOD
 
 
 def stratified_hash_sample(
@@ -85,9 +84,11 @@ def pack_documents(
     """
     n_tok = F.size(F.split(F.col(text_col), " "))
     shard = (_uniform_hash(F.col(id_col)) % n_shards).cast("int")
+    # the window resolves against the post-select schema, where the id
+    # column is always named doc_id (regardless of the input's id_col)
     w = (
         W.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

@@ -167,29 +167,38 @@ def repetition_stats(
         f"2.0D * array_max(transform(array_distinct(__g2), "
         f"u -> size(filter(__g2, x -> x = u)))) / size({toks})"
     )
+    # short-doc guards: sequence(1, n) DESCENDS for n < 1 (sequence(1,0) is
+    # [1, 0], not empty), so an unguarded transform indexes past the token
+    # array on 1-2-token docs; docs too short to have an n-gram get NULL
+    # fractions, matching the oracle (DuckDB list_max([]) and 0/0 → NULL)
+    g2 = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat({toks}[i - 1], ' ', {toks}[i])) "
+        f"ELSE array() END"
+    )
+    g3 = (
+        f"CASE WHEN size({toks}) >= 3 THEN "
+        f"transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat({toks}[i - 1], ' ', {toks}[i], ' ', {toks}[i + 1])) "
+        f"ELSE array() END"
+    )
     return (
         df.withColumn(toks, F.split(F.col(text_col), " "))
-        .withColumn(
-            "__g2",
-            F.expr(
-                f"transform(sequence(1, size({toks}) - 1), "
-                f"i -> concat({toks}[i - 1], ' ', {toks}[i]))"
-            ),
-        )
-        .withColumn(
-            "__g3",
-            F.expr(
-                f"transform(sequence(1, size({toks}) - 2), "
-                f"i -> concat({toks}[i - 1], ' ', {toks}[i], ' ', {toks}[i + 1]))"
-            ),
-        )
+        .withColumn("__g2", F.expr(g2))
+        .withColumn("__g3", F.expr(g3))
         .select(
             F.col(id_col).alias("doc_id"),
-            F.round(F.expr(top2), 4).alias("top2gram_frac"),
-            F.round(
-                (F.size("__g3") - F.size(F.array_distinct("__g3")))
-                / F.size("__g3").cast("double"),
-                4,
+            F.when(F.size("__g2") > 0, F.round(F.expr(top2), 4)).alias(
+                "top2gram_frac"
+            ),
+            F.when(
+                F.size("__g3") > 0,
+                F.round(
+                    (F.size("__g3") - F.size(F.array_distinct("__g3")))
+                    / F.size("__g3").cast("double"),
+                    4,
+                ),
             ).alias("dup3gram_frac"),
         )
     )

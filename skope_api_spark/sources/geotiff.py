@@ -92,8 +92,8 @@ def _cells(reader, files_pdf, cell_area_fn):
                 np.arange(ncol, dtype="int32"),
                 indexing="ij",
             )
-            px = abs(px_h)
-            lat_top = origin_lat - rr * px
+            px_lat = abs(px_h)
+            lat_top = origin_lat - rr * px_lat
             yield pd.DataFrame(
                 {
                     "dataset_id": rec.dataset_id,
@@ -103,8 +103,11 @@ def _cells(reader, files_pdf, cell_area_fn):
                     "row": rr.ravel(),
                     "col": cc.ravel(),
                     "lon": (origin_lon + cc * px_w + px_w / 2).ravel(),
-                    "lat": (lat_top - px / 2).ravel(),
-                    "cell_area": cell_area_fn(lat_top, px).ravel(),
+                    "lat": (lat_top - px_lat / 2).ravel(),
+                    # Δλ comes from the LONGITUDE pixel width; the latitude
+                    # band span from the pixel height — non-square pixels
+                    # (common in reprojected rasters) need both
+                    "cell_area": cell_area_fn(lat_top, px_lat, px_w).ravel(),
                     "value": np.where(
                         np.isnan(data), None, data.astype(object)
                     ).ravel(),
@@ -130,13 +133,13 @@ def geotiff_cells(
             + np.log((1.0 + WGS84_E * s) / (1.0 - WGS84_E * s)) / (2.0 * WGS84_E)
         )
 
-    def cell_area(lat_top_deg, px):
+    def cell_area(lat_top_deg, px_lat, px_lon):
         import numpy as np
 
-        k = math.radians(px) * WGS84_A_M**2 / 2.0
+        k = math.radians(px_lon) * WGS84_A_M**2 / 2.0
         return k * (
             q(np.sin(np.radians(lat_top_deg)))
-            - q(np.sin(np.radians(lat_top_deg - px)))
+            - q(np.sin(np.radians(lat_top_deg - px_lat)))
         )
 
     rd = reader if reader is not None else _read_with_rasterio

@@ -78,6 +78,34 @@ class TestGeotiffCells:
             list(_read_with_rasterio("/nonexistent.tif"))
 
 
+class TestNonSquarePixels:
+    def test_area_uses_lon_width_for_dlambda(self, spark):
+        """0.5°×1.0° pixels: Δλ must come from the pixel WIDTH (0.5°), the
+        latitude band from the height (1.0°) — using the height for both
+        doubled every area."""
+
+        def make_rect_reader():
+            def rect_reader(path):
+                import numpy as np
+
+                yield 1, np.zeros((2, 2)), (0.5, -10.0, -1.0, 40.0)
+
+            return rect_reader
+
+        files = [("/fake/rect.tif", "ds", "var", "year", dt.date(2000, 1, 1))]
+        rows = {
+            (r.row, r.col): r
+            for r in geotiff_cells(spark, files, reader=make_rect_reader()).collect()
+        }
+        r = rows[(1, 1)]
+        assert r.lon == pytest.approx(-10.0 + 1 * 0.5 + 0.25)
+        assert r.lat == pytest.approx(40.0 - 1 - 0.5)
+        # half the area of a 1°-wide cell in the same latitude band
+        assert r.cell_area == pytest.approx(
+            cell_area_m2(40.0 - 1, 1.0) / 2, rel=1e-9
+        )
+
+
 class TestMonthArithmetic:
     def test_add_months_handles_year_one(self):
         assert _add_months(dt.date(1, 1, 1), 0) == dt.date(1, 1, 1)

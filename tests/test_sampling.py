@@ -35,6 +35,13 @@ class TestStratifiedSample:
 
 
 class TestPackDocuments:
+    def test_custom_id_col_resolves(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e")], "vec_id long, text string"
+        )
+        out = pack_documents(df, budget_tokens=4, n_shards=1, id_col="vec_id")
+        assert {r.doc_id for r in out.collect()} == {1, 2}
+
     def test_bins_respect_budget_within_one_doc(self, spark):
         """Every bin's token total is < budget + its largest document (the
         first-fit relaxation bound), and packing covers every document."""

@@ -34,6 +34,20 @@ class TestRepetitionStats:
         assert top2_clean == pytest.approx(2 / 7, abs=1e-4)  # no repeated 2-gram
         assert dup3_clean == 0.0
 
+    def test_short_docs_yield_null_not_crash(self, spark):
+        """sequence(1, 0) DESCENDS in Spark — unguarded gram construction
+        indexed past the token array on 1-2-token docs. Docs too short for
+        an n-gram get NULL fractions (DuckDB-oracle parity: 0/0 → NULL)."""
+        out = {
+            r.doc_id: (r.top2gram_frac, r.dup3gram_frac)
+            for r in repetition_stats(
+                _docs(spark, [(1, "hello"), (2, "two words"), (3, "")])
+            ).collect()
+        }
+        assert out[1] == (None, None)
+        assert out[2] == (1.0, None)  # one 2-gram covers 100%; no 3-gram
+        assert out[3] == (None, None)
+
     def test_no_shuffle_in_plan(self, spark):
         plan = (
             repetition_stats(_docs(spark, [(1, "a b c d e")]))
