@@ -116,7 +116,7 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ex AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), un AS (
-  SELECT label, i AS idx, v[i] AS x FROM ex, range(1, 65) t(i)
+  SELECT label, i AS idx, v[i] AS x FROM ex, range(1, {DIM_PLUS_1}) t(i)
 ), cm AS (
   SELECT label AS cell, idx, AVG(x) AS m FROM un GROUP BY label, idx
 ), cent AS (
@@ -144,7 +144,7 @@ WITH ex AS (
 SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rk
 FROM ranked WHERE rk <= 3
 ORDER BY query_id, rk
-""",
+""".format(DIM_PLUS_1=ops.DIM + 1),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: data-adaptive coarse quantizer (label centroids),
@@ -260,10 +260,10 @@ _ASSIGN_SQL = """
   ) WHERE rk = 1
 """
 
-_UPDATE_SQL = """
+_UPDATE_SQL = f"""
   SELECT cell, list(m ORDER BY idx) AS v FROM (
     SELECT cell, i AS idx, ROUND(AVG(v[i]), 6) AS m
-    FROM {assigned}, range(1, 65) t(i) GROUP BY cell, i
+    FROM {{assigned}}, range(1, {ops.DIM + 1}) t(i) GROUP BY cell, i
   ) GROUP BY cell
 """
 

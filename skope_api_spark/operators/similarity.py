@@ -219,9 +219,15 @@ def kmeans_centroids(
 
     - **Seeds**: the ``n_cells`` vectors with the smallest md5(id) — a
       deterministic uniform sample any engine reproduces (no RNG state).
+      Selected with ``orderBy().limit(n_cells)`` (a distributed
+      TakeOrderedAndProject: per-partition top-n, tiny merge) before the
+      cell-numbering window, so the window sees only n_cells rows — NOT
+      a global window over the corpus, which would funnel everything
+      through one partition.
     - **Iterate**: assign every vector to its max-cosine centroid
-      (broadcast codebook, one shuffle-free scan + window per iteration),
-      then recompute element-wise means (posexplode → two aggregations).
+      (broadcast codebook + ``groupBy(max_by)`` — map-side partial
+      aggregation, no sort-shuffle of the N×k scored rows), then
+      recompute element-wise means (posexplode → two aggregations).
     - **Bit-stability**: each centroid component is ROUNDed to 6 decimals
       after every update, so cross-engine float accumulation-order noise
       (~1e-15) cannot flip a later assignment — the DuckDB oracle replays
@@ -236,10 +242,14 @@ def kmeans_centroids(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    seed_order = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seed_order = F.md5(F.col("vec_id").cast("string"))
+    # limit() first: a distributed TakeOrderedAndProject reduces the corpus
+    # to n_cells rows; the global window then numbers only those n_cells
+    # rows (bounded, single tiny partition by construction).
     cents = (
-        vecs.withColumn("__rk", F.row_number().over(seed_order))
-        .where(F.col("__rk") <= n_cells)
+        vecs.orderBy(seed_order, "vec_id")
+        .limit(n_cells)
+        .withColumn("__rk", F.row_number().over(W.orderBy(seed_order, "vec_id")))
         .select(
             (F.col("__rk") - 1).cast("int").alias("cell"),
             F.col("v").alias("centroid"),
@@ -247,13 +257,20 @@ def kmeans_centroids(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        w = W.partitionBy("vec_id").orderBy(F.desc("__csim"), "cell")
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("__csim", cosine(F.col("v"), F.col("centroid")))
-            .withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") == 1)
-            .select("vec_id", "v", "cell")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cell"), F.col("v")),
+                    # lexicographic max: highest cosine, then LOWEST cell id
+                    # (ties broken identically to the oracle's
+                    #  ORDER BY cs DESC, cell ASC)
+                    F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
+                ).alias("best")
+            )
+            .select("vec_id", F.col("best.v").alias("v"), F.col("best.cell").alias("cell"))
         )
         per_dim = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -300,14 +317,26 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str) -> DataFrame:
+        # nearest centroid via groupBy(max_by): map-side partial aggregation
+        # collapses the k scored rows per vector before any shuffle — no
+        # window sort of N×k rows. Tie-break (max cosine, then min cell)
+        # matches the oracle's ORDER BY cs DESC, cell ASC exactly.
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
             "__csim", cosine(F.col(vec_col), F.col("centroid"))
         )
-        w = W.partitionBy(idc).orderBy(F.desc("__csim"), "cell")
         return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") == 1)
-            .drop("__rk", "__csim", "centroid")
+            scored.groupBy(idc)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cell"), F.col(vec_col)),
+                    F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
+                ).alias("best")
+            )
+            .select(
+                idc,
+                F.col(f"best.{vec_col}").alias(vec_col),
+                F.col("best.cell").alias("cell"),
+            )
         )
 
     qa = assign(
