@@ -84,12 +84,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sim_embedding_near_dup_bucketed",
     "sim_embedding_near_dup_16planes",
     "sim_embedding_near_dup_multiprobe",
-    # as-of joins, skew, sketches (KMV was driver-green in r02; its slot
-    # goes to the new multiprobe query — check_correctness still covers it)
+    "sim_recall_report",
+    # as-of joins, skew (KMV's slot went to multiprobe in r03; the HLL
+    # sketch's slot goes to the recall contract in r04 — both sketches stay
+    # regression-covered by the full check_correctness replay)
     "asof_join_purchase_to_click",
     "asof_forward_click_to_purchase",
     "skew_salted_event_rollup",
-    "approx_count_distinct_suppliers",
 )
 
 

@@ -251,6 +251,29 @@ def sim_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     ).orderBy("vec_a", "vec_b")
 
 
+@query(
+    "sim_exact_cosine_pairs",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+FROM ex a JOIN ex b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+ORDER BY vec_a, vec_b
+""",
+)
+def sim_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quadratic all-pairs cosine baseline (ground truth for the
+    bucketed paths; fixture-scale only by design)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.exact_cosine_pairs(emb, threshold=0.25)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    ).orderBy("vec_a", "vec_b")
+
+
 _ASSIGN_SQL = """
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
@@ -316,3 +339,159 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         "rk",
     ).orderBy("query_id", "rk")
+
+
+def _pair_sql(bucket_table: str) -> str:
+    """Bucket-local candidate pairs passing the exact cosine filter."""
+    return f"""
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM {bucket_table} a JOIN {bucket_table} c
+    ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.25
+"""
+
+
+def _recall_row_sql(method: str, k: int, approx: str, exact: str, keys: str) -> str:
+    return f"""
+  SELECT '{method}' AS method, {k} AS k,
+         (SELECT COUNT(*) FROM {approx} JOIN {exact} USING ({keys})) AS n_hits,
+         (SELECT COUNT(*) FROM {exact}) AS n_exact
+"""
+
+
+@query(
+    "sim_recall_report",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM ex WHERE vec_id < 10
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rk
+    FROM q, ex e WHERE q.query_id != e.vec_id
+  ) WHERE rk <= 3
+), b8 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES)} AS bucket
+  FROM embeddings
+), lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qb.query_id, cb.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qb.query_id
+             ORDER BY list_cosine_similarity(qb.qv, cb.v) DESC, cb.vec_id) AS rk
+    FROM (SELECT vec_id AS query_id, v AS qv, bucket FROM b8 WHERE vec_id < 10) qb
+    JOIN b8 cb USING (bucket) WHERE qb.query_id != cb.vec_id
+  ) WHERE rk <= 3
+), un AS (
+  SELECT label, i AS idx, v[i] AS x FROM ex, range(1, {ops.DIM + 1}) t(i)
+), cm AS (
+  SELECT label AS cell, idx, AVG(x) AS m FROM un GROUP BY label, idx
+), lcent AS (
+  SELECT cell, list(m ORDER BY idx) AS v FROM cm GROUP BY cell
+), lassigned AS ({_ASSIGN_SQL.format(cents="lcent")}
+), ivf_label AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qa.query_id, ca.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qa.query_id
+             ORDER BY list_cosine_similarity(qa.qv, ca.v) DESC, ca.vec_id) AS rk
+    FROM (SELECT vec_id AS query_id, v AS qv, cell
+          FROM lassigned WHERE vec_id < 10) qa
+    JOIN lassigned ca USING (cell) WHERE qa.query_id != ca.vec_id
+  ) WHERE rk <= 3
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, v
+  FROM ex
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+), a1 AS ({_ASSIGN_SQL.format(cents="seeds")}
+), c1 AS ({_UPDATE_SQL.format(assigned="a1")}
+), a2 AS ({_ASSIGN_SQL.format(cents="c1")}
+), c2 AS ({_UPDATE_SQL.format(assigned="a2")}
+), af AS ({_ASSIGN_SQL.format(cents="c2")}
+), ivf_kmeans AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qa.query_id, ca.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qa.query_id
+             ORDER BY list_cosine_similarity(qa.qv, ca.v) DESC, ca.vec_id) AS rk
+    FROM (SELECT vec_id AS query_id, v AS qv, cell FROM af WHERE vec_id < 10) qa
+    JOIN af ca USING (cell) WHERE qa.query_id != ca.vec_id
+  ) WHERE rk <= 3
+), p_exact AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM ex a JOIN ex c ON a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.25
+), b16 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES16)} AS bucket
+  FROM embeddings
+), b16b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[16:])} AS bucket
+  FROM embeddings
+), b4 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[:4])} AS bucket
+  FROM embeddings
+), b8b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[8:16])} AS bucket
+  FROM embeddings
+), b8c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[16:24])} AS bucket
+  FROM embeddings
+), b8d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[24:32])} AS bucket
+  FROM embeddings
+), p4 AS ({_pair_sql("b4")}
+), p8 AS ({_pair_sql("b8")}
+), p16 AS ({_pair_sql("b16")}
+), pmp AS (
+  {_pair_sql("b16")}
+  UNION
+  {_pair_sql("b16b")}
+), pmp48 AS (
+  {_pair_sql("b8")}
+  UNION
+  {_pair_sql("b8b")}
+  UNION
+  {_pair_sql("b8c")}
+  UNION
+  {_pair_sql("b8d")}
+), report AS (
+{_recall_row_sql("topk_lsh_bucket_8p", 3, "lsh", "brute", "query_id, neighbor_id")}
+  UNION ALL
+{_recall_row_sql("topk_ivf_label", 3, "ivf_label", "brute", "query_id, neighbor_id")}
+  UNION ALL
+{_recall_row_sql("topk_ivf_kmeans", 3, "ivf_kmeans", "brute", "query_id, neighbor_id")}
+  UNION ALL
+{_recall_row_sql("pairs_neardup_4p", 0, "p4", "p_exact", "vec_a, vec_b")}
+  UNION ALL
+{_recall_row_sql("pairs_neardup_8p", 0, "p8", "p_exact", "vec_a, vec_b")}
+  UNION ALL
+{_recall_row_sql("pairs_neardup_16p", 0, "p16", "p_exact", "vec_a, vec_b")}
+  UNION ALL
+{_recall_row_sql("pairs_multiprobe_2x16", 0, "pmp", "p_exact", "vec_a, vec_b")}
+  UNION ALL
+{_recall_row_sql("pairs_multiprobe_4x8", 0, "pmp48", "p_exact", "vec_a, vec_b")}
+)
+SELECT method, k, n_hits, n_exact,
+       ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+FROM report ORDER BY method
+""",
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k / pair-recall of every approximate ANN path vs its
+    exact baseline — the quality contract the deterministic bucketed paths
+    were missing. The oracle replays all six methods AND both exact
+    baselines bit-for-bit (shared md5 hyperplanes / seeds), so recall
+    itself is a cross-engine-verified number, not a self-reported one."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.ann_recall_report(
+        emb, emb.where(F.col("vec_id") < 10), k=3, pair_threshold=0.25
+    )
+    return out.orderBy("method")

@@ -395,6 +395,159 @@ def embedding_near_duplicates(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup baseline — documented QUADRATIC.
+
+    O(N²) pair space with no bucketing: this is the ground-truth oracle the
+    bucketed/multiprobe paths are measured against (``ann_recall_report``),
+    same role the exact n-gram Jaccard baseline plays for MinHash. Never
+    the 100 TB path — run it on samples/fixtures only.
+    """
+    b = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            "cosine_sim",
+        )
+    )
+
+
+def _recall_row(
+    method: str, k: int, approx: DataFrame, exact: DataFrame, keys: list[str]
+) -> DataFrame:
+    """One (method, k, n_hits, n_exact, recall) row: |approx ∩ exact| / |exact|."""
+    hits = (
+        approx.select(*keys)
+        .join(exact.select(*keys), keys)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(tot).select(
+        F.lit(method).alias("method"),
+        F.lit(k).alias("k"),
+        "n_hits",
+        "n_exact",
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    pair_threshold: float = 0.25,
+) -> DataFrame:
+    """Measured recall of every approximate ANN/near-dup path vs its exact
+    baseline — the quality dial for tuning plane counts / probe tables.
+
+    Two families, one report:
+
+    - **top-k set recall** (k from the arg): ``lsh_bucket_topk`` (8-plane),
+      ``ivf_topk`` (label codebook) and ``ivf_topk`` with the trained
+      ``kmeans_centroids`` codebook, each scored as
+      |approx_topk ∩ exact_topk| / |exact_topk| against
+      ``brute_force_topk`` over the same query set.
+    - **pair recall** (k reported as 0): bucketed near-dup at 8 and 16
+      planes and the 2×16 multiprobe union, each scored against the exact
+      quadratic ``exact_cosine_pairs`` at ``pair_threshold``.
+
+    All paths are deterministic (md5 hyperplanes / md5 k-means seeds), so
+    the recall numbers themselves are reproducible cross-engine — the
+    DuckDB oracle replays this whole report bit-for-bit.
+
+    Returns (method, k, n_hits, n_exact, recall), one row per method.
+    """
+    key_qn = ["query_id", "neighbor_id"]
+    key_pp = ["vec_a", "vec_b"]
+    kw = dict(id_col=id_col, vec_col=vec_col)
+
+    # Both exact baselines are referenced by several union arms; Spark has
+    # no cross-arm common-subexpression reuse, so truncate their lineage
+    # once (lazy localCheckpoint) instead of recomputing the quadratic
+    # baseline per recall row. Both are bounded: |queries|·k and the
+    # threshold-filtered pair set.
+    exact_topk = brute_force_topk(corpus, queries, k=k, **kw).localCheckpoint(
+        eager=False
+    )
+    exact_pairs = exact_cosine_pairs(
+        corpus, threshold=pair_threshold, **kw
+    ).localCheckpoint(eager=False)
+    kmeans_cb = kmeans_centroids(corpus, n_cells=8, iters=2, id_col=id_col, vec_col=vec_col)
+
+    rows = [
+        _recall_row(
+            "topk_lsh_bucket_8p", k,
+            lsh_bucket_topk(corpus, queries, k=k, planes=hyperplanes(8), **kw),
+            exact_topk, key_qn,
+        ),
+        _recall_row(
+            "topk_ivf_label", k,
+            ivf_topk(corpus, queries, k=k, **kw),
+            exact_topk, key_qn,
+        ),
+        _recall_row(
+            "topk_ivf_kmeans", k,
+            ivf_topk(corpus, queries, k=k, centroids=kmeans_cb, **kw),
+            exact_topk, key_qn,
+        ),
+        _recall_row(
+            "pairs_neardup_4p", 0,
+            embedding_near_duplicates(
+                corpus, threshold=pair_threshold, planes=hyperplanes(4), **kw
+            ),
+            exact_pairs, key_pp,
+        ),
+        _recall_row(
+            "pairs_neardup_8p", 0,
+            embedding_near_duplicates(
+                corpus, threshold=pair_threshold, planes=hyperplanes(8), **kw
+            ),
+            exact_pairs, key_pp,
+        ),
+        _recall_row(
+            "pairs_neardup_16p", 0,
+            embedding_near_duplicates(
+                corpus, threshold=pair_threshold, planes=hyperplanes(16), **kw
+            ),
+            exact_pairs, key_pp,
+        ),
+        _recall_row(
+            "pairs_multiprobe_2x16", 0,
+            embedding_near_duplicates_multiprobe(
+                corpus, threshold=pair_threshold, n_tables=2,
+                planes_per_table=16, **kw
+            ),
+            exact_pairs, key_pp,
+        ),
+        _recall_row(
+            "pairs_multiprobe_4x8", 0,
+            embedding_near_duplicates_multiprobe(
+                corpus, threshold=pair_threshold, n_tables=4,
+                planes_per_table=8, **kw
+            ),
+            exact_pairs, key_pp,
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def embedding_near_duplicates_multiprobe(
     df: DataFrame,
     *,
