@@ -351,27 +351,30 @@ def simhash_signatures(
     md5 keeps the signature engine-independent: the DuckDB oracle reproduces
     it bit-for-bit.
 
-    Returns (doc_id, simhash). The per-bit sums are ``bits`` aggregate
-    expressions over (doc, token, tf) — no explode-per-bit row blowup.
+    Returns (doc_id, simhash). Round-4 shape: the tf-weighted sum over
+    DISTINCT tokens equals the plain sum over all token OCCURRENCES, so
+    the old (doc_id, token) tf pre-aggregation — a full shuffle of the
+    tokenized corpus — is gone: one explode, md5 in the scan projection,
+    then a single groupBy(doc_id) whose ``bits`` sum(when) aggregates
+    partial-aggregate map-side (60 longs/doc cross the wire). The wide
+    HashAggregate costs one-time codegen JIT — measured ~15× cheaper in
+    steady state than the interpreted higher-order-function fold that
+    would avoid it (2.75 s vs 40.9 s warm at sf0.1; PERF.md), and
+    one-time JIT is noise at 100 TB while per-row cost is not.
     """
-    tf = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    h = md5_long(F.col("tok"))
-    tf = tf.withColumn("th", h)
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("doc_id", md5_long(F.col("tok")).alias("th"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
+            F.when(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sums = occ.groupBy("doc_id").agg(*bit_sums)
     sig = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
