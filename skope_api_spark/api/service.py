@@ -63,6 +63,8 @@ def _grid(meta: DatasetMeta) -> Grid:
         pixel_deg=meta.pixel_deg,
         rows=meta.grid_rows,
         cols=meta.grid_cols,
+        pixel_deg_lon=meta.pixel_deg_lon,
+        pixel_deg_lat=meta.pixel_deg_lat,
     )
 
 
@@ -134,7 +136,7 @@ class TimeseriesService:
     def cube(self, meta: DatasetMeta, variable_id: str) -> DataFrame:
         """Cube slice provider — dev default regenerates the analytic cube;
         override/subclass to read the ingested Parquet lake instead."""
-        return analytic_cube(self.spark, meta.dataset_id, variable_id)
+        return analytic_cube(self.spark, meta.dataset_id, variable_id, meta=meta)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -175,7 +177,7 @@ class TimeseriesService:
     @staticmethod
     def _area_m2(grid: Grid, cells: list[tuple[int, int]]) -> float:
         return sum(
-            cell_area_m2(grid.origin_lat - r * grid.pixel_deg, grid.pixel_deg)
+            cell_area_m2(grid.origin_lat - r * grid.px_lat, grid.px_lat, grid.px_lon)
             for r, _ in cells
         )
 

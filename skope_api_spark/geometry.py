@@ -50,32 +50,48 @@ class InvalidGeometryError(ValueError):
 
 @dataclass(frozen=True)
 class Grid:
-    """Axis-aligned raster grid: top-left corner + square pixel size."""
+    """Axis-aligned raster grid: top-left corner + pixel size.
+
+    ``pixel_deg`` is the square-pixel convenience; rasters whose lon/lat
+    resolutions differ (common after reprojection — the reference affine
+    handles this via ``dataset.index``, geometry.py:87-89) set
+    ``pixel_deg_lon`` / ``pixel_deg_lat``, which default to ``pixel_deg``.
+    """
 
     origin_lon: float
     origin_lat: float
     pixel_deg: float
     rows: int
     cols: int
+    pixel_deg_lon: float | None = None
+    pixel_deg_lat: float | None = None
+
+    @property
+    def px_lon(self) -> float:
+        return self.pixel_deg if self.pixel_deg_lon is None else self.pixel_deg_lon
+
+    @property
+    def px_lat(self) -> float:
+        return self.pixel_deg if self.pixel_deg_lat is None else self.pixel_deg_lat
 
     def cell_index(self, lon: float, lat: float) -> tuple[int, int]:
         """Affine inverse: lon/lat → (row, col), 0-based (reference
         ``dataset.index(x, y)``, geometry.py:87-89)."""
-        col = int((lon - self.origin_lon) // self.pixel_deg)
-        row = int((self.origin_lat - lat) // self.pixel_deg)
+        col = int((lon - self.origin_lon) // self.px_lon)
+        row = int((self.origin_lat - lat) // self.px_lat)
         return row, col
 
     def covers(self, lon: float, lat: float) -> bool:
         return (
-            self.origin_lon <= lon <= self.origin_lon + self.cols * self.pixel_deg
-            and self.origin_lat - self.rows * self.pixel_deg <= lat <= self.origin_lat
+            self.origin_lon <= lon <= self.origin_lon + self.cols * self.px_lon
+            and self.origin_lat - self.rows * self.px_lat <= lat <= self.origin_lat
         )
 
     def cell_bounds(self, row: int, col: int) -> tuple[float, float, float, float]:
         """(min_lon, min_lat, max_lon, max_lat) of one cell."""
-        lon0 = self.origin_lon + col * self.pixel_deg
-        lat1 = self.origin_lat - row * self.pixel_deg
-        return lon0, lat1 - self.pixel_deg, lon0 + self.pixel_deg, lat1
+        lon0 = self.origin_lon + col * self.px_lon
+        lat1 = self.origin_lat - row * self.px_lat
+        return lon0, lat1 - self.px_lat, lon0 + self.px_lon, lat1
 
 
 # --- pure-python computational geometry -------------------------------------

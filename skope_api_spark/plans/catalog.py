@@ -31,11 +31,14 @@ class DatasetMeta:
     variables: tuple[str, ...]
     grid_rows: int = 5
     grid_cols: int = 5
-    # top-left corner + square pixel size in degrees (dev fixtures:
-    # (-123, 45), 1.0° — FIXTURES.md §1)
+    # top-left corner + pixel size in degrees (dev fixtures: (-123, 45),
+    # 1.0° — FIXTURES.md §1). Rectangular-pixel rasters (lon≠lat
+    # resolution) set pixel_deg_lon/lat; None = square (pixel_deg).
     origin_lon: float = -123.0
     origin_lat: float = 45.0
     pixel_deg: float = 1.0
+    pixel_deg_lon: float | None = None
+    pixel_deg_lat: float | None = None
 
     def n_bands(self) -> int:
         steps = (

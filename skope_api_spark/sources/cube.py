@@ -85,10 +85,16 @@ VARIABLE_RULES: dict[tuple[str, str], dict] = {
 }
 
 
-def cell_area_m2(lat_top_deg: float, pixel_deg: float) -> float:
-    """Exact WGS84 ellipsoidal area of a pixel_deg × pixel_deg cell whose
-    top edge sits at this latitude (meridian/parallel-bounded quad)."""
-    dlon = math.radians(pixel_deg)
+def cell_area_m2(
+    lat_top_deg: float, pixel_deg: float, pixel_deg_lon: float | None = None
+) -> float:
+    """Exact WGS84 ellipsoidal area of one cell whose top edge sits at this
+    latitude (meridian/parallel-bounded quad). ``pixel_deg`` is the
+    LATITUDE extent; ``pixel_deg_lon`` the longitude extent (defaults to
+    square pixels) — Δλ scales the area linearly, the latitude band sets
+    the authalic term (same split as the GeoTIFF ETL's rectangular-pixel
+    kernel, sources/geotiff.py)."""
+    dlon = math.radians(pixel_deg if pixel_deg_lon is None else pixel_deg_lon)
     return (
         dlon
         * WGS84_A_M**2
@@ -101,11 +107,19 @@ def cell_area_m2(lat_top_deg: float, pixel_deg: float) -> float:
 
 
 def analytic_cube(
-    spark: SparkSession, dataset_id: str, variable_id: str
+    spark: SparkSession,
+    dataset_id: str,
+    variable_id: str,
+    *,
+    meta: DatasetMeta | None = None,
+    rule: dict | None = None,
 ) -> DataFrame:
-    """Generate one (dataset, variable) cube slice as a long DataFrame."""
-    meta: DatasetMeta = DEV_CATALOG[dataset_id]
-    rule = VARIABLE_RULES[(dataset_id, variable_id)]
+    """Generate one (dataset, variable) cube slice as a long DataFrame.
+
+    ``meta``/``rule`` default to the dev catalog; pass both to generate a
+    cube for a custom dataset (e.g. rectangular-pixel grids in tests)."""
+    meta = DEV_CATALOG[dataset_id] if meta is None else meta
+    rule = VARIABLE_RULES[(dataset_id, variable_id)] if rule is None else rule
     nb = meta.n_bands()
 
     df = (
@@ -129,10 +143,12 @@ def analytic_cube(
     else:
         time = F.add_months(origin, (F.col("b") - 1) * 12)
 
-    # general form for arbitrary pixel_deg (matches Grid.cell_bounds):
-    # cell (r, c) spans [origin + c*px, origin + (c+1)*px); center at +px/2.
-    px = meta.pixel_deg
-    lon = F.lit(meta.origin_lon) + F.col("c") * F.lit(px) + F.lit(px / 2)
+    # general form for arbitrary (possibly rectangular) pixels, matching
+    # Grid.cell_bounds: cell (r, c) spans [origin + c*px_lon, ...); center
+    # at +px/2 on each axis.
+    px_lon = meta.pixel_deg if meta.pixel_deg_lon is None else meta.pixel_deg_lon
+    px = meta.pixel_deg if meta.pixel_deg_lat is None else meta.pixel_deg_lat
+    lon = F.lit(meta.origin_lon) + F.col("c") * F.lit(px_lon) + F.lit(px_lon / 2)
     lat = F.lit(meta.origin_lat) - F.col("r") * F.lit(px) - F.lit(px / 2)
     lat_top = F.lit(meta.origin_lat) - F.col("r") * F.lit(px)
 
@@ -147,7 +163,7 @@ def analytic_cube(
             / F.lit(2.0 * WGS84_E)
         )
 
-    area = F.lit(math.radians(px) * WGS84_A_M**2 / 2.0) * (
+    area = F.lit(math.radians(px_lon) * WGS84_A_M**2 / 2.0) * (
         q(lat_top) - q(lat_top - F.lit(px))
     )
 

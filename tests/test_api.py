@@ -313,3 +313,101 @@ class TestUncertainty:
 
     def test_uncertainty_off_by_default(self, service):
         assert service.execute(v2()).uncertainty is None
+
+
+class TestNonSquareGrid:
+    """Rectangular pixels (lon≠lat resolution) through the full API path —
+    mirrors tests/test_geotiff.py::TestNonSquarePixels for the service
+    layer (reference affine handles this via ``dataset.index``,
+    timeseries/app/schemas/geometry.py:87-89)."""
+
+    RECT_ID = "rect_5x10_dataset"
+    RULE = {"value": "b * 100 + r * 10 + c", "f32": False, "null": "FALSE"}
+
+    @pytest.fixture(scope="class")
+    def rect_service(self, spark):
+        from skope_api_spark.plans.catalog import Catalog, DatasetMeta, TimeRange
+        from skope_api_spark.sources.cube import analytic_cube
+
+        meta = DatasetMeta(
+            dataset_id=self.RECT_ID,
+            resolution="year",
+            time_range=TimeRange(date(1, 1, 1), date(5, 1, 1)),
+            variables=("uint16_variable",),
+            grid_rows=5,
+            grid_cols=10,
+            origin_lon=-123.0,
+            origin_lat=45.0,
+            pixel_deg=1.0,
+            pixel_deg_lon=0.5,
+            pixel_deg_lat=1.0,
+        )
+        rule = self.RULE
+
+        class RectService(TimeseriesService):
+            def cube(self, meta, variable_id):
+                return analytic_cube(
+                    self.spark, meta.dataset_id, variable_id, meta=meta, rule=rule
+                )
+
+        return RectService(spark, catalog=Catalog(datasets={self.RECT_ID: meta}))
+
+    def rect_v2(self, **kw):
+        base = dict(
+            dataset_id=self.RECT_ID,
+            variable_id="uint16_variable",
+            selected_area=INTERIOR_POINT,
+        )
+        base.update(kw)
+        return M.TimeseriesV2Request(**base)
+
+    def test_point_lands_in_half_degree_column(self, rect_service):
+        """(-120.3, 42.5): col = (2.7 // 0.5) = 5, row = (2.5 // 1.0) = 2 —
+        a square-pixel Grid would pick col 2 and return ...22 values."""
+        resp = rect_service.execute(
+            self.rect_v2(
+                selected_area={"type": "Point", "coordinates": [-120.3, 42.5]}
+            )
+        )
+        assert resp.n_cells == 1
+        assert resp.series[0].values == [b * 100 + 25.0 for b in range(1, 6)]
+
+    def test_polygon_touches_rect_cells_and_area(self, rect_service):
+        from skope_api_spark.sources.cube import cell_area_m2
+
+        square = {
+            "type": "Polygon",
+            "coordinates": [
+                [
+                    [-121.9, 43.9],
+                    [-121.1, 43.9],
+                    [-121.1, 42.1],
+                    [-121.9, 42.1],
+                    [-121.9, 43.9],
+                ]
+            ],
+        }
+        resp = rect_service.execute(self.rect_v2(selected_area=square))
+        # lon [-121.9, -121.1] touches 0.5° cols 2 and 3; lat rows 1 and 2
+        assert resp.n_cells == 4
+        expected = [(1, 2), (1, 3), (2, 2), (2, 3)]
+        mean_rc = sum(r * 10 + c for r, c in expected) / 4
+        assert resp.series[0].values == [b * 100 + mean_rc for b in range(1, 6)]
+        # area: lon width 0.5° halves each cell; latitude band sets the rest
+        want = 2 * (cell_area_m2(44.0, 1.0, 0.5) + cell_area_m2(43.0, 1.0, 0.5))
+        assert resp.area_m2 == pytest.approx(want, rel=1e-12)
+        assert cell_area_m2(44.0, 1.0, 0.5) == pytest.approx(
+            cell_area_m2(44.0, 1.0) / 2, rel=1e-9
+        )
+
+    def test_out_of_bounds_uses_rect_extent(self, rect_service):
+        """Grid covers lon up to -123 + 10*0.5 = -118: a point at -117.5
+        must 422 even though a square 1.0° grid of 10 cols would cover it."""
+        from skope_api_spark.geometry import SelectedAreaOutOfBoundsError
+
+        with pytest.raises(SelectedAreaOutOfBoundsError):
+            rect_service.execute(
+                self.rect_v2(
+                    selected_area={"type": "Point", "coordinates": [-117.5, 42.0]}
+                )
+            )
