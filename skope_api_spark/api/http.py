@@ -39,7 +39,7 @@ def handle_timeseries_v2(
 ) -> tuple[int, dict[str, Any]]:
     """POST /timeseries equivalent."""
     try:
-        req = M.TimeseriesV2Request(**payload)
+        req = M.TimeseriesV2Request(**M.legacy_payload_to_v2(payload))
     except ValidationError as ex:
         return 422, {"detail": json.loads(ex.json())}
     try:

@@ -28,14 +28,39 @@ from skope_api_spark.plans import intervals as iv
 MAX_PROCESSING_TIME_MS = 15_000  # reference config.py:32
 
 
+def _coerce_loose_date(v):
+    """Accept the reference's shipped request-fixture date forms
+    (``data/requests/*.json``): a bare year int (``2`` → 0002-01-01) and a
+    ``{"year", "month"}`` object (``{"year": 3, "month": 1}`` →
+    0003-01-01) — same year→Jan-1 semantics the v1 string parser documents
+    (reference timeseries.py:289-325)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return date(v, 1, 1)
+    if isinstance(v, dict) and "year" in v:
+        return date(int(v["year"]), int(v.get("month", 1)), int(v.get("day", 1)))
+    return v
+
+
 class OptionalTimeRangeModel(BaseModel):
     gte: Optional[date] = None
     lte: Optional[date] = None
+
+    @field_validator("gte", "lte", mode="before")
+    @classmethod
+    def _loose(cls, v):
+        return _coerce_loose_date(v)
 
 
 class TimeRangeModel(BaseModel):
     gte: date
     lte: date
+
+    @field_validator("gte", "lte", mode="before")
+    @classmethod
+    def _loose(cls, v):
+        return _coerce_loose_date(v)
 
     @field_validator("lte")
     @classmethod
@@ -165,6 +190,13 @@ class TimeseriesV1Request(BaseModel):
     start: Optional[str] = None
     end: Optional[str] = None
 
+    @field_validator("start", "end", mode="before")
+    @classmethod
+    def _int_to_str(cls, v):
+        # the shipped v1 fixture (data/requests/timeseriesv1.json) sends
+        # bare year ints; the reference's pydantic v1 coerced them to str
+        return str(v) if isinstance(v, int) else v
+
 
 def parse_v1_date(s: str) -> date:
     """Parse v1 "1" / "2000-01" strings (reference timeseries.py:295-325).
@@ -177,6 +209,26 @@ def parse_v1_date(s: str) -> date:
     year = int(parts[0])
     month = int(parts[1]) if len(parts) > 1 else 1
     return date(year, month, 1)
+
+
+def legacy_payload_to_v2(payload: dict) -> dict:
+    """Normalize pre-series-options v2 payloads (the reference's shipped
+    ``data/requests/yearly*.json`` fixtures): a ``transforms`` list of
+    smoother configs becomes ``requested_series_options`` (original +
+    one named series per smoother); ``resolution`` is dropped (it is
+    catalog-derived). Current-shape payloads pass through untouched."""
+    p = dict(payload)
+    p.pop("resolution", None)
+    transforms = p.pop("transforms", None)
+    if transforms and "requested_series_options" not in p:
+        p["requested_series_options"] = [
+            {"name": "original", "smoother": {"type": "NoSmoother"}},
+            *(
+                {"name": f"transform_{i}", "smoother": t}
+                for i, t in enumerate(transforms)
+            ),
+        ]
+    return p
 
 
 def v1_to_v2(req: TimeseriesV1Request) -> TimeseriesV2Request:
