@@ -6,13 +6,18 @@ feature-extraction / frame-sampling run as Arrow-batched ``mapInPandas``
 stages so bytes never round-trip through per-row Python.
 
 The decode kernels themselves are STUBBED here — this environment has no
-image/audio libraries — behind ``_HAVE_PIL``-style gates: with the real
-library absent, ``decode_image_metadata`` parses only what pure Python can
-(PNG/JPEG/GIF headers — real parsing, no library), and ``extract_features``
-produces a deterministic hash-derived pseudo-embedding with the exact
-shape/type a real encoder would emit. The Spark-side plumbing — schemas,
-batch iteration, partition sizing — is real and tested; swapping in a real
-decoder changes only the kernel body.
+image/audio libraries — and every stage exposes the kernel as an INJECTABLE
+parameter (``decoder=`` / ``encoder=`` / ``sampler=``), so a real
+PIL/torchvision/ffmpeg deployment is a one-line swap at the call site with
+zero changes to the Spark plumbing (the same seam pattern as
+``sources/geotiff.py``'s ``reader=``). Defaults with the libraries absent:
+``decode_image_metadata`` parses what pure Python can (PNG/JPEG/GIF
+headers — real parsing, no library), ``extract_features`` produces a
+deterministic hash-derived pseudo-embedding with the exact shape/dtype a
+real encoder would emit, ``sample_frames`` strides bytes in place of
+keyframe offsets. The Spark-side plumbing — schemas, Arrow batch
+iteration, partition sizing, fan-out shape — is real and tested with both
+the defaults and injected fakes (``tests/test_multimodal.py``).
 
 Scale notes: binary payloads dominate partition size, so callers should
 size input splits by bytes (``spark.sql.files.maxPartitionBytes``) and keep
@@ -107,20 +112,24 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
     return None, None, None
 
 
-def decode_image_metadata(df: DataFrame) -> DataFrame:
+def decode_image_metadata(df: DataFrame, *, decoder=None) -> DataFrame:
     """Decode stage: binary → typed metadata via Arrow-batched mapInPandas.
 
-    With PIL absent (this environment), dimensions come from the pure-Python
-    header sniffer; a real deployment swaps ``_sniff_image`` for
-    ``PIL.Image.open`` inside the same batch loop.
+    ``decoder``: ``bytes -> (format, width, height)`` — THE injection seam.
+    Default is the pure-Python header sniffer (PIL absent here); a real
+    deployment passes e.g.
+    ``lambda b: (img := PIL.Image.open(io.BytesIO(b))).format.lower(),
+    *img.size)`` and nothing else changes. The callable is cloudpickled to
+    executors, so it must be importable/self-contained.
     """
+    decoder = decoder if decoder is not None else _sniff_image
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             fmts, ws, hs, sizes = [], [], [], []
             for blob in pdf["content"]:
                 b = bytes(blob)
-                fmt, w, h = _sniff_image(b)
+                fmt, w, h = decoder(b)
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)
@@ -138,45 +147,81 @@ def decode_image_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
-def extract_features(df: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature-extraction stage: binary → array<float> pseudo-embedding.
-
-    STUB KERNEL: the vector is derived from sha256(content) — deterministic,
+def hash_pseudo_encoder(dim: int = FEATURE_DIM):
+    """Default STUB kernel: sha256-derived pseudo-embedding — deterministic,
     unit-scaled, correct shape/dtype — standing in for a real image/audio
-    encoder. The mapInPandas plumbing (Arrow batches in, list-typed column
-    out) is exactly what a real encoder uses.
+    encoder while no media libraries exist in this environment."""
+
+    def encode(b: bytes) -> list[float]:
+        digest = hashlib.sha256(b).digest()
+        return [(digest[i % 32] - 127.5) / 127.5 for i in range(dim)]
+
+    return encode
+
+
+def extract_features(
+    df: DataFrame, *, dim: int = FEATURE_DIM, encoder=None
+) -> DataFrame:
+    """Feature-extraction stage: binary → array<float> embedding.
+
+    ``encoder``: ``bytes -> list[float]`` (length ``dim``) — THE injection
+    seam; a real deployment passes a CLIP/wav2vec forward pass (typically
+    batched inside the callable). Default: ``hash_pseudo_encoder`` (STUB,
+    see its docstring). The mapInPandas plumbing (Arrow batches in,
+    list-typed column out) is identical either way.
     """
+    encoder = encoder if encoder is not None else hash_pseudo_encoder(dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for blob in pdf["content"]:
-                digest = hashlib.sha256(bytes(blob)).digest()
-                vec = [
-                    (digest[i % 32] - 127.5) / 127.5 for i in range(dim)
-                ]
-                feats.append(vec)
+            feats = [encoder(bytes(blob)) for blob in pdf["content"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def sample_frames(df: DataFrame, *, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stage for video-ish blobs: emit ≤ ``max_frames`` chunks
-    at fixed byte strides (1 row in → N rows out, the fan-out shape real
-    frame extraction has). STUB: strides stand in for keyframe offsets."""
+def byte_stride_sampler(every_n_bytes: int = 4096, max_frames: int = 8):
+    """Default STUB kernel: ≤ ``max_frames`` 64-byte chunks at fixed byte
+    strides, standing in for real keyframe extraction (no ffmpeg here)."""
+
+    def sample(b: bytes) -> list[tuple[int, bytes]]:
+        return [
+            (k * every_n_bytes, b[k * every_n_bytes : k * every_n_bytes + 64])
+            for k in range(min(max_frames, max(1, len(b) // every_n_bytes)))
+        ]
+
+    return sample
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_n_bytes: int = 4096,
+    max_frames: int = 8,
+    sampler=None,
+) -> DataFrame:
+    """Frame-sampling stage for video-ish blobs (1 row in → N rows out, the
+    fan-out shape real frame extraction has).
+
+    ``sampler``: ``bytes -> list[(byte_offset, frame_bytes)]`` — THE
+    injection seam; a real deployment passes an ffmpeg/pyav keyframe
+    extractor. Default: ``byte_stride_sampler`` (STUB, see its docstring).
+    """
+    sampler = (
+        sampler
+        if sampler is not None
+        else byte_stride_sampler(every_n_bytes, max_frames)
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, offs, frames = [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(blob)
-                for k in range(min(max_frames, max(1, len(b) // every_n_bytes))):
-                    off = k * every_n_bytes
+                for k, (off, frame) in enumerate(sampler(bytes(blob))):
                     ids.append(mid)
                     idxs.append(k)
                     offs.append(off)
-                    frames.append(b[off : off + 64])
+                    frames.append(frame)
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -112,3 +112,59 @@ class TestPipelineComposability:
         assert [r.query_id for r in rows] == [1, 1]
         assert rows[0].cosine_sim >= rows[1].cosine_sim
         assert {r.neighbor_id for r in rows} <= {2, 3, 4}
+
+
+class TestInjectableKernels:
+    """The decoder/encoder/sampler injection seams: a 'real' deployment
+    swaps the stub kernel at the call site with zero plumbing changes
+    (same seam pattern as sources/geotiff.py's reader=)."""
+
+    def test_custom_decoder_end_to_end(self, media_df):
+        def exif_like_decoder(b: bytes):
+            # stands in for PIL.Image.open: fixed dims, tagged format
+            return f"injected/{len(b) % 7}", 111, 222
+
+        out = {
+            r.media_id: r
+            for r in mm.decode_image_metadata(
+                media_df, decoder=exif_like_decoder
+            ).collect()
+        }
+        assert all(r.width == 111 and r.height == 222 for r in out.values())
+        assert all(r.format.startswith("injected/") for r in out.values())
+        # n_bytes still comes from the plumbing, not the kernel
+        assert out[4].n_bytes == 18000
+
+    def test_custom_encoder_end_to_end(self, media_df):
+        def length_encoder(b: bytes):
+            # stands in for a CLIP forward pass: deterministic, dim-4
+            x = float(len(b))
+            return [x, x / 2, x / 4, x / 8]
+
+        rows = mm.extract_features(
+            media_df, dim=4, encoder=length_encoder
+        ).collect()
+        by_id = {r.media_id: r.feature for r in rows}
+        assert by_id[4] == pytest.approx([18000.0, 9000.0, 4500.0, 2250.0])
+        assert all(len(v) == 4 for v in by_id.values())
+
+    def test_custom_sampler_end_to_end(self, media_df):
+        def keyframe_like_sampler(b: bytes):
+            # stands in for ffmpeg keyframes: first and last 8 bytes
+            return [(0, b[:8]), (len(b) - 8, b[-8:])]
+
+        rows = mm.sample_frames(
+            media_df.where("media_id = 4"), sampler=keyframe_like_sampler
+        ).collect()
+        assert [(r.frame_idx, r.byte_offset) for r in rows] == [
+            (0, 0),
+            (1, 17992),
+        ]
+        assert all(len(r.frame_bytes) == 8 for r in rows)
+
+    def test_default_kernels_unchanged(self, media_df):
+        """The no-arg path still runs the documented stubs."""
+        feats = mm.extract_features(media_df).collect()
+        assert all(len(r.feature) == mm.FEATURE_DIM for r in feats)
+        frames = mm.sample_frames(media_df.where("media_id = 4")).collect()
+        assert [r.byte_offset for r in frames] == [0, 4096, 8192, 12288]
