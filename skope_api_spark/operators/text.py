@@ -285,13 +285,14 @@ def redact_pii(
     the scan projection (no shuffle, no Python); returns
     (doc_id, clean_text, n_redactions).
     """
+    # count each pattern on the PROGRESSIVELY-redacted text, so a span
+    # matched by two patterns (e.g. digit-heavy email local parts) counts
+    # once — n_redactions equals actual replacements performed
     clean = F.col(text_col)
+    n_red = F.lit(0)
     for pat, token in PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(clean, F.lit(pat), 0))
         clean = F.regexp_replace(clean, pat, token)
-    n_red = sum(
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
-        for p, _ in PII_PATTERNS
-    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         clean.alias("clean_text"),

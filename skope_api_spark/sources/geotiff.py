@@ -23,6 +23,7 @@ partitioned write) is real and unit-tested with a fake reader.
 from __future__ import annotations
 
 import math
+from calendar import monthrange
 from collections.abc import Callable, Iterator, Sequence
 from datetime import date
 
@@ -73,9 +74,11 @@ def _read_with_rasterio(path: str):
 
 def _add_months(d: date, months: int) -> date:
     """ns-safe month arithmetic (pd.Timestamp cannot hold year-1 dates;
-    SKOPE time axes start at 0001-01-01)."""
+    SKOPE time axes start at 0001-01-01). The day is clamped to the target
+    month's length so e.g. Jan-31 + 1 month is Feb-28/29, not a
+    ValueError inside an executor task mid-ingest."""
     y, m0 = divmod(d.year * 12 + (d.month - 1) + months, 12)
-    return date(y, m0 + 1, d.day)
+    return date(y, m0 + 1, min(d.day, monthrange(y, m0 + 1)[1]))
 
 
 def _cells(reader, files_pdf, cell_area_fn):
@@ -143,9 +146,16 @@ def geotiff_cells(
         )
 
     rd = reader if reader is not None else _read_with_rasterio
-    files_df = spark.createDataFrame(list(files), _FILES_SCHEMA)
-    # one file per partition: raster decode is the unit of parallelism
-    files_df = files_df.repartition(max(len(files), 1), "path")
+    # one file per partition: raster decode is the unit of parallelism.
+    # An explicit sequential index + range partitioning gives true
+    # round-robin assignment — hash-partitioning on path collides, leaving
+    # some tasks with 2+ rasters and others empty (straggler skew).
+    files_list = list(files)
+    files_df = spark.createDataFrame(
+        [(i, *f) for i, f in enumerate(files_list)],
+        "file_idx int, " + _FILES_SCHEMA,
+    )
+    files_df = files_df.repartitionByRange(max(len(files_list), 1), "file_idx")
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:

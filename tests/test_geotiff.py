@@ -112,3 +112,8 @@ class TestMonthArithmetic:
         assert _add_months(dt.date(1, 1, 1), 13) == dt.date(2, 2, 1)
         assert _add_months(dt.date(1, 11, 1), 2) == dt.date(2, 1, 1)
         assert _add_months(dt.date(1, 1, 1), 12 * math.floor(4)) == dt.date(5, 1, 1)
+
+    def test_add_months_clamps_day_to_month_length(self):
+        assert _add_months(dt.date(2000, 1, 31), 1) == dt.date(2000, 2, 29)
+        assert _add_months(dt.date(1999, 1, 31), 1) == dt.date(1999, 2, 28)
+        assert _add_months(dt.date(2000, 3, 31), 1) == dt.date(2000, 4, 30)
