@@ -285,6 +285,14 @@ def duplicate_clusters(
     scalar (count of changed labels) — the standard shape for iterative
     algorithms, not a data collect.
 
+    Convergence needs one round per hop of the largest cluster's diameter
+    (plus one to detect the fixpoint). If ``max_iter`` rounds pass while
+    labels are still changing, the labels are WRONG for any cluster wider
+    than ``max_iter`` hops — so this raises rather than silently returning
+    a partial merge; callers with pathological chain-shaped graphs (not
+    the shallow clique/pair shape near-dup graphs have) should raise
+    ``max_iter``.
+
     Returns (doc_id, cluster_id = min reachable id) for every node that
     appears in ``pairs``.
     """
@@ -330,6 +338,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds - "
+            f"{changed} labels still changing; a cluster's diameter exceeds "
+            f"max_iter. Re-run with a larger max_iter."
+        )
     edges.unpersist()
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
