@@ -419,6 +419,20 @@ WITH ex AS (
     FROM (SELECT vec_id AS query_id, v AS qv, cell FROM af WHERE vec_id < 10) qa
     JOIN af ca USING (cell) WHERE qa.query_id != ca.vec_id
   ) WHERE rk <= 3
+), qprobe2 AS (
+  SELECT vec_id AS query_id, qv, cell FROM (
+    SELECT e.vec_id, e.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rk
+    FROM (SELECT vec_id, v FROM ex WHERE vec_id < 10) e CROSS JOIN c2 c
+  ) WHERE rk <= 2
+), ivf_kmeans_p2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qa.query_id, ca.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qa.query_id
+             ORDER BY list_cosine_similarity(qa.qv, ca.v) DESC, ca.vec_id) AS rk
+    FROM qprobe2 qa JOIN af ca USING (cell) WHERE qa.query_id != ca.vec_id
+  ) WHERE rk <= 3
 ), p_exact AS (
   SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
   FROM ex a JOIN ex c ON a.vec_id < c.vec_id
@@ -468,6 +482,8 @@ WITH ex AS (
 {_recall_row_sql("topk_ivf_label", 3, "ivf_label", "brute", "query_id, neighbor_id")}
   UNION ALL
 {_recall_row_sql("topk_ivf_kmeans", 3, "ivf_kmeans", "brute", "query_id, neighbor_id")}
+  UNION ALL
+{_recall_row_sql("topk_ivf_kmeans_p2", 3, "ivf_kmeans_p2", "brute", "query_id, neighbor_id")}
   UNION ALL
 {_recall_row_sql("pairs_neardup_4p", 0, "p4", "p_exact", "vec_a, vec_b")}
   UNION ALL

@@ -299,16 +299,22 @@ def ivf_topk(
     label_col: str = "label",
     k: int = 3,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid (max
-    cosine), probe only the query's cell, exact re-rank inside it.
+    cosine), probe the query's ``nprobe`` nearest cells, exact re-rank.
 
     Centroids are a tiny broadcast codebook — pass a trained one
     (``kmeans_centroids``) or default to the label-mean stand-in;
     assignment is a broadcast nested-loop over ~n_cells rows per vector
     (cheap); the candidate join is an equi-join on the cell id — same
     scale shape as the LSH path with a data-adaptive quantizer instead of
-    random hyperplanes.
+    random hyperplanes. ``nprobe`` is the standard IVF recall dial: the
+    QUERY side fans out to its ``nprobe`` best cells (queries are a
+    bounded batch, so the fan-out is bounded too — corpus rows are always
+    assigned to exactly one cell); recall rises toward brute force as
+    nprobe → n_cells at nprobe× candidate cost. ``sim_recall_report``
+    measures it.
     """
     cents = (
         centroids
@@ -339,8 +345,24 @@ def ivf_topk(
             )
         )
 
-    qa = assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
+    def assign_topn(df: DataFrame, idc: str, n: int) -> DataFrame:
+        # query-side multi-probe: top-n cells per query. The window runs
+        # over the bounded query batch only (never the corpus).
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = W.partitionBy(idc).orderBy(F.desc("__csim"), "cell")
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n)
+            .select(idc, vec_col, "cell")
+        )
+
+    q_sel = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    qa = (
+        assign(q_sel, "query_id")
+        if nprobe <= 1
+        else assign_topn(q_sel, "query_id", nprobe)
     ).select("query_id", F.col(vec_col).alias("q_vec"), "cell")
     ca = assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -502,6 +524,11 @@ def ann_recall_report(
         _recall_row(
             "topk_ivf_kmeans", k,
             ivf_topk(corpus, queries, k=k, centroids=kmeans_cb, **kw),
+            exact_topk, key_qn,
+        ),
+        _recall_row(
+            "topk_ivf_kmeans_p2", k,
+            ivf_topk(corpus, queries, k=k, centroids=kmeans_cb, nprobe=2, **kw),
             exact_topk, key_qn,
         ),
         _recall_row(
