@@ -203,3 +203,39 @@ def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_minhash_cross_corpus",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+)
+SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+       ROUND(len(list_intersect(c.s, p.s))::DOUBLE
+             / len(list_distinct(c.s || p.s)), 4) AS jaccard
+FROM sh c JOIN sh p ON c.doc_id % 5 != 0 AND p.doc_id % 5 = 0
+WHERE len(list_intersect(c.s, p.s))::DOUBLE
+      / len(list_distinct(c.s || p.s)) >= 0.7
+ORDER BY c.doc_id, probe_id
+""",
+)
+def dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-heldout decontamination at document granularity: corpus
+    docs (doc_id % 5 != 0) that are near-dups of any probe doc
+    (doc_id % 5 == 0) via broadcast banded signatures + exact verify.
+    Oracle is the exact cross-set Jaccard (recall at the planted-pair
+    similarity is 1 - ~1e-9, so the sets coincide)."""
+    docs = load(spark, sf_dir, "documents")
+    out = ops.minhash_cross_corpus(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        threshold=0.7,
+    )
+    return out.select(
+        "doc_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_id", "probe_id")

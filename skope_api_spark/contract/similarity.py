@@ -511,3 +511,39 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 10), k=3, pair_threshold=0.25
     )
     return out.orderBy("method")
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, v
+  FROM ex
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+), a1 AS ({_ASSIGN_SQL.format(cents="seeds")}
+), c1 AS ({_UPDATE_SQL.format(assigned="a1")}
+), a2 AS ({_ASSIGN_SQL.format(cents="c1")}
+), c2 AS ({_UPDATE_SQL.format(assigned="a2")}
+), af AS ({_ASSIGN_SQL.format(cents="c2")}
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+)
+SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+       (d.vec_id IS NULL) AS kept
+FROM af LEFT JOIN dropped d ON af.vec_id = d.vec_id
+ORDER BY af.vec_id
+""",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-clustered embedding space (the trained Lloyd
+    codebook), within-cluster cosine >= 0.35 pruning, min-id
+    representative kept. The oracle replays the identical codebook
+    trajectory and pruning rule in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.semantic_dedup(emb, n_cells=8, iters=2, tau=0.35)
+    return out.orderBy("vec_id")

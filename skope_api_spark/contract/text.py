@@ -393,3 +393,122 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.md5("clean_text").alias("clean_md5"), "n_redactions"
     ).orderBy("doc_id")
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, nc, toks, unnest(range(0, nc)) AS i FROM c
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(nc AS INT) AS n_chunks,
+       array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+         AS chunk_text,
+       CAST(len(string_split(
+         array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' '),
+         ' ')) AS INT) AS n_chunk_tokens
+FROM e
+ORDER BY doc_id, chunk_id
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap → stride 24): the RAG/pre-tokenization segmentation step,
+    entirely in the scan projection. Oracle replays the identical
+    window arithmetic with DuckDB list functions."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                        for i in range(1, len(toks) - 1)]) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+), g AS (
+  SELECT unnest(grams) AS gram FROM sh
+), nd AS (
+  SELECT COUNT(*)::DOUBLE AS n FROM documents
+)
+SELECT gram,
+       CAST(COUNT(*) AS INT) AS doc_freq,
+       ROUND(COUNT(*) / (SELECT n FROM nd), 4) AS doc_frac
+FROM g
+GROUP BY gram
+ORDER BY doc_freq DESC, gram
+LIMIT 20
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detector: top-20 3-grams by document
+    frequency (per-doc distinct shingles → one count aggregation →
+    TakeOrderedAndProject)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.boilerplate_ngrams(docs, shingle_n=3, top_k=20)
+
+
+@query(
+    "text_domain_profile",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         text || ' ref https://' || source || '.example.com/d/'
+              || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' see http://spam.example.org/x' ELSE '' END AS txt
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(txt,
+           'https?://[a-z0-9.-]+(/[a-z0-9./-]*)?', 0)) AS url
+  FROM t
+), d AS (
+  SELECT doc_id, regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain
+  FROM u
+)
+SELECT domain,
+       CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+       CAST(COUNT(*) AS INT) AS n_urls,
+       domain IN ('spam.example.org') AS blocked
+FROM d
+GROUP BY domain
+ORDER BY domain
+""",
+)
+def text_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-provenance profile: extract URLs from free text, parse
+    domains, aggregate per-domain doc/url counts, flag blocklisted
+    domains. The corpus has no URLs, so each doc is deterministically
+    seeded with a source-derived URL (and every 7th doc with a
+    blocklisted one) — both engines build and then parse the same
+    strings."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ref https://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" see http://spam.example.org/x")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ops.domain_profile(docs, blocklist=("spam.example.org",))

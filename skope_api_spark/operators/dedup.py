@@ -237,6 +237,103 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_cross_corpus(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus near-dup flagging: corpus documents that are near
+    duplicates (exact n-gram Jaccard ≥ ``threshold``) of ANY probe-set
+    document — the train-vs-heldout / train-vs-benchmark decontamination
+    check at document granularity (stronger than single-n-gram overlap:
+    it flags verbatim and lightly-edited copies, not incidental phrase
+    collisions).
+
+    Scale shape — the probe side is benchmark-sized by definition, so its
+    banded signature table AND its shingle table are both broadcast: the
+    corpus is scanned ONCE, signatures are computed in the scan
+    projection, candidates fall out of a broadcast equi-join on
+    (band, band_hash), and the only shuffle is the candidate-pair
+    distinct (collision-sized, ≪ corpus). No corpus self-join, no
+    corpus-sized shuffle at all.
+
+    Returns (doc_id, probe_id, jaccard) for every verified pair.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    rows_per_band = num_hashes // bands
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[_mh(b * rows_per_band + r) for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+
+    sh_c = (
+        with_token_shingles(corpus, text_col, shingle_n, "shingles")
+        .select(F.col(id_col).alias("doc_id"), "shingles")
+        .where(F.size("shingles") > 0)
+    )
+    sh_p = (
+        with_token_shingles(probe, text_col, shingle_n, "shingles")
+        .select(F.col(id_col).alias("probe_id"), "shingles")
+        .where(F.size("shingles") > 0)
+    )
+
+    # corpus rows carry their shingle arrays through the BROADCAST join —
+    # map-side, so the arrays never shuffle; probe bands are skinny
+    banded_c = sh_c.select(
+        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("shingles").alias("sh_a"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+    banded_p = sh_p.select(
+        "probe_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "probe_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+    cands = (
+        banded_c.join(F.broadcast(banded_p), ["band", "band_hash"])
+        # a pair can collide in several bands — dedupe (and keep one copy
+        # of the corpus shingles) before verifying; this groupBy is the
+        # only shuffle and it moves candidate pairs, not the corpus
+        .groupBy("doc_id", "probe_id")
+        .agg(F.first("sh_a").alias("sh_a"))
+    )
+    probe_sh = sh_p.select("probe_id", F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("double")
+    return (
+        cands.join(F.broadcast(probe_sh), "probe_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "probe_id", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -609,3 +609,74 @@ def embedding_near_duplicates_multiprobe(
         )
         out = part if out is None else out.unionByName(part)
     return out.dropDuplicates(["vec_a", "vec_b"])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication via k-means
+    clustering + within-cluster cosine pruning. Cluster the embedding
+    space with the trained ``kmeans_centroids`` codebook, compare pairs
+    ONLY within a cluster, and drop every vector that has a
+    cosine ≥ ``tau`` neighbor with a smaller id in its cluster (keeping
+    the min-id representative of each semantic-duplicate group —
+    deterministic where the paper keeps a random member).
+
+    Scale shape: the cluster assignment is a broadcast-codebook
+    ``groupBy(max_by)`` (map-side partial agg, one shuffle of
+    (id, vec, cell)); the pairwise step is an equi-join on the cell id —
+    O(Σ cell²) not O(N²), and at 100 TB ``n_cells`` is chosen ∝ N (the
+    paper uses ~100k clusters for LAION-scale) so cells stay bounded.
+    Never an all-pairs join.
+
+    Returns (vec_id, cell, kept) for every input vector, ``kept = false``
+    iff the vector is pruned as a semantic duplicate.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            df, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col("v"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell"), F.col("v")),
+                F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cell").alias("cell"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__drop", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+    )

@@ -268,6 +268,157 @@ def unigram_logprob(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-embedding / pre-tokenization segmentation step (RAG
+    indexing, long-document training examples).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final chunk
+    may be shorter; a document never yields a chunk fully contained in the
+    previous one. Entirely per-row array math (sequence → slice →
+    array_join) followed by one ``posexplode`` — NO shuffle: chunking is
+    embarrassingly parallel and stays inside the scan projection, so at
+    100 TB it runs at full scan throughput and the output lands
+    partition-aligned with the input for any downstream per-chunk work.
+
+    Returns (doc_id, chunk_id, n_chunks, chunk_text, n_chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap={overlap} < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    chunks = (
+        f"transform(sequence(0, CAST(__nc AS INT) - 1), "
+        f"i -> array_join(slice(__toks, i * {stride} + 1, {chunk_tokens}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__nc",
+            F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+                F.floor(
+                    (F.col("__n") - chunk_tokens + stride - 1) / F.lit(stride)
+                ).cast("int")
+                + 1
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("__nc").cast("int").alias("n_chunks"),
+            F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "n_chunks",
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: the ``top_k`` n-grams by DOCUMENT
+    frequency (C4-style — phrases appearing verbatim across many documents
+    are navigation chrome / license headers / templates, and the top of
+    this list is the removal candidate set).
+
+    Per-doc distinct shingles in the scan projection (no per-occurrence
+    explosion), one gram-keyed count aggregation (map-side partial combine
+    — each task emits at most one row per distinct gram), then
+    ``orderBy().limit(top_k)`` → TakeOrderedAndProject: per-partition
+    top-k, tiny driver merge — never a global sort of the gram table. The
+    corpus doc count folds in as a broadcast 1-row aggregate (no separate
+    driver-side count pass). Returns (gram, doc_freq, doc_frac).
+    """
+    grams = with_token_shingles(df, text_col, shingle_n, "shingles").select(
+        F.explode("shingles").alias("gram")  # shingles are per-doc distinct
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "gram",
+            F.col("doc_freq").cast("int").alias("doc_freq"),
+            F.round(F.col("doc_freq") / F.col("__nd"), 4).alias("doc_frac"),
+        )
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(top_k)
+    )
+
+
+# domain charset kept conservative so Java regex and RE2 (DuckDB) agree
+URL_PATTERN = "https?://[a-z0-9.-]+(/[a-z0-9./-]*)?"
+DOMAIN_PATTERN = "https?://([a-z0-9.-]+)"
+
+
+def url_domains(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Extract every http(s) URL from free text and parse its domain.
+
+    ``regexp_extract_all`` + ``explode`` in the scan projection — no
+    shuffle, no Python. Returns (doc_id, url, domain), one row per URL
+    occurrence.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+            ).alias("url"),
+        )
+        .withColumn("domain", F.regexp_extract("url", DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-domain corpus profile with blocklist flags — the provenance
+    filter step of a web-crawl pipeline (count what each domain
+    contributes; drop or down-weight blocked domains).
+
+    One URL-extraction scan + one domain-keyed aggregation; the blocklist
+    is a literal IN-set (broadcast by construction — blocklists are
+    curated, not corpus-sized). Returns (domain, n_docs, n_urls, blocked)
+    sorted by domain.
+    """
+    urls = url_domains(df, text_col, id_col)
+    blocked = (
+        F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
+    )
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count_distinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_urls"),
+        )
+        .withColumn("blocked", blocked)
+        .orderBy("domain")
+    )
+
+
 # conservative patterns; identical semantics in Java regex and RE2 so the
 # DuckDB oracle reproduces the redaction byte-for-byte
 PII_PATTERNS = (

@@ -40,3 +40,66 @@ class TestClusterPropagationDepth:
             for r in duplicate_clusters(pairs).collect()
         }
         assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+class TestMinhashCrossCorpus:
+    def test_flags_near_dup_of_probe_only(self, spark):
+        from skope_api_spark.operators.dedup import minhash_cross_corpus
+
+        base = " ".join(f"w{i}" for i in range(40))
+        corpus = spark.createDataFrame(
+            [
+                (10, base + " tail"),  # near-dup of probe doc 1
+                (11, " ".join(f"z{i}" for i in range(40))),  # unrelated
+            ],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(1, base), (2, "short unrelated probe text here")],
+            "doc_id long, text string",
+        )
+        rows = minhash_cross_corpus(corpus, probe, threshold=0.7).collect()
+        assert [(r.doc_id, r.probe_id) for r in rows] == [(10, 1)]
+        assert rows[0].jaccard > 0.9
+
+    def test_probe_side_is_broadcast(self, spark):
+        """The band join and the verify join must both broadcast the
+        (benchmark-sized) probe side — the corpus must never shuffle."""
+        from skope_api_spark.operators.dedup import minhash_cross_corpus
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        probe = spark.createDataFrame(
+            [(2, "a b c d e f")], "doc_id long, text string"
+        )
+        plan = (
+            minhash_cross_corpus(corpus, probe)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+
+
+class TestSemanticDedup:
+    def test_drops_higher_id_within_cluster(self, spark):
+        from skope_api_spark.operators.similarity import semantic_dedup
+
+        # two near-identical vectors (cos ~ 1) + two far-away ones
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),  # semantic dup of 1 → dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(df, n_cells=2, iters=1, tau=0.9).collect()
+        }
+        assert out[1] is True  # min-id representative kept
+        assert out[2] is False  # pruned
+        assert out[3] is True and out[4] is True
+        assert len(out) == 4  # every input vector gets a verdict

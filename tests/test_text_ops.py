@@ -70,3 +70,90 @@ class TestDecontaminate:
         probes = _docs(spark, [(1, "a quick brown fox appears")])
         got = {r.doc_id: r.n_shared_grams for r in decontaminate(corpus, probes).collect()}
         assert got == {10: 1}
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_cover(self, spark):
+        from skope_api_spark.operators.text import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))
+        rows = chunk_documents(
+            _docs(spark, [(1, text)]), chunk_tokens=4, overlap=2
+        ).collect()
+        # stride 2 → starts 0,2,4,6: 4 chunks, last one length 4 ends at t9
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+        assert all(r.n_chunks == 4 for r in rows)
+        assert rows[0].chunk_text == "t0 t1 t2 t3"
+        assert rows[1].chunk_text == "t2 t3 t4 t5"
+        assert rows[3].chunk_text == "t6 t7 t8 t9"
+        assert [r.n_chunk_tokens for r in rows] == [4, 4, 4, 4]
+
+    def test_short_doc_single_chunk(self, spark):
+        from skope_api_spark.operators.text import chunk_documents
+
+        rows = chunk_documents(
+            _docs(spark, [(1, "a b"), (2, "only")]), chunk_tokens=4, overlap=1
+        ).collect()
+        by_id = {r.doc_id: r for r in rows}
+        assert len(rows) == 2
+        assert by_id[1].chunk_text == "a b" and by_id[1].n_chunks == 1
+        assert by_id[2].n_chunk_tokens == 1
+
+    def test_tail_chunk_shorter_never_contained(self, spark):
+        from skope_api_spark.operators.text import chunk_documents
+
+        # 5 tokens, window 4, stride 3 → chunks [0:4], [3:5] (tail len 2)
+        rows = chunk_documents(
+            _docs(spark, [(1, "a b c d e")]), chunk_tokens=4, overlap=1
+        ).collect()
+        assert [r.chunk_text for r in rows] == ["a b c d", "d e"]
+
+    def test_bad_overlap_raises(self, spark):
+        from skope_api_spark.operators.text import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=4, overlap=4)
+
+
+class TestBoilerplateNgrams:
+    def test_doc_freq_counts_documents_not_occurrences(self, spark):
+        from skope_api_spark.operators.text import boilerplate_ngrams
+
+        docs = _docs(
+            spark,
+            [
+                # the boilerplate phrase appears TWICE in doc 1 — still
+                # counts once per doc
+                (1, "all rights reserved x all rights reserved"),
+                (2, "all rights reserved y z"),
+                (3, "completely unrelated body text"),
+            ],
+        )
+        rows = boilerplate_ngrams(docs, shingle_n=3, top_k=2).collect()
+        assert rows[0].gram == "all rights reserved"
+        assert rows[0].doc_freq == 2
+        assert rows[0].doc_frac == pytest.approx(round(2 / 3, 4))
+
+
+class TestDomainProfile:
+    def test_extract_and_blocklist(self, spark):
+        from skope_api_spark.operators.text import domain_profile
+
+        docs = _docs(
+            spark,
+            [
+                (1, "see https://good.example.com/a and http://bad.example.org/x"),
+                (2, "again https://good.example.com/b no others"),
+                (3, "plain text without links"),
+            ],
+        )
+        rows = {
+            r.domain: r
+            for r in domain_profile(
+                docs, blocklist=("bad.example.org",)
+            ).collect()
+        }
+        assert rows["good.example.com"].n_docs == 2
+        assert rows["good.example.com"].n_urls == 2
+        assert not rows["good.example.com"].blocked
+        assert rows["bad.example.org"].blocked
