@@ -239,3 +239,53 @@ def dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("doc_id", "probe_id")
+
+
+@query(
+    "pipeline_keep_best_rep",
+    oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), clust AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+), q AS (
+  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS ndt
+  FROM documents
+), m AS (
+  SELECT c.cluster_id, c.doc_id, q.ndt,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.ndt DESC, c.doc_id) AS rk
+  FROM clust c JOIN q USING (doc_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+       CAST(COUNT(*) AS INT) AS n_members,
+       CAST(MIN(CASE WHEN rk = 1 THEN ndt END) AS INT) AS rep_distinct_tokens
+FROM m
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def pipeline_keep_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative: per near-dup cluster, the
+    member with the most distinct tokens wins (ties → min doc_id) —
+    "keep the best copy, not the first". Oracle replays the transitive
+    closure + argmax in SQL."""
+    from skope_api_spark.operators.pipeline import keep_best_representative
+
+    docs = load(spark, sf_dir, "documents")
+    return keep_best_representative(docs).orderBy("cluster_id")

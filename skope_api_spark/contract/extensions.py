@@ -346,3 +346,47 @@ def approx_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         within("approx_parts", "exact_parts").alias("parts_within_5pct"),
     ).orderBy("l_returnflag")
+
+
+_MORTON_SQL = " + ".join(
+    f"(((zx >> {i}) & 1) * {1 << (2 * i)}) + (((zy >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(11)
+)
+
+
+@query(
+    "layout_zorder_events",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id % 2048 AS BIGINT) AS zx,
+         CAST(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts) AS BIGINT)
+           AS zy
+  FROM events
+)
+SELECT event_id, CAST(zx AS INT) AS zx, CAST(zy AS INT) AS zy,
+       CAST({_MORTON_SQL} AS BIGINT) AS zorder
+FROM b
+ORDER BY event_id
+""",
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering over (user, minute-of-day):
+    the lakehouse two-dimensional scan-pruning layout. The contract
+    checks the interleaved codes bit-for-bit; the range-partitioned
+    sorted layout itself is asserted in tests/test_layout.py."""
+    from skope_api_spark.operators.layout import zorder_layout
+
+    ev = load(spark, sf_dir, "events")
+    pre = ev.select(
+        "event_id",
+        (F.col("user_id") % 2048).cast("long").alias("zx"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("zy"),
+    )
+    out = zorder_layout(pre, "zx", "zy", bits=11, n_partitions=8)
+    return out.select(
+        "event_id",
+        F.col("zx").cast("int").alias("zx"),
+        F.col("zy").cast("int").alias("zy"),
+        "zorder",
+    ).orderBy("event_id")

@@ -512,3 +512,44 @@ def text_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return ops.domain_profile(docs, blocklist=("spam.example.org",))
+
+
+@query(
+    "sample_token_budget_mixing",
+    oracle=f"""
+WITH totals AS (
+  SELECT source, SUM(len(string_split(text, ' ')))::DOUBLE AS tot
+  FROM documents GROUP BY source
+), fr AS (
+  SELECT source,
+         LEAST(1.0, CASE source
+                      WHEN 'src0' THEN 999999.0
+                      WHEN 'src1' THEN 700.0
+                      WHEN 'src2' THEN 400.0
+                      ELSE 200.0 END / tot) AS frac
+  FROM totals
+)
+SELECT d.doc_id, d.source, ROUND(f.frac, 6) AS frac
+FROM documents d JOIN fr f USING (source)
+WHERE {_H.format(c="d.doc_id")} < f.frac * 1000000
+ORDER BY d.doc_id
+""",
+)
+def sample_token_budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixing: per-source TOKEN budgets → derived
+    keep-fractions min(1, budget/total) → the shared md5-threshold
+    filter. src0's budget exceeds its total (clamps to keep-all);
+    src1/src2 get partial budgets; everything else falls to the default.
+    The oracle recomputes the totals and replays the identical hash
+    arithmetic."""
+    from skope_api_spark.operators.sampling import token_budget_mixing
+
+    docs = load(spark, sf_dir, "documents")
+    out = token_budget_mixing(
+        docs,
+        {"src0": 999999, "src1": 700, "src2": 400},
+        default_budget=200,
+    )
+    return out.select(
+        "doc_id", "source", F.round("__frac", 6).alias("frac")
+    ).orderBy("doc_id")

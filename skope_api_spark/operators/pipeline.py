@@ -73,3 +73,41 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+def keep_best_representative(
+    docs: DataFrame, *, dedup_threshold: float = 0.7
+) -> DataFrame:
+    """Quality-aware representative selection: per near-dup cluster, keep
+    the HIGHEST-quality member (most distinct tokens; ties → min doc_id)
+    instead of ``clean_corpus``'s min-id rule — "keep the best copy, not
+    the first" (the crawl-dedup policy when duplicates differ by
+    truncation or boilerplate contamination).
+
+    Scale shape: pairs/clusters are collision-sized (≪ corpus); the
+    quality join touches only clustered docs; the per-cluster argmax is
+    ``groupBy(max_by)`` — map-side partial aggregation, no window sort.
+    Returns (cluster_id, rep_id, n_members, rep_distinct_tokens).
+    """
+    pairs = minhash_near_duplicates(docs, threshold=dedup_threshold)
+    clusters = duplicate_clusters(pairs)
+    q = quality_stats(docs).select("doc_id", "n_distinct_tokens")
+    return (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "n_distinct_tokens"),
+                F.struct(
+                    F.col("n_distinct_tokens"), (-F.col("doc_id")).alias("nd")
+                ),
+            ).alias("best"),
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("rep_id"),
+            "n_members",
+            F.col("best.n_distinct_tokens").alias("rep_distinct_tokens"),
+        )
+    )

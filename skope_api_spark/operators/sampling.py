@@ -107,3 +107,51 @@ def pack_documents(
             .alias("bin_id"),
         )
     )
+
+
+def token_budget_mixing(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Budget-driven source mixing: instead of hand-picked fractions
+    (``stratified_hash_sample``), each source gets a TOKEN budget and the
+    keep-fraction is derived from the measured totals —
+    ``min(1, budget / total_tokens(source))`` — the way a training-data
+    mix is actually specified ("200 B tokens of web, all of books").
+
+    Two scans composed lazily: a per-source token-total aggregation
+    (#sources rows — broadcast back), then the same deterministic
+    md5-threshold filter as stratified sampling. No driver-side
+    collection; budgets over actuals clamp to keep-everything.
+
+    Returns the surviving rows with ``__frac`` (the applied fraction)
+    attached for auditability.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    totals = df.groupBy(source_col).agg(
+        F.sum(n_tok).cast("double").alias("__tot")
+    )
+    budget = None
+    for src, b in budgets.items():
+        cond = F.col(source_col) == src
+        budget = (
+            F.when(cond, F.lit(float(b)))
+            if budget is None
+            else budget.when(cond, F.lit(float(b)))
+        )
+    budget = (
+        budget.otherwise(F.lit(float(default_budget)))
+        if budget is not None
+        else F.lit(float(default_budget))
+    )
+    fracs = totals.select(
+        source_col, F.least(F.lit(1.0), budget / F.col("__tot")).alias("__frac")
+    )
+    return df.join(F.broadcast(fracs), source_col).where(
+        _uniform_hash(F.col(id_col)) < F.col("__frac") * _HASH_MOD
+    )

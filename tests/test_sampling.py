@@ -57,3 +57,45 @@ class TestPackDocuments:
             F.count(F.lit(1)).alias("n"), (F.max("bin_id") + 1).alias("hi")
         )
         assert bins.where(F.col("n") != F.col("hi")).count() == 0
+
+
+class TestTokenBudgetMixing:
+    def test_budget_over_total_keeps_everything(self, spark):
+        from skope_api_spark.operators.sampling import token_budget_mixing
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 9 + "w", "a") for i in range(20)]
+            + [(100 + i, "w " * 9 + "w", "b") for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        # source a: budget 10x total -> frac clamps to 1.0 (all 20 kept);
+        # source b: zero default budget -> none kept
+        out = token_budget_mixing(docs, {"a": 2000})
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r.source == "a" and r["__frac"] == 1.0 for r in rows)
+
+    def test_fraction_derived_from_measured_totals(self, spark):
+        from skope_api_spark.operators.sampling import token_budget_mixing
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 9 + "w", "a") for i in range(200)],
+            "doc_id long, text string, source string",
+        )
+        # 200 docs x 10 tokens = 2000 total; budget 500 -> frac 0.25
+        out = token_budget_mixing(docs, {"a": 500})
+        rows = out.collect()
+        assert all(abs(r["__frac"] - 0.25) < 1e-12 for r in rows)
+        # md5-threshold sampling is unbiased-ish: expect ~50 of 200
+        assert 25 <= len(rows) <= 85
+
+    def test_nested_budgets_are_supersets(self, spark):
+        from skope_api_spark.operators.sampling import token_budget_mixing
+
+        docs = spark.createDataFrame(
+            [(i, "x y z", "a") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        small = {r.doc_id for r in token_budget_mixing(docs, {"a": 60}).collect()}
+        big = {r.doc_id for r in token_budget_mixing(docs, {"a": 150}).collect()}
+        assert small <= big  # hash thresholds nest
