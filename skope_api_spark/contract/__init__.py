@@ -58,10 +58,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "w4_fixed_interval_zscore",
     "w4_reference_interval_zscore",
     "moving_median_smoother",
-    "value_window_suite",
-    "ranking_suite",
-    "lag_lead_deltas",
-    "running_cumulative_sum",
+    # r04: four window-battery slots (value_window_suite, ranking_suite,
+    # lag_lead_deltas, running_cumulative_sum) ceded to the round's
+    # flagship pipeline operators; the battery stays regression-covered
+    # by the full check_correctness replay
+    "sim_semantic_dedup",
+    "dedup_minhash_cross_corpus",
+    "text_chunk_documents",
+    "layout_zorder_events",
     "sessionize_native_session_window",
     "sessionize_events",
     # text / multimodal battery

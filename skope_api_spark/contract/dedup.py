@@ -289,3 +289,34 @@ def pipeline_keep_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return keep_best_representative(docs).orderBy("cluster_id")
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest([{'pos': i - 1,
+                  'h': md5(array_to_string(ws[i:i+7], ' '))}
+                 for i in range(1, len(ws) - 6)]) AS s
+  FROM t WHERE len(ws) >= 8
+), p AS (
+  SELECT doc_id, CAST(s.pos AS INT) AS pos, s.h AS span_md5 FROM e
+), counted AS (
+  SELECT doc_id, pos, span_md5,
+         CAST(COUNT(*) OVER (PARTITION BY span_md5) AS INT) AS n_occurrences
+  FROM p
+)
+SELECT doc_id, pos, span_md5, n_occurrences
+FROM counted WHERE n_occurrences >= 2
+ORDER BY doc_id, pos
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication map: rolling md5 over every 8-token
+    window, one hash-partitioned recurrence count — positions of verbatim
+    repeated spans (the removal set of substring-level dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.duplicate_spans(docs, span_tokens=8).orderBy("doc_id", "pos")

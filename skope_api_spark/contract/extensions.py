@@ -390,3 +390,111 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zy").cast("int").alias("zy"),
         "zorder",
     ).orderBy("event_id")
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS v
+  FROM events WHERE user_id < 8 GROUP BY user_id, CAST(ts AS DATE)
+), spans AS (
+  SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY key
+), spine AS (
+  SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM spans
+), j AS (
+  SELECT s.key, s.day, d.v FROM spine s LEFT JOIN daily d USING (key, day)
+), w AS (
+  SELECT key, day, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY day
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY day
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT key, day,
+  ROUND(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (date_diff('day', pd, day)::DOUBLE
+                                    / date_diff('day', pd, nd))
+        END, 4) AS value,
+  (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+FROM w
+ORDER BY key, day
+""",
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap filling + linear interpolation over sparse per-user event
+    sums (users < 8): date spine per key, interior gaps interpolated
+    between the nearest known points, edge gaps NULL. Oracle replays the
+    identical spine/window arithmetic."""
+    from skope_api_spark.operators.windows import gap_fill_interpolate
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    return gap_fill_interpolate(ev).orderBy("key", "day")
+
+
+@query(
+    "scd2_merge_customers",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal,
+         c_mktsegment,
+         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         ROUND(c_acctbal + 100, 2) AS c_acctbal,
+         'MOVED' AS c_mktsegment, DATE '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+       b.valid_from, u.eff AS valid_to
+FROM base b JOIN upd u USING (c_custkey)
+UNION ALL
+SELECT b.* FROM base b ANTI JOIN upd u USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM upd
+ORDER BY c_custkey, valid_from
+""",
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 upsert (the MERGE plan a
+    lakehouse compiles before file rewrite): every 10th customer gets a
+    new version (acctbal +100, segment MOVED) effective 2024-06-01 —
+    current rows of changed keys are closed out, new versions opened,
+    everything else passes through untouched."""
+    from skope_api_spark.operators.merge import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.to_date(F.lit("2024-06-01")).alias("effective_date"),
+    )
+    out = scd2_merge(base, upd, key_cols=["c_custkey"])
+    return out.orderBy("c_custkey", "valid_from")

@@ -549,3 +549,53 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication map (the ExactSubstr idea of Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    realized with rolling hashes instead of a suffix array): every
+    ``span_tokens``-token window position in the corpus, keyed by the md5
+    of its text; positions whose span recurs ``min_occurrences``+ times
+    anywhere (same doc included) are the repeated-span removal set.
+
+    Scale shape: span hashes are computed in the scan projection (one
+    transform over token positions — no per-span re-split), ONE
+    posexplode, and the recurrence count is a single hash-partitioned
+    window count — one shuffle of (doc_id, pos, 32-char hash), which is
+    the op's inherent cost (every position must meet its collisions).
+    A suffix array gives the same answer sequentially; the rolling-hash
+    shuffle is the distributed-native equivalent.
+
+    Returns (doc_id, pos, span_md5, n_occurrences) for repeated positions.
+    """
+    toks = "__sp_toks"
+    spans = (
+        f"CASE WHEN size({toks}) >= {span_tokens} THEN "
+        f"transform(sequence(0, size({toks}) - {span_tokens}), "
+        f"i -> md5(concat_ws(' ', slice({toks}, i + 1, {span_tokens})))) "
+        f"ELSE array() END"
+    )
+    from pyspark.sql import Window as W
+
+    pos = (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.expr(spans)).alias("pos", "span_md5"),
+        )
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy("span_md5"))
+    return (
+        pos.withColumn("n_occurrences", n.cast("int"))
+        .where(F.col("n_occurrences") >= min_occurrences)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                "span_md5", "n_occurrences")
+    )

@@ -5,19 +5,26 @@ opaque ``binary`` columns with a typed metadata struct alongside; decode /
 feature-extraction / frame-sampling run as Arrow-batched ``mapInPandas``
 stages so bytes never round-trip through per-row Python.
 
-The decode kernels themselves are STUBBED here — this environment has no
-image/audio libraries — and every stage exposes the kernel as an INJECTABLE
-parameter (``decoder=`` / ``encoder=`` / ``sampler=``), so a real
-PIL/torchvision/ffmpeg deployment is a one-line swap at the call site with
-zero changes to the Spark plumbing (the same seam pattern as
-``sources/geotiff.py``'s ``reader=``). Defaults with the libraries absent:
-``decode_image_metadata`` parses what pure Python can (PNG/JPEG/GIF
-headers — real parsing, no library), ``extract_features`` produces a
-deterministic hash-derived pseudo-embedding with the exact shape/dtype a
-real encoder would emit, ``sample_frames`` strides bytes in place of
-keyframe offsets. The Spark-side plumbing — schemas, Arrow batch
-iteration, partition sizing, fan-out shape — is real and tested with both
-the defaults and injected fakes (``tests/test_multimodal.py``).
+Every stage exposes its kernel as an INJECTABLE parameter (``decoder=`` /
+``encoder=`` / ``sampler=``), so a real PIL/torchvision/ffmpeg deployment
+is a one-line swap at the call site with zero changes to the Spark
+plumbing (the same seam pattern as ``sources/geotiff.py``'s ``reader=``).
+
+Defaults in this environment (no image/audio libraries installed):
+
+- ``decode_image_metadata`` — REAL pure-Python header parsing
+  (PNG IHDR / GIF screen descriptor / JPEG SOFn walk).
+- ``extract_features`` — REAL pixel features for PNG blobs via the
+  pure-stdlib codec in ``operators.png`` (full DEFLATE + all five
+  scanline filters; per-quadrant channel means as a pooled-feature
+  stand-in). Non-PNG blobs fall back to a deterministic hash-derived
+  pseudo-embedding (STUB — JPEG entropy decoding needs a codec library).
+- ``sample_frames`` — byte-stride STUB in place of keyframe offsets
+  (video codecs aren't expressible in stdlib).
+
+The Spark-side plumbing — schemas, Arrow batch iteration, partition
+sizing, fan-out shape — is real and tested with the defaults and with
+injected fakes (``tests/test_multimodal.py``, ``tests/test_png.py``).
 
 Scale notes: binary payloads dominate partition size, so callers should
 size input splits by bytes (``spark.sql.files.maxPartitionBytes``) and keep
@@ -148,13 +155,37 @@ def decode_image_metadata(df: DataFrame, *, decoder=None) -> DataFrame:
 
 
 def hash_pseudo_encoder(dim: int = FEATURE_DIM):
-    """Default STUB kernel: sha256-derived pseudo-embedding — deterministic,
-    unit-scaled, correct shape/dtype — standing in for a real image/audio
-    encoder while no media libraries exist in this environment."""
+    """STUB kernel: sha256-derived pseudo-embedding — deterministic,
+    unit-scaled, correct shape/dtype — standing in for a real encoder on
+    formats whose pixel decode needs a codec library (JPEG/GIF/audio)."""
 
     def encode(b: bytes) -> list[float]:
         digest = hashlib.sha256(b).digest()
         return [(digest[i % 32] - 127.5) / 127.5 for i in range(dim)]
+
+    return encode
+
+
+def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
+    """Default kernel: REAL pixel features for PNG blobs (pure-stdlib
+    decode in ``operators.png`` — quadrant channel means from actual
+    pixels), hash pseudo-embedding for everything else. Unsupported PNG
+    variants (palette/16-bit/interlaced) AND corrupt/truncated blobs fall
+    back rather than fail the batch — at corpus scale a malformed file is
+    data, not an error."""
+    import zlib
+
+    from skope_api_spark.operators.png import PNG_SIGNATURE, png_pixel_features
+
+    fallback = hash_pseudo_encoder(dim)
+
+    def encode(b: bytes) -> list[float]:
+        if b[:8] == PNG_SIGNATURE:
+            try:
+                return png_pixel_features(b, dim=dim)
+            except (NotImplementedError, ValueError, zlib.error):
+                return fallback(b)
+        return fallback(b)
 
     return encode
 
@@ -166,11 +197,12 @@ def extract_features(
 
     ``encoder``: ``bytes -> list[float]`` (length ``dim``) — THE injection
     seam; a real deployment passes a CLIP/wav2vec forward pass (typically
-    batched inside the callable). Default: ``hash_pseudo_encoder`` (STUB,
-    see its docstring). The mapInPandas plumbing (Arrow batches in,
-    list-typed column out) is identical either way.
+    batched inside the callable). Default: ``pixel_or_hash_encoder`` —
+    REAL pixel features for PNGs, hash stub elsewhere (see its
+    docstring). The mapInPandas plumbing (Arrow batches in, list-typed
+    column out) is identical either way.
     """
-    encoder = encoder if encoder is not None else hash_pseudo_encoder(dim)
+    encoder = encoder if encoder is not None else pixel_or_hash_encoder(dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

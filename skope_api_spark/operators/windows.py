@@ -266,3 +266,70 @@ def sessionize(
         W.unboundedPreceding, 0
     )
     return df.withColumn(out_col, F.sum(is_new).over(running))
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily gap filling with linear interpolation — the time-series
+    regularization step (sparse per-key daily observations → a dense
+    per-key daily series, interior gaps linearly interpolated, edge gaps
+    left NULL).
+
+    Plan shape: one daily aggregation, a per-key min/max span (tiny),
+    a date-spine ``sequence``+``explode`` (rows materialize inside the
+    tasks, never on the driver), a left join back to the daily values,
+    and two ignore-nulls window passes (previous/next known point) on the
+    SAME (key, day) sort — Spark executes both frames in one window
+    stage, so the whole operator costs the daily-agg shuffle plus one
+    window shuffle regardless of key count.
+
+    Returns (key, day, value, interpolated) — ``value`` is the observed
+    daily sum or the interpolated estimate, ``interpolated`` marks fills.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("date").alias("day"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("key", "day")
+        .agg(F.round(F.sum("__v"), 4).alias("v"))
+    )
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "key",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["key", "day"], "left")
+    before = (
+        W.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    after = W.partitionBy("key").orderBy("day").rowsBetween(1, W.unboundedFollowing)
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(before)
+    pd_ = F.last(known_day, ignorenulls=True).over(before)
+    nv = F.first("v", ignorenulls=True).over(after)
+    nd = F.first(known_day, ignorenulls=True).over(after)
+    interp = pv + (nv - pv) * (
+        F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    )
+    return j.select(
+        "key",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4
+        ).alias("value"),
+        (F.col("v").isNull() & pv.isNotNull() & nv.isNotNull()).alias(
+            "interpolated"
+        ),
+    )

@@ -103,3 +103,31 @@ class TestSemanticDedup:
         assert out[2] is False  # pruned
         assert out[3] is True and out[4] is True
         assert len(out) == 4  # every input vector gets a verdict
+
+
+class TestDuplicateSpans:
+    def test_repeated_span_positions_found(self, spark):
+        from skope_api_spark.operators.dedup import duplicate_spans
+
+        span = " ".join(f"s{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [
+                (1, "a b " + span + " tail"),
+                (2, span + " completely different ending here"),
+                (3, "no shared content in this document at all"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = duplicate_spans(docs, span_tokens=8).collect()
+        hits = {(r.doc_id, r.pos) for r in rows}
+        assert (1, 2) in hits and (2, 0) in hits  # the shared span
+        assert all(r.doc_id != 3 for r in rows)
+        assert all(r.n_occurrences == 2 for r in rows if (r.doc_id, r.pos) in {(1, 2), (2, 0)})
+
+    def test_short_docs_yield_nothing(self, spark):
+        from skope_api_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, "only four tokens here")], "doc_id long, text string"
+        )
+        assert duplicate_spans(docs, span_tokens=8).count() == 0

@@ -136,3 +136,30 @@ def test_reference_interval_zscore(spark):
     m, s = np.mean(xs[:5]), np.std(xs[:5])
     for band in range(1, 11):
         assert out[band] == pytest.approx((xs[band - 1] - m) / s, rel=1e-12)
+
+
+class TestGapFillInterpolate:
+    def test_interior_gaps_linear_edges_null(self, spark):
+        from datetime import datetime
+
+        from skope_api_spark.operators.windows import gap_fill_interpolate
+
+        ev = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 5), 1.0),
+                (1, datetime(2024, 1, 4, 9), 4.0),   # days 2,3 are gaps
+                (1, datetime(2024, 1, 4, 10), 0.0),  # same-day second event
+                (2, datetime(2024, 3, 1, 0), 7.5),   # single-day key
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        rows = {
+            (r.key, str(r.day)): (r.value, r.interpolated)
+            for r in gap_fill_interpolate(ev).collect()
+        }
+        assert rows[(1, "2024-01-01")] == (1.0, False)
+        assert rows[(1, "2024-01-02")] == (2.0, True)   # 1 + (4-1)*1/3
+        assert rows[(1, "2024-01-03")] == (3.0, True)
+        assert rows[(1, "2024-01-04")] == (4.0, False)  # daily SUM of 2 events
+        assert rows[(2, "2024-03-01")] == (7.5, False)
+        assert len(rows) == 5  # spine covers exactly min..max per key
