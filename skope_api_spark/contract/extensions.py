@@ -498,3 +498,72 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scd2_merge(base, upd, key_cols=["c_custkey"])
     return out.orderBy("c_custkey", "valid_from")
+
+
+@query(
+    "pit_join_orders_customers",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, 'MOVED' AS c_mktsegment,
+         ROUND(c_acctbal + 100, 2) AS c_acctbal, DATE '1998-01-01' AS eff
+  FROM customer WHERE c_custkey % 10 = 0
+), hist AS (
+  SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+         b.valid_from, u.eff AS valid_to
+  FROM base b JOIN upd u USING (c_custkey)
+  UNION ALL
+  SELECT b.* FROM base b ANTI JOIN upd u USING (c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal, eff, CAST(NULL AS DATE)
+  FROM upd
+)
+SELECT o.o_orderkey, o.o_custkey, h.c_mktsegment, h.c_acctbal
+FROM orders o
+LEFT JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+ AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+ORDER BY o.o_orderkey
+""",
+)
+def pit_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of orders to an SCD2 customer history (version
+    change effective 1998-01-01 for every 10th customer): each order
+    resolves the customer version valid AT its order date — pre-1998
+    orders see the original segment, later ones see MOVED. Key
+    equi-join + residual validity filter; exactly one version matches."""
+    from skope_api_spark.operators.merge import point_in_time_join, scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        F.to_date(F.lit("1998-01-01")).alias("effective_date"),
+    )
+    hist = scd2_merge(base, upd, key_cols=["c_custkey"])
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("date").alias("o_day"),
+    )
+    out = point_in_time_join(
+        orders, hist, key_cols=["c_custkey"], ts_col="o_day", how="left"
+    )
+    return out.select(
+        orders["o_orderkey"],
+        orders["c_custkey"].alias("o_custkey"),
+        hist["c_mktsegment"],
+        hist["c_acctbal"],
+    ).orderBy("o_orderkey")

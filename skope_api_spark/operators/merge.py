@@ -67,3 +67,40 @@ def scd2_merge(
         .unionByName(passthrough.select(*out_cols))
         .unionByName(opened.select(*out_cols))
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the dimension
+    VERSION that was valid at the fact's timestamp — the feature-store /
+    audit-correct way to join facts to an SCD2 history (never leak a
+    future version into a past fact).
+
+    Scale shape: the join condition leads with the key equi-predicate, so
+    Catalyst plans a plain hash join on the keys (shuffled or broadcast
+    by AQE) and the validity range is a RESIDUAL filter on matched rows —
+    never a nested-loop range join. Because SCD2 histories are
+    non-overlapping per key, each fact matches at most one version, so
+    no post-join dedup is needed.
+    """
+    cond = None
+    for k in key_cols:
+        c = facts[k] == dim_history[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (facts[ts_col] >= dim_history[valid_from])
+        & (
+            dim_history[valid_to].isNull()
+            | (facts[ts_col] < dim_history[valid_to])
+        )
+    )
+    return facts.join(dim_history, cond, how)

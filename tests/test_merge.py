@@ -62,3 +62,48 @@ class TestScd2Merge:
         out = scd2_merge(_base(spark), updates, key_cols=["id"])
         current = out.where(F.col("valid_to").isNull()).groupBy("id").count().collect()
         assert all(r["count"] == 1 for r in current)
+
+
+class TestPointInTimeJoin:
+    def _hist(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "v1", date(2020, 1, 1), date(2022, 1, 1)),
+                (1, "v2", date(2022, 1, 1), None),
+                (2, "w1", date(2021, 1, 1), None),
+            ],
+            "id long, attr string, valid_from date, valid_to date",
+        )
+
+    def test_each_fact_sees_its_version(self, spark):
+        from skope_api_spark.operators.merge import point_in_time_join
+
+        facts = spark.createDataFrame(
+            [
+                (100, 1, date(2021, 6, 1)),   # inside v1
+                (101, 1, date(2022, 1, 1)),   # boundary: valid_from inclusive
+                (102, 1, date(2023, 1, 1)),   # current version
+                (103, 2, date(2020, 6, 1)),   # before any version -> null
+            ],
+            "fact_id long, id long, ts date",
+        )
+        hist = self._hist(spark)
+        out = point_in_time_join(facts, hist, key_cols=["id"], ts_col="ts")
+        got = {r.fact_id: r.attr for r in out.select("fact_id", hist["attr"]).collect()}
+        assert got == {100: "v1", 101: "v2", 102: "v2", 103: None}
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        """The validity range must stay a residual filter on a key hash
+        join — a BroadcastNestedLoopJoin would be quadratic at scale."""
+        from skope_api_spark.operators.merge import point_in_time_join
+
+        facts = spark.createDataFrame(
+            [(1, 1, date(2021, 1, 1))], "fact_id long, id long, ts date"
+        )
+        plan = (
+            point_in_time_join(facts, self._hist(spark), key_cols=["id"], ts_col="ts")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
