@@ -553,3 +553,43 @@ def sample_token_budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.round("__frac", 6).alias("frac")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest([{'w1': ws[i - 1], 'w2': ws[i]}
+                 for i in range(2, len(ws) + 1)]) AS s
+  FROM t WHERE len(ws) >= 2
+), p AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM e
+), uni AS (
+  SELECT tok, COUNT(*)::DOUBLE AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM uni
+), bi AS (
+  SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM p GROUP BY w1, w2
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored,
+       ROUND(AVG(LN(0.8 * bi.c12 / u1.c
+                    + 0.2 * u2.c / (SELECT t FROM tot))), 6) AS mean_logprob
+FROM p
+JOIN bi USING (w1, w2)
+JOIN uni u1 ON p.w1 = u1.tok
+JOIN uni u2 ON p.w2 = u2.tok
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (λ=0.8 bigram MLE + 0.2
+    unigram): the local-fluency step up from the unigram proxy. Oracle
+    replays the identical counts and interpolation."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.bigram_logprob(docs).orderBy("doc_id")

@@ -449,3 +449,68 @@ def redact_pii(
         clean.alias("clean_text"),
         n_red.cast("int").alias("n_redactions"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lam: float = 0.8,
+) -> DataFrame:
+    """Interpolated bigram LM quality score: per document, the mean of
+    ``log(λ·p(wᵢ|wᵢ₋₁) + (1−λ)·p(wᵢ))`` over token positions 2..n, with
+    MLE probabilities from the corpus itself — one step up the KenLM
+    ladder from ``unigram_logprob`` (captures local fluency: shuffled
+    or concatenated-fragment documents score visibly lower even when
+    their unigram distribution is clean).
+
+    Plan shape: bigram pairs via one in-projection transform +
+    posexplode; two vocabulary-sized count aggregations (bigram and
+    unigram tables, map-side partial agg); three token-keyed joins left
+    to AQE (vocabulary tables are Zipf-bounded, not corpus-proportional —
+    same reasoning as TF-IDF). Returns (doc_id, n_scored, mean_logprob).
+    """
+    toks = "__bg_toks"
+    pairs_expr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct({toks}[i - 1] AS w1, {toks}[i] AS w2)) "
+        f"ELSE array() END"
+    )
+    pairs = (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(pairs_expr)).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t"))
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(lam) * F.col("c12") / F.col("c_w1")
+                + F.lit(1.0 - lam) * F.col("c_w2") / F.col("t")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_scored"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )

@@ -157,3 +157,36 @@ class TestDomainProfile:
         assert rows["good.example.com"].n_urls == 2
         assert not rows["good.example.com"].blocked
         assert rows["bad.example.org"].blocked
+
+
+class TestBigramLogprob:
+    def test_hand_computed_interpolation(self, spark):
+        import math
+
+        from skope_api_spark.operators.text import bigram_logprob
+
+        # single doc "x y x y x": pairs xy,yx,xy,yx; uni x:3 y:2 T=5
+        rows = bigram_logprob(_docs(spark, [(1, "x y x y x")])).collect()
+        assert len(rows) == 1 and rows[0].n_scored == 4
+        lp_xy = math.log(0.8 * (2 / 3) + 0.2 * (2 / 5))
+        lp_yx = math.log(0.8 * (2 / 2) + 0.2 * (3 / 5))
+        expect = round((2 * lp_xy + 2 * lp_yx) / 4, 6)
+        assert rows[0].mean_logprob == pytest.approx(expect, abs=1e-6)
+
+    def test_disfluent_doc_scores_lower(self, spark):
+        from skope_api_spark.operators.text import bigram_logprob
+
+        # corpus dominated by the "a b" bigram; doc 9 uses the same
+        # unigrams in an order the corpus never rewards
+        docs = _docs(
+            spark,
+            [(i, "a b a b a b a b") for i in range(8)]
+            + [(9, "b a a b b a a a")],
+        )
+        out = {r.doc_id: r.mean_logprob for r in bigram_logprob(docs).collect()}
+        assert out[9] < out[0]
+
+    def test_single_token_doc_has_no_rows(self, spark):
+        from skope_api_spark.operators.text import bigram_logprob
+
+        assert bigram_logprob(_docs(spark, [(1, "solo")])).count() == 0
