@@ -31,9 +31,12 @@ def scd2_merge(
     valid_to: str = "valid_to",
 ) -> DataFrame:
     """SCD type-2 upsert: ``base`` is the history table (``valid_to`` NULL
-    marks the current version); ``updates`` carries one new version per
-    key (same attribute columns as ``base`` minus the validity pair, plus
-    ``effective_col``).
+    marks the current version); ``updates`` carries AT MOST ONE new
+    version per key (same attribute columns as ``base`` minus the
+    validity pair, plus ``effective_col``) — multi-version batches must
+    be collapsed to the latest per key upstream, or the close-out join
+    duplicates the closed row. Keys absent from ``base`` insert cleanly
+    (close-out matches nothing, the new version opens).
 
     Emits three branches:
 
@@ -91,6 +94,8 @@ def point_in_time_join(
     non-overlapping per key, each fact matches at most one version, so
     no post-join dedup is needed.
     """
+    if not key_cols:
+        raise ValueError("point_in_time_join requires at least one key column")
     cond = None
     for k in key_cols:
         c = facts[k] == dim_history[k]
