@@ -75,3 +75,27 @@ class TestZorderLayout:
         for seq in by_pid.values():
             zs = [z for _, z in sorted(seq)]
             assert zs == sorted(zs)
+
+
+class TestMortonAgainstPythonMirror:
+    def test_random_pairs_match_reference_interleave(self, spark):
+        import random
+
+        def py_morton(x, y, bits):
+            m = 0
+            for i in range(bits):
+                m |= ((x >> i) & 1) << (2 * i)
+                m |= ((y >> i) & 1) << (2 * i + 1)
+            return m
+
+        rng = random.Random(42)
+        pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = {
+            (r.x, r.y): r.m
+            for r in df.select(
+                "x", "y", morton_code(F.col("x"), F.col("y"), bits=16).alias("m")
+            ).collect()
+        }
+        for x, y in pairs:
+            assert got[(x, y)] == py_morton(x, y, 16)

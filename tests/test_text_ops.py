@@ -190,3 +190,35 @@ class TestBigramLogprob:
         from skope_api_spark.operators.text import bigram_logprob
 
         assert bigram_logprob(_docs(spark, [(1, "solo")])).count() == 0
+
+
+class TestChunkInvariants:
+    """Reconstruction law: dropping the first `overlap` tokens of every
+    chunk after the first and concatenating reproduces the document
+    exactly — checked across a (chunk_tokens, overlap) grid and every doc
+    length 1..40 in one Spark job per parameter set."""
+
+    def test_reconstruction_across_param_grid(self, spark):
+        from skope_api_spark.operators.text import chunk_documents
+
+        docs = [
+            (n, " ".join(f"t{n}_{j}" for j in range(n))) for n in range(1, 41)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for ct, ov in [(4, 1), (8, 3), (5, 0), (6, 5)]:
+            rows = chunk_documents(df, chunk_tokens=ct, overlap=ov).collect()
+            by_doc: dict[int, list] = {}
+            for r in rows:
+                by_doc.setdefault(r.doc_id, []).append(r)
+            assert set(by_doc) == {n for n, _ in docs}
+            for n, text in docs:
+                chunks = sorted(by_doc[n], key=lambda r: r.chunk_id)
+                assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+                assert all(c.n_chunks == len(chunks) for c in chunks)
+                # every chunk except the last is full-width
+                for c in chunks[:-1]:
+                    assert c.n_chunk_tokens == ct, (ct, ov, n)
+                toks = chunks[0].chunk_text.split(" ")
+                for c in chunks[1:]:
+                    toks += c.chunk_text.split(" ")[ov:]
+                assert " ".join(toks) == text, (ct, ov, n)
