@@ -128,3 +128,33 @@ class TestStreamingDedup:
         doubled = batch_events.unionByName(batch_events)
         out = se.dedup_events_within_watermark(doubled)
         assert out.count() == batch_events.count()
+
+
+class TestStatelessOpsOnStreams:
+    def test_chunk_documents_stream_equals_batch(self, spark, tmp_path_factory):
+        """chunk_documents is a pure projection (sequence/slice/posexplode),
+        so the SAME operator code runs on a readStream unchanged — the
+        streaming ingestion shape for chunk-as-you-land pipelines."""
+        from skope_api_spark.operators.text import chunk_documents
+
+        d = tmp_path_factory.mktemp("docs_landing")
+        (d / "documents.parquet").symlink_to(
+            f"{SF_DIR}/documents.parquet"
+        )
+        batch_docs = spark.read.parquet(str(d))
+        batch = {
+            (r.doc_id, r.chunk_id): r.chunk_text
+            for r in chunk_documents(batch_docs).collect()
+        }
+        stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+        chunks = chunk_documents(stream_docs)
+        with tempfile.TemporaryDirectory() as ckpt:
+            se.run_available_now(
+                chunks, query_name="chunk_stream_test", checkpoint=ckpt
+            )
+            got = {
+                (r.doc_id, r.chunk_id): r.chunk_text
+                for r in spark.sql("SELECT * FROM chunk_stream_test").collect()
+            }
+        assert got == batch
+        assert len(got) > 0
