@@ -65,9 +65,13 @@ def main() -> int:
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = e.queries()
 
-    # Warm the JVM + file-listing caches with one tiny query so the first
-    # timed query doesn't absorb session startup.
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + file-listing caches WITHOUT executing any headline
+    # query (warming with q1 would make q1's "cold" row its second run,
+    # hiding codegen-cost regressions in exactly the column built to show
+    # them); order_count_distribution shares the orders scan but none of
+    # the headline plans.
+    warmup = qs.get("order_count_distribution") or next(iter(qs.values()))
+    warmup(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}

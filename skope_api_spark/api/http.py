@@ -42,6 +42,9 @@ def handle_timeseries_v2(
         req = M.TimeseriesV2Request(**M.legacy_payload_to_v2(payload))
     except ValidationError as ex:
         return 422, {"detail": json.loads(ex.json())}
+    except ValueError as ex:
+        # legacy_payload_to_v2 conflicts (e.g. transforms + series options)
+        return 422, {"detail": [{"msg": str(ex), "type": type(ex).__name__}]}
     try:
         resp = service.execute(req)
     except UNPROCESSABLE as ex:

@@ -39,7 +39,22 @@ def _coerce_loose_date(v):
     if isinstance(v, int):
         return date(v, 1, 1)
     if isinstance(v, dict) and "year" in v:
-        return date(int(v["year"]), int(v.get("month", 1)), int(v.get("day", 1)))
+        # null month/day mean "not specified" (Jan/1st); any non-numeric
+        # value must surface as ValueError so pydantic converts it to a
+        # ValidationError (422) — a bare TypeError would 500 the request
+        def _num(x, default):
+            if x is None:
+                return default
+            try:
+                return int(x)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"invalid date component {x!r}") from e
+
+        return date(
+            _num(v["year"], None),
+            _num(v.get("month"), 1),
+            _num(v.get("day"), 1),
+        )
     return v
 
 
@@ -220,7 +235,13 @@ def legacy_payload_to_v2(payload: dict) -> dict:
     p = dict(payload)
     p.pop("resolution", None)
     transforms = p.pop("transforms", None)
-    if transforms and "requested_series_options" not in p:
+    if transforms and "requested_series_options" in p:
+        # refusing beats silently dropping the client's transforms list
+        raise ValueError(
+            "payload mixes legacy 'transforms' with 'requested_series_options'"
+            " — send one or the other"
+        )
+    if transforms:
         p["requested_series_options"] = [
             {"name": "original", "smoother": {"type": "NoSmoother"}},
             *(

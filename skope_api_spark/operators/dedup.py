@@ -393,6 +393,8 @@ def duplicate_clusters(
     Returns (doc_id, cluster_id = min reachable id) for every node that
     appears in ``pairs``.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     a, b = id_cols
     fwd = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = (

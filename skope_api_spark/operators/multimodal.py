@@ -173,6 +173,7 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
     variants (palette/16-bit/interlaced) AND corrupt/truncated blobs fall
     back rather than fail the batch — at corpus scale a malformed file is
     data, not an error."""
+    import struct
     import zlib
 
     from skope_api_spark.operators.png import PNG_SIGNATURE, png_pixel_features
@@ -183,7 +184,7 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
         if b[:8] == PNG_SIGNATURE:
             try:
                 return png_pixel_features(b, dim=dim)
-            except (NotImplementedError, ValueError, zlib.error):
+            except (NotImplementedError, ValueError, zlib.error, struct.error):
                 return fallback(b)
         return fallback(b)
 

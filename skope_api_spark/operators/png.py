@@ -70,11 +70,17 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            # short payload/CRC would feed struct.unpack <4 bytes and leak
+            # struct.error past callers' ValueError handling
+            raise ValueError(f"truncated PNG: {ctype!r} chunk exceeds data")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"malformed IHDR (length {length})")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )

@@ -131,3 +131,12 @@ class TestDuplicateSpans:
             [(1, "only four tokens here")], "doc_id long, text string"
         )
         assert duplicate_spans(docs, span_tokens=8).count() == 0
+
+
+class TestClusterArgValidation:
+    def test_max_iter_below_one_raises_value_error(self, spark):
+        from skope_api_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="max_iter"):
+            duplicate_clusters(pairs, max_iter=0)

@@ -125,3 +125,48 @@ monthly_5x5x60_dataset:
         assert m.time_range.lte == date(5, 1, 1)
         mm = cat.variable("monthly_5x5x60_dataset", "float32_variable")
         assert mm.time_range.lte == date(5, 12, 1)
+
+
+class TestMalformedPayloads422:
+    """Malformed client input must map to 422, never an unhandled error
+    (the reference returns FastAPI 422s for all of these)."""
+
+    def test_null_month_in_loose_date_is_422(self, service):
+        status, body = H.handle_timeseries_v2(
+            service,
+            {
+                "dataset_id": "annual_5x5x5_dataset",
+                "variable_id": "float32_variable",
+                "selected_area": POINT,
+                "time_range": {"gte": {"year": 2, "month": None}, "lte": 4},
+            },
+        )
+        assert status == 200  # null month means "not specified" -> Jan
+
+    def test_non_numeric_month_is_422(self, service):
+        status, body = H.handle_timeseries_v2(
+            service,
+            {
+                "dataset_id": "annual_5x5x5_dataset",
+                "variable_id": "float32_variable",
+                "selected_area": POINT,
+                "time_range": {"gte": {"year": 2, "month": "febru"}, "lte": 4},
+            },
+        )
+        assert status == 422
+
+    def test_transforms_plus_series_options_conflict_is_422(self, service):
+        status, body = H.handle_timeseries_v2(
+            service,
+            {
+                "dataset_id": "annual_5x5x5_dataset",
+                "variable_id": "float32_variable",
+                "selected_area": POINT,
+                "transforms": [{"type": "NoSmoother"}],
+                "requested_series_options": [
+                    {"name": "original", "smoother": {"type": "NoSmoother"}}
+                ],
+            },
+        )
+        assert status == 422
+        assert "transforms" in body["detail"][0]["msg"]

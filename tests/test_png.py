@@ -146,3 +146,25 @@ class TestSparkIntegration:
         assert out[1][:3] == pytest.approx([1.0, 0.0, 0.0])  # real pixels
         assert len(out[2]) == 12  # non-PNG falls back to hash stub
         assert out[1] != out[2]
+
+
+class TestCorruptBlobRobustness:
+    def test_every_truncation_point_falls_back_not_crashes(self):
+        """A 100 TB media table WILL contain truncated files; the default
+        encoder must degrade to the hash stub at every possible cut."""
+        from skope_api_spark.operators.multimodal import pixel_or_hash_encoder
+
+        full = png_encode(4, 4, bytes(range(48)), channels=3)
+        enc = pixel_or_hash_encoder(8)
+        for cut in range(len(full)):
+            feats = enc(full[:cut])
+            assert len(feats) == 8  # never raises, always the right shape
+
+    def test_truncated_chunk_raises_value_error_not_struct_error(self):
+        full = png_encode(2, 2, bytes(12), channels=3)
+        # cut INSIDE the IDAT chunk (signature 8 + IHDR chunk 25 = 33; any
+        # cut before IDAT's 12-byte frame + payload completes must raise
+        # ValueError, never struct.error/zlib.error)
+        for cut in range(34, len(full) - 13):
+            with pytest.raises(ValueError, match="truncated|missing|IDAT"):
+                png_decode(full[:cut])
