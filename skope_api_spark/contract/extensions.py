@@ -567,3 +567,77 @@ def pit_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist["c_mktsegment"],
         hist["c_acctbal"],
     ).orderBy("o_orderkey")
+
+
+def _cms_hash_sql(r: int, width: int = 1024) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{r}:' || tok), 1, 15)) AS BIGINT)"
+        f" % {width}"
+    )
+
+
+@query(
+    "sketch_cms_token_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cells AS (
+  SELECT 0 AS row, {_cms_hash_sql(0)} AS col FROM toks
+  UNION ALL SELECT 1, {_cms_hash_sql(1)} FROM toks
+  UNION ALL SELECT 2, {_cms_hash_sql(2)} FROM toks
+  UNION ALL SELECT 3, {_cms_hash_sql(3)} FROM toks
+), cms AS (
+  SELECT row, col, COUNT(*) AS n FROM cells GROUP BY row, col
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 10
+), probes AS (
+  SELECT tok, 0 AS row, {_cms_hash_sql(0)} AS col FROM top
+  UNION ALL SELECT tok, 1, {_cms_hash_sql(1)} FROM top
+  UNION ALL SELECT tok, 2, {_cms_hash_sql(2)} FROM top
+  UNION ALL SELECT tok, 3, {_cms_hash_sql(3)} FROM top
+), est AS (
+  SELECT p.tok, MIN(COALESCE(c.n, 0)) AS cms_n
+  FROM probes p LEFT JOIN cms c USING (row, col) GROUP BY p.tok
+)
+SELECT t.tok, CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(e.cms_n AS BIGINT) AS cms_n,
+       (e.cms_n >= t.exact_n) AS no_underestimate
+FROM top t JOIN est e USING (tok)
+ORDER BY exact_n DESC, tok
+""",
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch as a DataFrame (1024×4 counter table from one
+    aggregation): point estimates for the exact top-10 tokens, plus the
+    sketch's no-underestimate invariant. Deterministic md5 hash rows, so
+    the oracle replays the identical sketch — an exact contract on an
+    approximate structure."""
+    from skope_api_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cms = cms_build(toks, "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(10)
+    )
+    est = cms_estimate(cms, top.select("tok"), "tok")
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "exact_n",
+            "cms_count",
+        )
+        .select(
+            "tok",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("cms_count").cast("bigint").alias("cms_n"),
+            (F.col("cms_count") >= F.col("exact_n")).alias("no_underestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "tok")
+    )
