@@ -593,3 +593,36 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical counts and interpolation."""
     docs = load(spark, sf_dir, "documents")
     return ops.bigram_logprob(docs).orderBy("doc_id")
+
+
+@query(
+    "sample_weighted_by_tokens",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         ROUND(LN(({_H.format(c="doc_id")} + 1) / 1000001.0)
+               / len(string_split(text, ' ')), 6) AS wkey
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, wkey
+FROM sized
+ORDER BY wkey DESC, doc_id
+LIMIT 50
+""",
+)
+def sample_weighted_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (P ∝ token count): top-50 keys
+    ln(u)/w with the shared md5-uniform u — deterministic, reproducible,
+    TakeOrdered not global-sort. The oracle replays the identical key
+    arithmetic."""
+    from skope_api_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+    out = weighted_sample(docs, weight_col=F.col("n_tokens"), k=50)
+    return out.select(
+        "doc_id", "n_tokens", F.col("__wkey").alias("wkey")
+    ).orderBy(F.desc("wkey"), "doc_id")

@@ -155,3 +155,33 @@ def token_budget_mixing(
     return df.join(F.broadcast(fracs), source_col).where(
         _uniform_hash(F.col(id_col)) < F.col("__frac") * _HASH_MOD
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col,
+    id_col: str = "doc_id",
+    k: int = 50,
+    key_col: str = "__wkey",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``ln(u) / w`` with ``u`` the
+    md5-uniform of its id in (0, 1]; the k largest keys are a sample
+    where P(selection) ∝ weight — the quality-weighted data-selection
+    primitive ("sample 1M documents proportional to quality score").
+
+    Same determinism story as stratified sampling: no RNG state, the
+    sample is reproducible across runs/engines, and the md5 recipe is the
+    shared ``md5_long`` contract. ``orderBy().limit(k)`` is a distributed
+    TakeOrderedAndProject (per-partition top-k, tiny merge) — never a
+    global sort. Keys are rounded to 6 decimals with an id tie-break so
+    the selection is stable cross-engine.
+    """
+    u = (_uniform_hash(F.col(id_col)) + 1) / (_HASH_MOD + 1.0)
+    key = F.round(F.log(u) / weight_col, 6)
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.desc(key_col), id_col)
+        .limit(k)
+    )

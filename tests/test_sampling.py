@@ -99,3 +99,42 @@ class TestTokenBudgetMixing:
         small = {r.doc_id for r in token_budget_mixing(docs, {"a": 60}).collect()}
         big = {r.doc_id for r in token_budget_mixing(docs, {"a": 150}).collect()}
         assert small <= big  # hash thresholds nest
+
+
+class TestWeightedSample:
+    def test_heavier_rows_selected_more_often(self, spark):
+        from skope_api_spark.operators.sampling import weighted_sample
+
+        # 200 light rows (w=1) + 200 heavy rows (w=50): a 100-row sample
+        # should be dominated by heavy rows
+        rows = [(i, 1.0) for i in range(200)] + [
+            (1000 + i, 50.0) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = weighted_sample(df, weight_col=F.col("w"), k=100)
+        heavy = sum(1 for r in out.collect() if r.doc_id >= 1000)
+        assert heavy > 80
+
+    def test_deterministic_across_runs(self, spark):
+        from skope_api_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 7)) for i in range(300)], "doc_id long, w double"
+        )
+        a = [r.doc_id for r in weighted_sample(df, weight_col=F.col("w"), k=30).collect()]
+        b = [r.doc_id for r in weighted_sample(df, weight_col=F.col("w"), k=30).collect()]
+        assert a == b
+
+    def test_take_ordered_not_global_sort(self, spark):
+        from skope_api_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(100)], "doc_id long, w double"
+        )
+        plan = (
+            weighted_sample(df, weight_col=F.col("w"), k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
