@@ -50,6 +50,10 @@ def _coerce_loose_date(v):
             except (TypeError, ValueError) as e:
                 raise ValueError(f"invalid date component {x!r}") from e
 
+        if v["year"] is None:
+            # date(None, ...) would raise a bare TypeError → 500; a null
+            # year has no Jan-1 default, it is simply malformed
+            raise ValueError("date object requires a non-null year")
         return date(
             _num(v["year"], None),
             _num(v.get("month"), 1),

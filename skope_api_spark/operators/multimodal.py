@@ -240,11 +240,18 @@ def sample_frames(
     injection seam; a real deployment passes an ffmpeg/pyav keyframe
     extractor. Default: ``byte_stride_sampler`` (STUB, see its docstring).
     """
-    sampler = (
-        sampler
-        if sampler is not None
-        else byte_stride_sampler(every_n_bytes, max_frames)
-    )
+    if sampler is not None:
+        if every_n_bytes != 4096 or max_frames != 8:
+            # the stride kwargs configure only the default sampler; a
+            # custom sampler carries its own tuning — silently ignoring
+            # them would look like a working knob that does nothing
+            raise ValueError(
+                "every_n_bytes/max_frames only apply to the default "
+                "byte_stride_sampler; configure the injected sampler "
+                "directly"
+            )
+    else:
+        sampler = byte_stride_sampler(every_n_bytes, max_frames)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

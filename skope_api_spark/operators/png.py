@@ -101,9 +101,18 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
 
-    raw = zlib.decompress(b"".join(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if expected <= 0:
+        raise ValueError("zero-dimension PNG")
+    # cap decompression at the size IHDR promises: a crafted
+    # decompression-bomb IDAT must fail cheaply (ValueError → callers'
+    # fallback path), not expand unboundedly in executor memory
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(b"".join(idat), expected)
+    # a valid stream may leave only its end marker in unconsumed_tail;
+    # one more bounded call distinguishes that from surplus pixel data
+    if len(raw) != expected or dobj.decompress(dobj.unconsumed_tail, 1):
         raise ValueError("IDAT length does not match dimensions")
     out = bytearray(height * stride)
     prev = bytearray(stride)

@@ -39,9 +39,9 @@ def cms_build(
 ) -> DataFrame:
     """Build the sketch table: (row, col, n) — depth·width rows max.
 
-    One explode-free aggregation per input row set: each token
-    contributes ``depth`` (row, col) cells via an in-projection array,
-    and the group-by partial-aggregates map-side.
+    One in-projection array explode (``depth`` rows per token) feeding
+    one map-side-combinable aggregation: the shuffle carries at most
+    depth·width (row, col) groups regardless of corpus size.
     """
     cells = df.select(
         F.explode(

@@ -38,8 +38,12 @@ def stream_events(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(source_dir).schema  # streams must declare schema
     raw = spark.readStream.schema(raw_schema).parquet(source_dir)
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # see tables.load: ntz→ltz round-trips through the session tz
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     if with_watermark:
         raw = raw.withWatermark("ts", with_watermark)
     return raw

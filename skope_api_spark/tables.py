@@ -41,11 +41,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # skope_api_spark.session — e.g. the verify driver's — can read events.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and df.schema["ts"].dataType.typeName() == "long":
-        # `div` keeps the arithmetic in exact int64 (a double division would
-        # lose precision at 1e18 ns) and truncates toward zero — identical to
-        # DuckDB's ns→µs truncation when it reads the same file.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            # `div` keeps the arithmetic in exact int64 (a double division
+            # would lose precision at 1e18 ns) and truncates toward zero —
+            # identical to DuckDB's ns→µs truncation on the same file.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with isAdjustedToUTC=false lands as NTZ, which
+            # unix_millis/window() reject. ntz→ltz cast interprets the wall
+            # clock in the session timezone and collect converts back with
+            # the SAME timezone, so the round-trip is value-identical to
+            # DuckDB's naive read whatever the session tz is.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

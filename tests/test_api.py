@@ -191,6 +191,10 @@ class TestErrors:
                 selected_area=ORIGIN_POINT,
                 max_processing_time=99_999_999,
             )
+        # {"year": null} must be a 422-mapped ValidationError, not a raw
+        # TypeError from date(None, 1, 1) that would 500 the request
+        with pytest.raises(ValidationError):
+            M.OptionalTimeRangeModel(gte={"year": None})
 
 
 class TestV1Adapter:

@@ -162,6 +162,18 @@ class TestInjectableKernels:
         ]
         assert all(len(r.frame_bytes) == 8 for r in rows)
 
+    def test_sampler_with_stride_kwargs_rejected(self, media_df):
+        """Stride kwargs tune only the default sampler; combining them
+        with an injected sampler is a config error, not a silent no-op."""
+        with pytest.raises(ValueError, match="byte_stride_sampler"):
+            mm.sample_frames(
+                media_df, every_n_bytes=1024, sampler=lambda b: [(0, b[:8])]
+            )
+        with pytest.raises(ValueError, match="byte_stride_sampler"):
+            mm.sample_frames(
+                media_df, max_frames=2, sampler=lambda b: [(0, b[:8])]
+            )
+
     def test_default_kernels_unchanged(self, media_df):
         """The no-arg path still runs the documented stubs."""
         feats = mm.extract_features(media_df).collect()

@@ -66,6 +66,29 @@ class TestRoundTrip:
         with pytest.raises(NotImplementedError, match="palette"):
             png_decode(data)
 
+    def test_decompression_bomb_capped(self):
+        """A 1x1 PNG whose IDAT inflates to ~64 MB must fail with
+        ValueError after producing at most the IHDR-promised bytes —
+        never materialize the full bomb in memory."""
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+        data = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb)
+        data += _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="IDAT length"):
+            png_decode(data)
+
+    def test_undersized_idat_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        short = zlib.compress(b"\x00" * 3)  # expected (4+1)*4 = 20 bytes
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", short)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT length"):
+            png_decode(data)
+
 
 class TestScanlineFilters:
     """Apply each filter forward by hand, assert the decoder inverts it.
