@@ -184,7 +184,13 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
         if b[:8] == PNG_SIGNATURE:
             try:
                 return png_pixel_features(b, dim=dim)
-            except (NotImplementedError, ValueError, zlib.error, struct.error):
+            except (
+                NotImplementedError,
+                ValueError,
+                zlib.error,
+                struct.error,
+                OverflowError,
+            ):
                 return fallback(b)
         return fallback(b)
 
@@ -229,8 +235,8 @@ def byte_stride_sampler(every_n_bytes: int = 4096, max_frames: int = 8):
 def sample_frames(
     df: DataFrame,
     *,
-    every_n_bytes: int = 4096,
-    max_frames: int = 8,
+    every_n_bytes: int | None = None,
+    max_frames: int | None = None,
     sampler=None,
 ) -> DataFrame:
     """Frame-sampling stage for video-ish blobs (1 row in → N rows out, the
@@ -241,7 +247,7 @@ def sample_frames(
     extractor. Default: ``byte_stride_sampler`` (STUB, see its docstring).
     """
     if sampler is not None:
-        if every_n_bytes != 4096 or max_frames != 8:
+        if every_n_bytes is not None or max_frames is not None:
             # the stride kwargs configure only the default sampler; a
             # custom sampler carries its own tuning — silently ignoring
             # them would look like a working knob that does nothing
@@ -251,7 +257,10 @@ def sample_frames(
                 "directly"
             )
     else:
-        sampler = byte_stride_sampler(every_n_bytes, max_frames)
+        sampler = byte_stride_sampler(
+            4096 if every_n_bytes is None else every_n_bytes,
+            8 if max_frames is None else max_frames,
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

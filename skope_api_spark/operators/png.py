@@ -25,6 +25,14 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
 
+# IHDR width/height are attacker-controlled 32-bit fields; without a cap a
+# forged 2^32-1 × 2^32-1 header overflows zlib's max_length (OverflowError,
+# uncaught by callers' ValueError fallback) and a forged-large-but-valid
+# header makes the decompression cap meaningless (a 255 KB bomb IDAT could
+# inflate hundreds of MB before the length check fires). 64 MP ≈ a 256 MB
+# RGBA raster — far beyond anything this per-pixel-Python kernel should eat.
+MAX_PIXELS = 64_000_000
+
 
 def png_encode(width: int, height: int, pixels: bytes, *, channels: int = 3) -> bytes:
     """Build a valid non-interlaced 8-bit PNG from raw interleaved pixels
@@ -92,6 +100,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError("Adam7 interlacing unsupported")
             if comp != 0 or filt != 0:
                 raise ValueError("invalid compression/filter method")
+            if width == 0 or height == 0:
+                raise ValueError("zero-dimension PNG")
+            if width * height > MAX_PIXELS:
+                raise ValueError(
+                    f"PNG dimensions {width}x{height} exceed MAX_PIXELS "
+                    f"({MAX_PIXELS}); refusing to decode"
+                )
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.append(payload)
@@ -102,9 +117,7 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR or IDAT")
 
     stride = width * channels
-    expected = (stride + 1) * height
-    if expected <= 0:
-        raise ValueError("zero-dimension PNG")
+    expected = (stride + 1) * height  # bounded: width*height <= MAX_PIXELS
     # cap decompression at the size IHDR promises: a crafted
     # decompression-bomb IDAT must fail cheaply (ValueError → callers'
     # fallback path), not expand unboundedly in executor memory

@@ -173,6 +173,15 @@ class TestInjectableKernels:
             mm.sample_frames(
                 media_df, max_frames=2, sampler=lambda b: [(0, b[:8])]
             )
+        # explicitly passing the old signature defaults is equally a
+        # config error — the guard keys on "was it passed", not the value
+        with pytest.raises(ValueError, match="byte_stride_sampler"):
+            mm.sample_frames(
+                media_df,
+                every_n_bytes=4096,
+                max_frames=8,
+                sampler=lambda b: [(0, b[:8])],
+            )
 
     def test_default_kernels_unchanged(self, media_df):
         """The no-arg path still runs the documented stubs."""

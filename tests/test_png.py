@@ -77,6 +77,47 @@ class TestRoundTrip:
         with pytest.raises(ValueError, match="IDAT length"):
             png_decode(data)
 
+    def test_forged_max_dims_raise_value_error_not_overflow(self):
+        """A CRC-valid IHDR claiming 2^32-1 x 2^32-1 must be rejected by
+        the pixel cap with ValueError — previously width*height overflowed
+        zlib's max_length (OverflowError), crashing past callers'
+        ValueError fallback."""
+        ihdr = struct.pack(">IIBBBBB", 0xFFFFFFFF, 0xFFFFFFFF, 8, 6, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="MAX_PIXELS"):
+            png_decode(data)
+
+    def test_bomb_with_forged_large_dims_fails_before_decompress(self):
+        """Forging large-but-plausible dims (2^20 x 2^20) used to make the
+        IHDR-derived max_length so big the bomb inflated hundreds of MB
+        before the length check; the pixel cap now rejects it up front."""
+        ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (1 << 20), 9)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="MAX_PIXELS"):
+            png_decode(data)
+
+    def test_zero_width_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero-dimension"):
+            png_decode(data)
+
     def test_undersized_idat_rejected(self):
         ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
         short = zlib.compress(b"\x00" * 3)  # expected (4+1)*4 = 20 bytes
