@@ -626,3 +626,55 @@ def sample_weighted_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", F.col("__wkey").alias("wkey")
     ).orderBy(F.desc("wkey"), "doc_id")
+
+
+@query(
+    "text_line_filter_c4",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), nl AS (
+  SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_lines FROM base
+), lines0 AS (
+  SELECT doc_id, toks, n_lines, unnest(range(n_lines)) AS pos FROM nl
+), lines AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[(pos*8+1):(pos*8+8)], ' ') AS line
+  FROM lines0
+), freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN freq f USING (line)
+  WHERE len(string_split(l.line, ' ')) >= 3
+    AND NOT list_has_any(string_split(l.line, ' '), ['slow'])
+    AND f.df <= 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id, CAST(n.n_lines AS INT) AS n_lines,
+       CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM nl n LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_line_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per-line
+    rules (min tokens, token blocklist) plus the corpus-level boilerplate
+    step — drop lines appearing in more than ``max_line_docfreq`` distinct
+    documents — then reassemble surviving lines in original order. Lines
+    here are fixed 8-token chunks (the TESTDATA corpus is single-line);
+    a real multi-line corpus passes ``line_delim='\\n'`` instead.
+    Docfreq groups/joins on md5(line) (32-char shuffle key, not the line
+    text); no forced broadcast of the corpus-proportional boilerplate set."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.line_filter(
+        docs,
+        tokens_per_line=8,
+        min_line_tokens=3,
+        blocklist=("slow",),
+        max_line_docfreq=2,
+    ).orderBy("doc_id")

@@ -222,3 +222,68 @@ class TestChunkInvariants:
                 for c in chunks[1:]:
                     toks += c.chunk_text.split(" ")[ov:]
                 assert " ".join(toks) == text, (ct, ov, n)
+
+
+class TestLineFilter:
+    def test_delimiter_mode_rules_and_rebuild(self, spark):
+        from skope_api_spark.operators.text import line_filter
+
+        docs = _docs(
+            spark,
+            [
+                (1, "good line one\nx\nblocked cookie line\nfinal good line"),
+                (2, "x\ny"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in line_filter(
+                docs,
+                line_delim="\n",
+                min_line_tokens=2,
+                blocklist=("cookie",),
+                rejoin_delim="\n",
+            ).collect()
+        }
+        assert out[1].n_lines == 4 and out[1].n_kept == 2
+        assert out[1].cleaned_text == "good line one\nfinal good line"
+        # fully-filtered doc keeps its row with empty text
+        assert out[2].n_lines == 2 and out[2].n_kept == 0
+        assert out[2].cleaned_text == ""
+
+    def test_corpus_docfreq_drops_boilerplate_everywhere(self, spark):
+        from skope_api_spark.operators.text import line_filter
+
+        nav = "home about contact"
+        docs = _docs(
+            spark,
+            [
+                (1, f"{nav}\nunique body one"),
+                (2, f"{nav}\nunique body two"),
+                (3, f"{nav}\nunique body three"),
+            ],
+        )
+        out = {
+            r.doc_id: r.cleaned_text
+            for r in line_filter(docs, line_delim="\n", max_line_docfreq=2).collect()
+        }
+        assert out == {
+            1: "unique body one",
+            2: "unique body two",
+            3: "unique body three",
+        }
+
+    def test_token_chunk_mode_preserves_order(self, spark):
+        from skope_api_spark.operators.text import line_filter
+
+        docs = _docs(spark, [(1, "a b c d e f g")])
+        row = line_filter(docs, tokens_per_line=3).collect()[0]
+        # chunks: "a b c" / "d e f" / "g" — no filters, identity rebuild
+        assert row.n_lines == 3 and row.n_kept == 3
+        assert row.cleaned_text == "a b c d e f g"
+
+    def test_both_line_modes_rejected(self, spark):
+        from skope_api_spark.operators.text import line_filter
+
+        with pytest.raises(ValueError, match="at most one"):
+            line_filter(_docs(spark, [(1, "x")]), line_delim="\n", tokens_per_line=3)
