@@ -619,3 +619,54 @@ def having_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= 15)
         .orderBy(F.desc("n_orders"), "o_custkey")
     )
+
+
+# --- Bloom-pruned join --------------------------------------------------------
+@query(
+    "join_bloom_pruned_revenue",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_suppkey IN (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ship mode for one nation's suppliers, computed through the
+    Bloom runtime-filter path: the filtered supplier keys build a 1 KiB
+    bloom (1-row broadcast), the lineitem scan drops non-matching rows in
+    the projection BEFORE any shuffle, and the exact left-semi join removes
+    the bloom's false positives — exactness is independent of bloom size,
+    which only tunes wasted shuffle rows. The engine-side equivalent of
+    Spark's internal runtime bloom filter (not publicly callable), usable
+    on shapes the automatic rule misses."""
+    from skope_api_spark.operators.joins import bloom_pruned_semi_join
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    pruned = bloom_pruned_semi_join(
+        li, dim, "l_suppkey", "s_suppkey", num_bits=1024, num_hashes=5
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,163 @@
+"""Bloom-filter runtime pruning for large joins.
+
+Spark's optimizer injects bloom runtime filters for some shuffle joins
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``), but the expression
+(`bloom_filter_agg`) is internal — not callable from the public API — and
+the automatic rule only fires for shapes it recognizes. This module is the
+engine-side equivalent, built from public DataFrame ops, usable anywhere:
+prefilter a 100 TB fact table against a filtered dimension BEFORE the
+shuffle join, so the shuffle moves ~|matching rows| instead of |fact|.
+
+Shape (all JVM expressions, no Python):
+
+- build: explode k=``num_hashes`` positions per dim key
+  (``xxhash64(key, j) mod m``), ``bit_or`` the per-position masks into
+  m/64 words (map-side partial agg on a 12-byte row), assemble ONE row
+  holding ``bits: array<long>`` — ``num_bits/8`` bytes total, independent
+  of dim cardinality, always broadcastable.
+- probe: cross-join the 1-row bloom (broadcast), test all k bits with
+  ``bit_get`` in the scan projection. No shuffle of the fact side.
+- exactness: a Bloom filter has no false negatives, so
+  ``prefilter → exact join`` returns exactly the join's rows; false
+  positives only cost wasted shuffle rows (rate set by ``bloom_params``).
+
+The sketch-as-DataFrame pattern matches ``operators/sketches.py`` (CMS).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (num_bits, num_hashes) for ``n_items`` keys at false-positive
+    rate ``fpp``: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    if n_items < 1 or not (0.0 < fpp < 1.0):
+        raise ValueError("need n_items >= 1 and 0 < fpp < 1")
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    k = max(1, round(m / n_items * math.log(2)))
+    return _round_up_64(m), k
+
+
+def _round_up_64(num_bits: int) -> int:
+    return ((num_bits + 63) // 64) * 64
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    # k hashes via xxhash64 over the (key, j) tuple — independent,
+    # deterministic, and identical on build and probe sides
+    return [
+        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
+        for j in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    dim: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """One-row DataFrame ``(bits: array<long>)`` — the Bloom filter of
+    ``dim[key_col]``. m/64 longs regardless of dim row count."""
+    m = _round_up_64(int(num_bits))
+    n_words = m // 64
+    pos = dim.select(
+        F.explode(F.array(*_positions(F.col(key_col), m, num_hashes))).alias(
+            "pos"
+        )
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # densify to a fixed-length array (words with no set bits are absent)
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bits")
+        ).alias("__wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("__wm", i), F.lit(0).cast("long")),
+        ).alias("bits")
+    )
+
+
+def bloom_might_contain(
+    key: Column,
+    bits: Column,
+    *,
+    num_bits: int,
+    num_hashes: int = 4,
+) -> Column:
+    """Predicate: all ``num_hashes`` bits for ``key`` are set in ``bits``.
+    Pure scan-projection expression (pmod/xxhash64/bit_get) — k is small,
+    so the conjunction is unrolled rather than a ``forall`` loop."""
+    m = _round_up_64(int(num_bits))
+
+    def bit_ok(pos: Column) -> Column:
+        word = F.element_at(bits, (pos / 64).cast("int") + 1)
+        return F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
+
+    return reduce(
+        lambda a, b: a & b, [bit_ok(p) for p in _positions(key, m, num_hashes)]
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Fact rows whose key MIGHT be in ``dim[dim_key]`` — a superset of the
+    semi-join (no false negatives) computed without shuffling ``fact``:
+    the 1-row bloom broadcasts and the k bit tests run in the projection."""
+    bloom = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
+    return (
+        fact.join(F.broadcast(bloom))
+        .where(
+            bloom_might_contain(
+                F.col(fact_key),
+                F.col("bits"),
+                num_bits=num_bits,
+                num_hashes=num_hashes,
+            )
+        )
+        .drop("bits")
+    )
+
+
+def bloom_pruned_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """EXACT semi-join with a Bloom prefilter: the bloom drops non-matching
+    fact rows before the shuffle, the left-semi join removes the false
+    positives. At 100 TB this is the difference between shuffling the full
+    fact table and shuffling ~|matching| + fpp·|fact| rows."""
+    pruned = bloom_prefilter(
+        fact, dim, fact_key, dim_key, num_bits=num_bits, num_hashes=num_hashes
+    )
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return pruned.join(dim_keys, fact_key, "left_semi")

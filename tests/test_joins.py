@@ -1,0 +1,106 @@
+"""Bloom-filter runtime pruning: no false negatives, exactness independent
+of filter size, sane parameter math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.joins import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_params,
+    bloom_prefilter,
+    bloom_pruned_semi_join,
+)
+
+
+@pytest.fixture()
+def fact_dim(spark):
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(3,), (17,), (42,)], "dk long")
+    return fact, dim
+
+
+class TestBloomParams:
+    def test_textbook_values(self):
+        m, k = bloom_params(1000, 0.01)
+        # -1000 ln(.01)/ln(2)^2 ≈ 9586 → rounded up to a 64 multiple
+        assert m % 64 == 0 and 9586 <= m <= 9664
+        assert k == 7
+
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(ValueError):
+            bloom_params(0, 0.01)
+        with pytest.raises(ValueError):
+            bloom_params(10, 1.5)
+
+
+class TestBloomSemantics:
+    def test_no_false_negatives_any_size(self, spark, fact_dim):
+        """Every true match survives the prefilter at ANY bloom size —
+        the property that makes prefilter → exact join exact."""
+        fact, dim = fact_dim
+        exact = set(
+            r.payload
+            for r in fact.join(
+                dim.select(F.col("dk").alias("k")), "k", "left_semi"
+            ).collect()
+        )
+        for bits, hashes in [(64, 2), (256, 3), (1 << 12, 5)]:
+            kept = set(
+                r.payload
+                for r in bloom_prefilter(
+                    fact, dim, "k", "dk", num_bits=bits, num_hashes=hashes
+                ).collect()
+            )
+            assert exact <= kept
+
+    def test_pruned_semi_join_is_exact(self, spark, fact_dim):
+        fact, dim = fact_dim
+        exact = sorted(
+            r.payload
+            for r in fact.join(
+                dim.select(F.col("dk").alias("k")), "k", "left_semi"
+            ).collect()
+        )
+        for bits in (64, 1 << 12):
+            got = sorted(
+                r.payload
+                for r in bloom_pruned_semi_join(
+                    fact, dim, "k", "dk", num_bits=bits, num_hashes=3
+                ).collect()
+            )
+            assert got == exact
+
+    def test_prefilter_actually_prunes(self, spark, fact_dim):
+        """With a well-sized bloom, the kept set is far below the fact
+        count (3 of 97 key values match → ~62 true rows of 2000)."""
+        fact, dim = fact_dim
+        m, k = bloom_params(3, 0.01)
+        kept = bloom_prefilter(
+            fact, dim, "k", "dk", num_bits=m, num_hashes=k
+        ).count()
+        assert kept < 200  # 2000 rows in; >90% pruned before any shuffle
+
+    def test_empty_dim_prunes_everything(self, spark, fact_dim):
+        fact, dim = fact_dim
+        empty = dim.where(F.lit(False))
+        assert (
+            bloom_prefilter(fact, empty, "k", "dk", num_bits=256).count() == 0
+        )
+
+    def test_membership_expression_directly(self, spark):
+        dim = spark.createDataFrame([(i,) for i in range(50)], "dk long")
+        bloom = bloom_build(dim, "dk", num_bits=1 << 12, num_hashes=5)
+        probe = spark.range(0, 100).join(F.broadcast(bloom))
+        hits = probe.where(
+            bloom_might_contain(
+                F.col("id"), F.col("bits"), num_bits=1 << 12, num_hashes=5
+            )
+        )
+        ids = sorted(r.id for r in hits.collect())
+        assert set(range(50)) <= set(ids)  # members always hit
+        assert len(ids) < 60  # ~0 false positives at this sizing
