@@ -66,14 +66,18 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_cross_corpus",
     "text_chunk_documents",
     "layout_zorder_events",
-    "sessionize_native_session_window",
+    # r06: sessionize_native_session_window's and text_bottomk_fingerprint's
+    # slots ceded to the round's flagships (C4 line filter, bloom-pruned
+    # join); both stay regression-covered by the full check_correctness
+    # replay, and sessionization itself stays gated via sessionize_events
+    "text_line_filter_c4",
     "sessionize_events",
     # text / multimodal battery
     "text_quality_stats",
     "text_token_counts",
     "text_langid_token_profile",
     "text_tfidf_top_terms",
-    "text_bottomk_fingerprint",
+    "join_bloom_pruned_revenue",
     "mm_binary_stats",
     # dedup scale paths
     "dedup_exact_documents",

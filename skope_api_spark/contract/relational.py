@@ -670,3 +670,132 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- UNPIVOT / melt -----------------------------------------------------------
+@query(
+    "unpivot_priority_price_stats",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority,
+         ROUND(MIN(o_totalprice), 2) AS min_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price,
+         ROUND(SUM(o_totalprice), 2) AS sum_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'min_price' AS metric, min_price AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'max_price', max_price FROM agg
+UNION ALL
+SELECT o_orderpriority, 'sum_price', sum_price FROM agg
+ORDER BY o_orderpriority, metric
+""",
+)
+def unpivot_priority_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via DataFrame.unpivot (Spark 3.4 melt): per-priority
+    price stats unpivoted to (priority, metric, value) rows — the inverse of
+    pivot_orders_by_priority. Unpivot is a zero-shuffle projection (each
+    input row fans out to n_metrics rows in place)."""
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["min_price", "max_price", "sum_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderpriority", "metric")
+
+
+# --- argmin-per-group join (TPC-H q2 shape) -----------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+), best AS (
+  SELECT l_partkey, l_suppkey, unit_price FROM (
+    SELECT l_partkey, l_suppkey, unit_price,
+           ROW_NUMBER() OVER (
+             PARTITION BY l_partkey ORDER BY unit_price, l_suppkey
+           ) AS rk
+    FROM unit
+  ) WHERE rk = 1
+)
+SELECT b.l_partkey AS partkey, b.l_suppkey AS suppkey,
+       ROUND(b.unit_price, 4) AS unit_price
+FROM best b
+WHERE b.l_partkey % 37 = 0
+ORDER BY partkey
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2's core shape — for each part, the supplier offering the
+    minimum unit price — WITHOUT the window sort-shuffle: one
+    ``groupBy(min(struct(unit_price, suppkey)))``. The struct's lexical
+    order makes the argmin deterministic on ties (lowest suppkey), and the
+    aggregate partially reduces map-side, so only one candidate row per
+    (partition, partkey) reaches the shuffle — the window formulation
+    shuffles and sorts every scored row. Same result, checked against the
+    window-form oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("b")
+    )
+    return (
+        best.where(F.col("l_partkey") % 37 == 0)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.l_suppkey").alias("suppkey"),
+            F.round(F.col("b.unit_price"), 4).alias("unit_price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# --- conditional aggregation battery ------------------------------------------
+@query(
+    "conditional_agg_battery",
+    oracle="""
+SELECT l_linestatus,
+  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_disc,
+  bool_and(l_quantity > 0) AS all_qty_pos,
+  bool_or(l_tax = 0) AS any_tax_zero,
+  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+    AS returned_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def conditional_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates: count_if, bool_and/bool_or, and
+    SUM(CASE WHEN) — the SQL FILTER-clause surface. All partial-aggregate
+    friendly (one shuffle of 4 scalars per group)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+            F.bool_or(F.col("l_tax") == 0).alias("any_tax_zero"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R", F.col("l_extendedprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_price"),
+        )
+        .orderBy("l_linestatus")
+    )
