@@ -387,3 +387,80 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "range_join_overlapping_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess0 AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), sess AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS sid, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess0 GROUP BY user_id, sid
+), a AS (
+  SELECT user_id AS user_a, sid AS session_a, s AS start_a, e AS end_a
+  FROM sess WHERE user_id % 7 = 0
+), b AS (
+  SELECT user_id AS user_b, sid AS session_b, s AS start_b, e AS end_b
+  FROM sess WHERE user_id % 5 = 0
+)
+SELECT user_a, session_a, start_a, end_a, user_b, session_b, start_b, end_b
+FROM a JOIN b
+  ON start_a <= end_b AND start_b <= end_a AND user_a <> user_b
+ORDER BY user_a, session_a, user_b, session_b
+""",
+)
+def range_join_overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which sessions of two user cohorts were active
+    simultaneously. The oracle writes the textbook inequality join (plans
+    as a cartesian — fine for DuckDB at oracle scale); the Spark side runs
+    the BUCKETED range join (`operators/rangejoin.py`): explode to
+    30-minute bucket indexes, hash-join on bucket equality, exact overlap
+    predicate within buckets, first-shared-bucket rule so each pair emits
+    once with no distinct. Same rows, scale-safe plan."""
+    from skope_api_spark.operators.rangejoin import interval_overlap_join
+
+    sess = (
+        ops.sessionize(
+            _events(spark, sf_dir),
+            ts_col="ts",
+            order_by=("ts", "event_id"),
+            partition_by=("user_id",),
+            gap="30 minutes",
+            out_col="session_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a = sess.where(F.col("user_id") % 7 == 0).select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("s").alias("start_a"),
+        F.col("e").alias("end_a"),
+    )
+    b = sess.where(F.col("user_id") % 5 == 0).select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("s").alias("start_b"),
+        F.col("e").alias("end_b"),
+    )
+    return interval_overlap_join(
+        a,
+        b,
+        left_start="start_a",
+        left_end="end_a",
+        right_start="start_b",
+        right_end="end_b",
+        bucket="30 minutes",
+        extra_condition=F.col("user_a") != F.col("user_b"),
+    ).orderBy("user_a", "session_a", "user_b", "session_b")

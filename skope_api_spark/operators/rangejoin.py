@@ -1,0 +1,92 @@
+"""Interval-overlap (range) join via time bucketing.
+
+Spark has no native range join: ``a.start <= b.end AND b.start <= a.end``
+alone plans as BroadcastNestedLoopJoin / cartesian — O(|A|·|B|) comparisons,
+unrunnable at scale. The standard distributed shape (Flink/Databricks
+range-join optimization) equi-joins on coarse time buckets so only pairs
+sharing a bucket are compared:
+
+- each interval explodes to the bucket indexes it covers
+  (``floor(unix_seconds/width)`` — integer math, no calendar alignment);
+- the equi-join on bucket index is an ordinary shuffle/broadcast hash join
+  Catalyst can plan and AQE can size;
+- the exact overlap predicate filters within buckets;
+- each overlapping pair is emitted ONCE without a distinct: only the
+  first bucket both intervals share — ``greatest(floor(a.start),
+  floor(b.start))`` — may emit (that bucket is shared iff the intervals
+  overlap), so no post-join dedup shuffle.
+
+Cost model: an interval of length L explodes to ~L/width + 1 rows. Pick
+``bucket`` near the typical interval length — too small multiplies the
+fan-out, too large multiplies the per-bucket comparison count. Long-tail
+intervals (≫ width) are the skew risk: their buckets all land in the same
+join partitions; cap them upstream or widen the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.windows import parse_gap_ms
+
+
+def _bucket_idx(ts_col: Column, width_ms: int) -> Column:
+    return F.floor(F.unix_millis(ts_col) / F.lit(width_ms)).cast("long")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 hour",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED intervals overlap:
+    ``l.start <= r.end AND r.start <= l.end``.
+
+    Column names must be disjoint between the two sides (alias before
+    calling). ``extra_condition`` adds a predicate over the joined columns
+    (e.g. different-user). Emits each pair exactly once via the
+    first-shared-bucket rule — no post-join distinct.
+    """
+    width_ms = parse_gap_ms(bucket)
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+
+    l_bucketed = left.withColumn(
+        "__lb",
+        F.explode(
+            F.sequence(
+                _bucket_idx(F.col(left_start), width_ms),
+                _bucket_idx(F.col(left_end), width_ms),
+            )
+        ),
+    )
+    r_bucketed = right.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                _bucket_idx(F.col(right_start), width_ms),
+                _bucket_idx(F.col(right_end), width_ms),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        _bucket_idx(F.col(left_start), width_ms),
+        _bucket_idx(F.col(right_start), width_ms),
+    )
+    cond = (
+        (F.col("__lb") == F.col("__rb"))
+        & (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (F.col("__lb") == first_shared)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return l_bucketed.join(r_bucketed, cond).drop("__lb", "__rb")

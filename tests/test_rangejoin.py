@@ -1,0 +1,113 @@
+"""Bucketed interval-overlap join: exactness vs the naive quadratic join,
+single emission per pair, closed-interval endpoint semantics, and the
+equi-bucket plan shape (no cartesian)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.rangejoin import interval_overlap_join
+
+
+def _iv(spark, rows, prefix):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, h1, m1), datetime(2024, 1, 1, h2, m2))
+         for i, (h1, m1, h2, m2) in enumerate(rows)],
+        f"{prefix}_id long, {prefix}_start timestamp, {prefix}_end timestamp",
+    )
+
+
+class TestIntervalOverlapJoin:
+    def _join(self, left, right, **kw):
+        kw.setdefault("bucket", "1 hour")
+        return interval_overlap_join(
+            left,
+            right,
+            left_start="a_start",
+            left_end="a_end",
+            right_start="b_start",
+            right_end="b_end",
+            **kw,
+        )
+
+    def test_matches_naive_quadratic_join(self, spark):
+        import random
+
+        rng = random.Random(7)
+
+        # random closed intervals within one day
+        def rand_rows(n):
+            out = []
+            for _ in range(n):
+                (h1, m1), (h2, m2) = sorted(
+                    [(rng.randrange(0, 23), rng.randrange(0, 60)) for _ in range(2)]
+                )
+                out.append((h1, m1, h2, m2))
+            return out
+
+        a = _iv(spark, rand_rows(40), "a")
+        b = _iv(spark, rand_rows(40), "b")
+        got = sorted(
+            (r.a_id, r.b_id) for r in self._join(a, b).collect()
+        )
+        naive = sorted(
+            (r.a_id, r.b_id)
+            for r in a.join(
+                b,
+                (F.col("a_start") <= F.col("b_end"))
+                & (F.col("b_start") <= F.col("a_end")),
+            ).collect()
+        )
+        assert got == naive and len(got) > 0
+
+    def test_each_pair_emitted_once_across_many_buckets(self, spark):
+        # both intervals span 5+ hourly buckets and overlap in all of them
+        a = _iv(spark, [(1, 0, 9, 0)], "a")
+        b = _iv(spark, [(2, 0, 8, 0)], "b")
+        rows = self._join(a, b).collect()
+        assert len(rows) == 1
+
+    def test_closed_interval_touching_endpoints_match(self, spark):
+        a = _iv(spark, [(1, 0, 2, 0)], "a")
+        b = _iv(spark, [(2, 0, 3, 0)], "b")  # starts exactly at a's end
+        assert self._join(a, b).count() == 1
+
+    def test_disjoint_intervals_never_match(self, spark):
+        a = _iv(spark, [(1, 0, 2, 0)], "a")
+        b = _iv(spark, [(2, 1, 3, 0)], "b")
+        assert self._join(a, b).count() == 0
+
+    def test_extra_condition_applies(self, spark):
+        a = _iv(spark, [(1, 0, 5, 0)], "a")
+        b = _iv(spark, [(1, 0, 5, 0)], "b")
+        assert (
+            self._join(a, b, extra_condition=F.col("a_id") != F.col("b_id")).count()
+            == 0
+        )
+
+    def test_ambiguous_columns_rejected(self, spark):
+        a = _iv(spark, [(1, 0, 2, 0)], "a")
+        with pytest.raises(ValueError, match="ambiguous"):
+            interval_overlap_join(
+                a,
+                a,
+                left_start="a_start",
+                left_end="a_end",
+                right_start="a_start",
+                right_end="a_end",
+            )
+
+    def test_plan_is_equi_join_not_cartesian(self, spark):
+        a = _iv(spark, [(1, 0, 2, 0), (3, 0, 4, 0)], "a")
+        b = _iv(spark, [(1, 30, 2, 30), (5, 0, 6, 0)], "b")
+        plan = (
+            self._join(a, b)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
