@@ -799,3 +799,116 @@ def conditional_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# --- TPC-H q21 shape: exists + not-exists correlated pair ---------------------
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l1.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+WHERE l1.is_late
+  AND EXISTS (
+    SELECT 1 FROM late l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late
+  )
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, suppkey
+LIMIT 20
+""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21's shape — suppliers who alone held up multi-supplier
+    orders (late := shipped >80 days after order date; the testdata has no
+    commit/receipt dates). The oracle states it with the classic
+    EXISTS / NOT EXISTS correlated pair; the Spark plan is the
+    aggregation form of the same predicate — one groupBy(l_orderkey)
+    computing (distinct suppliers, distinct LATE suppliers), joined back
+    to the late rows, keeping orders with >1 supplier and exactly 1 late
+    one. Two shuffles total, both partial-aggregated map-side — no
+    correlated-subquery re-scans of lineitem, and provably equivalent
+    (the contract hash-checks it)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80)
+        ).alias("is_late"),
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        late.where("is_late")
+        .join(
+            per_order.where(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H q22 shape: scalar subquery + anti join -----------------------------
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '1998-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22's shape — above-average-balance customers with no recent
+    orders, by nation. The global average is a 1-row aggregate broadcast
+    into the filter (scalar-subquery equivalent); the NOT EXISTS is a
+    left-anti join against the distinct recent-order customer keys. Both
+    sides partial-aggregate; nothing correlates per-row."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = (
+        o.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -321,3 +321,44 @@ def date_functions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "hof_array_sweep",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 17 = 0
+)
+SELECT vec_id,
+  ROUND(list_sum(list_transform(e, x -> abs(x))), 4) AS l1_norm,
+  CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+  ROUND(list_max(list_transform(e, x -> abs(x))), 4) AS max_abs,
+  ROUND(list_dot_product(e, list_reverse(e)), 4) AS dot_reversed,
+  CAST(len(list_filter(e, x -> abs(x) > 0.4)) > 0 AS BOOLEAN) AS any_extreme
+FROM v
+ORDER BY vec_id
+""",
+)
+def hof_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery over the embedding column:
+    transform / filter / aggregate (fold) / zip_with / reverse / exists —
+    all JVM expressions in the scan projection (the idioms every
+    vector-column pipeline builds on). Floats are cast to double BEFORE
+    the fold so accumulation matches the oracle's double math."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 17 == 0)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absd = F.transform(e, lambda x: F.abs(x))
+    fold = lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(fold(absd), 4).alias("l1_norm"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(F.array_max(absd), 4).alias("max_abs"),
+        F.round(
+            fold(F.zip_with(e, F.reverse(e), lambda a, b: a * b)), 4
+        ).alias("dot_reversed"),
+        F.exists(e, lambda x: F.abs(x) > 0.4).alias("any_extreme"),
+    ).orderBy("vec_id")
