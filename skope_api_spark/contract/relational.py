@@ -912,3 +912,45 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- TPC-H q17 shape: per-group scalar correlated subquery --------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT p.p_brand,
+       ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE l.l_quantity < (
+  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17's shape — revenue from below-half-average-quantity line
+    items, per brand. The oracle keeps the correlated per-part scalar
+    subquery; the Spark plan decorrelates it into one groupBy(l_partkey)
+    average joined back to the fact — a single extra shuffle of one
+    (partkey, avg) row per part instead of a correlated re-scan per fact
+    row. The lineitem→part join is left to AQE (part is broadcastable at
+    test SF, shuffle-join at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    half_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg_qty")
+    )
+    return (
+        li.join(half_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__half_avg_qty"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+        .orderBy("p_brand")
+    )

@@ -362,3 +362,46 @@ def hof_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dot_reversed"),
         F.exists(e, lambda x: F.abs(x) > 0.4).alias("any_extreme"),
     ).orderBy("vec_id")
+
+
+@query(
+    "map_functions_battery",
+    oracle="""
+WITH per AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus,
+  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+  CAST(COUNT(*) AS INT) AS n_priorities,
+  CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS BIGINT)
+    AS n_urgent,
+  CAST(SUM(n) AS BIGINT) AS total_orders
+FROM per
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: map_from_entries over sorted entries, then
+    map_keys / element_at / size / a fold over map_values — the oracle
+    derives identical scalars relationally, proving the map semantics
+    (insertion-ordered keys from the sorted entry list, lookup, fold)."""
+    orders = load(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.concat_ws(",", F.map_keys("m")).alias("priorities"),
+        F.size("m").alias("n_priorities"),
+        F.element_at("m", "1-URGENT").alias("n_urgent"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_orders"),
+    ).orderBy("o_orderstatus")
