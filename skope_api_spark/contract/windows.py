@@ -464,3 +464,71 @@ def range_join_overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         bucket="30 minutes",
         extra_condition=F.col("user_a") != F.col("user_b"),
     ).orderBy("user_a", "session_a", "user_b", "session_b")
+
+
+@query(
+    "interval_join_click_purchase",
+    oracle="""
+WITH c AS (
+  SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+         ROUND(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
+       c.click_id, c.click_ts
+FROM c JOIN p
+  ON c.click_user = p.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+ORDER BY user_id, purchase_id, click_id
+""",
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-window join — every (click, purchase-within-30-min) pair
+    per user. The oracle writes the bare inequality join (cartesian at
+    engine level); the Spark side runs the bucketed range join: clicks
+    become [ts, ts+30min] intervals, purchases are point intervals, the
+    equi-key is the 30-minute bucket index (+ user equality as an extra
+    predicate). Same rows, no BroadcastNestedLoopJoin. The streaming form
+    of this exact join (watermarked stream-stream, state bounded by the
+    time condition) is `streaming.events.click_purchase_stream_join`,
+    proven stream≡batch in tests/test_streaming.py."""
+    from skope_api_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("click_end"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    return (
+        interval_overlap_join(
+            c,
+            p.withColumn("p_end", F.col("purchase_ts")),
+            left_start="click_ts",
+            left_end="click_end",
+            right_start="purchase_ts",
+            right_end="p_end",
+            bucket="30 minutes",
+            extra_condition=F.col("click_user") == F.col("user_id"),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+            "click_id",
+            "click_ts",
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )

@@ -132,3 +132,50 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame, purchases: DataFrame, *, within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``within`` window.
+
+    The time-bound condition (purchase_ts in [click_ts, click_ts+within])
+    is what makes the join runnable on two UNBOUNDED streams: with
+    watermarks on both sides, Spark derives how long a click must be
+    held in state before no future purchase can match it, and expires it
+    — state is O(events in the window), not O(history). Mode-agnostic:
+    the same function on two batch DataFrames returns the identical
+    result through a plain range join (tests assert parity).
+
+    Inputs are raw event streams/frames (``ts``/``user_id``/``event_id``
+    columns, e.g. from ``stream_events``): clicks/purchases are filtered
+    here so both sides inherit the source's watermark.
+    """
+    c = clicks.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("purchase_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -158,3 +158,32 @@ class TestStatelessOpsOnStreams:
             }
         assert got == batch
         assert len(got) > 0
+
+
+class TestStreamStreamJoin:
+    def test_click_purchase_join_stream_equals_batch(
+        self, spark, batch_events, events_dir
+    ):
+        """Stream-stream interval join (watermarks both sides, time-bound
+        condition) drains to exactly the batch range-join result."""
+        batch = se.click_purchase_stream_join(
+            batch_events, batch_events, within="30 minutes"
+        )
+        expected = sorted(
+            (r.purchase_id, r.click_id) for r in batch.collect()
+        )
+        assert len(expected) > 0
+
+        s1 = se.stream_events(spark, events_dir, with_watermark="2 hours")
+        s2 = se.stream_events(spark, events_dir, with_watermark="2 hours")
+        joined = se.click_purchase_stream_join(s1, s2, within="30 minutes")
+        assert joined.isStreaming
+        with tempfile.TemporaryDirectory() as ckpt:
+            se.run_available_now(
+                joined, query_name="ss_join_test", checkpoint=ckpt
+            )
+            got = sorted(
+                (r.purchase_id, r.click_id)
+                for r in spark.sql("SELECT * FROM ss_join_test").collect()
+            )
+        assert got == expected
