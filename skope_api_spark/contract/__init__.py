@@ -57,7 +57,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "w3_rolling_zscore",
     "w4_fixed_interval_zscore",
     "w4_reference_interval_zscore",
-    "moving_median_smoother",
+    # r06: moving_median_smoother (extension smoother, not reference core)
+    # cedes its slot to the bucketed range join; full replay still covers it
+    "range_join_overlapping_sessions",
     # r04: four window-battery slots (value_window_suite, ranking_suite,
     # lag_lead_deltas, running_cumulative_sum) ceded to the round's
     # flagship pipeline operators; the battery stays regression-covered
