@@ -678,3 +678,34 @@ def text_line_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocklist=("slow",),
         max_line_docfreq=2,
     ).orderBy("doc_id")
+
+
+@query(
+    "text_linear_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    list_sum(list_transform(toks,
+      x -> (('0x' || substr(md5(x), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5))
+      / len(toks) AS mean_w
+  FROM t
+), sc AS (
+  SELECT doc_id, n_tokens,
+         ROUND(1.0 / (1.0 + exp(-mean_w * 10)), 6) AS quality_score
+  FROM s
+)
+SELECT doc_id, n_tokens, quality_score,
+       CAST(LEAST(9, FLOOR(quality_score * 10)) AS INT) AS quality_bucket
+FROM sc
+ORDER BY doc_id
+""",
+)
+def text_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style hashed-feature linear scorer with fixed-threshold
+    decile bucketing — zero-shuffle scan-projection scoring (see
+    operators.text.linear_quality_score)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.linear_quality_score(docs).orderBy("doc_id")

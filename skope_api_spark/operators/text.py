@@ -637,3 +637,56 @@ def line_filter(
         F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Hashed-feature linear quality scorer — the fasttext-style
+    discriminative stage of a CCNet/FineWeb cleaning pipeline (distinct
+    from the generative ``unigram_logprob``/``bigram_logprob`` proxies):
+    score = sigmoid(mean token weight), where each token's weight is a
+    deterministic hash-derived stand-in for a trained embedding-table row
+    (md5 → [-0.5, 0.5); a real deployment joins/broadcasts trained
+    weights through the same shape).
+
+    ZERO shuffle: the weight lookup is pure projection math
+    (``transform`` over the token array + a fold), so scoring runs at
+    scan throughput on 100 TB. Bucketing uses fixed score thresholds, not
+    ntile — a global ntile would funnel the corpus through one sorted
+    partition.
+
+    Returns (doc_id, n_tokens, quality_score, quality_bucket 0..n-1).
+    """
+    toks = F.split(F.col(text_col), " ")
+    # md5-derived weight in [-0.5, 0.5): engine-independent. Both engines
+    # fold the token array SEQUENTIALLY (Spark `aggregate`, DuckDB
+    # list_sum over list_transform), so the double accumulation order —
+    # and therefore the sum — is bit-identical; no mid-fold rounding
+    # needed, only the final 6-decimal display rounding.
+    weight = lambda t: (
+        F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(1000),
+        )
+        / 1000.0
+        - 0.5
+    )
+    total = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x
+    )
+    mean_w = total / F.size(toks)
+    score = F.round(1.0 / (1.0 + F.exp(-mean_w * 10)), 6)
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor(score * n_buckets)
+    ).cast("int")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        score.alias("quality_score"),
+        bucket.alias("quality_bucket"),
+    )
