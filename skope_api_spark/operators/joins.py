@@ -43,7 +43,26 @@ def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return _round_up_64(m), k
 
 
+# The filter materializes as ONE row holding m/64 longs and broadcasts to
+# every task: past ~2^28 bits (32 MiB) that stops being a cheap broadcast
+# and the single-row final aggregation becomes the bottleneck — the same
+# reason Spark caps its internal runtime filter at 67M bits
+# (spark.sql.optimizer.runtime.bloomFilter.maxNumBits). Beyond this cap
+# (≳10^8 distinct keys), shard the dim by key range and prefilter with one
+# bloom per shard, or fall back to the plain shuffle join.
+MAX_NUM_BITS = 1 << 28
+
+
 def _round_up_64(num_bits: int) -> int:
+    if num_bits < 1:
+        raise ValueError("num_bits must be >= 1")
+    num_bits = max(num_bits, 64)  # one word minimum
+    if num_bits > MAX_NUM_BITS:
+        raise ValueError(
+            f"num_bits {num_bits} exceeds MAX_NUM_BITS ({MAX_NUM_BITS}); "
+            "a bloom this size is no longer a cheap broadcast — shard the "
+            "dim side or use the plain shuffle join"
+        )
     return ((num_bits + 63) // 64) * 64
 
 

@@ -104,3 +104,28 @@ class TestBloomSemantics:
         ids = sorted(r.id for r in hits.collect())
         assert set(range(50)) <= set(ids)  # members always hit
         assert len(ids) < 60  # ~0 false positives at this sizing
+
+
+class TestBloomScaleBounds:
+    def test_oversized_bloom_rejected(self, spark, fact_dim):
+        """Past the broadcast-sanity cap the right move is sharding or the
+        plain join — a 12 GB 'broadcast' must not be constructible."""
+        fact, dim = fact_dim
+        with pytest.raises(ValueError, match="MAX_NUM_BITS"):
+            bloom_prefilter(fact, dim, "k", "dk", num_bits=1 << 29)
+
+    def test_params_for_huge_n_hit_the_cap(self):
+        with pytest.raises(ValueError, match="MAX_NUM_BITS"):
+            bloom_params(10**9, 0.01)  # would need ~9.6e9 bits
+
+    def test_tiny_bits_clamped_to_one_word(self, spark, fact_dim):
+        """Sub-word sizes round up to 64 bits (still exact — only the FP
+        rate suffers)."""
+        fact, dim = fact_dim
+        exact = fact.join(
+            dim.select(F.col("dk").alias("k")), "k", "left_semi"
+        ).count()
+        got = bloom_pruned_semi_join(
+            fact, dim, "k", "dk", num_bits=8, num_hashes=2
+        ).count()
+        assert got == exact
