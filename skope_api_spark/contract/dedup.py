@@ -320,3 +320,49 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated spans (the removal set of substring-level dedup)."""
     docs = load(spark, sf_dir, "documents")
     return ops.duplicate_spans(docs, span_tokens=8).orderBy("doc_id", "pos")
+
+
+@query(
+    "dedup_remove_duplicate_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest([{'pos': i - 1,
+                  'h': md5(array_to_string(ws[i:i+7], ' '))}
+                 for i in range(1, len(ws) - 6)]) AS s
+  FROM t WHERE len(ws) >= 8
+), p AS (
+  SELECT doc_id, CAST(s.pos AS INT) AS pos, s.h FROM e
+), rk AS (
+  SELECT doc_id, pos, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+         COUNT(*) OVER (PARTITION BY h) AS n
+  FROM p
+), dup AS (
+  SELECT doc_id, pos FROM rk WHERE n >= 2 AND rk > 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos + u AS tpos FROM dup, unnest(range(8)) AS tt(u)
+), rem AS (
+  SELECT doc_id, COUNT(*) AS n_removed, list(tpos) AS rl FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+       CAST(COALESCE(r.n_removed, 0) AS INT) AS n_removed,
+       COALESCE(array_to_string(
+         [t.ws[i] FOR i IN range(1, len(t.ws) + 1)
+          IF r.rl IS NULL OR NOT list_contains(r.rl, i - 1)], ' '), '')
+         AS cleaned_text
+FROM t LEFT JOIN rem r USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2021) — documents rewritten with
+    every non-canonical occurrence of a corpus-repeated 8-token span
+    deleted (canonical = smallest (doc_id, pos), so exactly one copy
+    survives corpus-wide). The oracle replays canonical selection with a
+    window rank; the Spark side picks it via groupBy(min(struct)) and
+    rewrites in the scan projection — corpus text never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.remove_duplicate_spans(docs, span_tokens=8).orderBy("doc_id")

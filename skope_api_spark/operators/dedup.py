@@ -601,3 +601,82 @@ def duplicate_spans(
         .select("doc_id", F.col("pos").cast("int").alias("pos"),
                 "span_md5", "n_occurrences")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2021): rewrite every document with
+    repeated-span occurrences deleted, keeping exactly one canonical copy
+    of each repeated span corpus-wide (the occurrence with the smallest
+    (doc_id, pos) — deterministic, so the oracle replays it).
+
+    A token survives unless it is covered by a NON-canonical occurrence
+    of a span that repeats anywhere in the corpus (same doc included).
+
+    Scale shape — the corpus text never shuffles:
+    - span hashes: scan-projection transform + one posexplode (as in
+      ``duplicate_spans``), window count per hash — one shuffle of
+      (doc_id, pos, 32-char md5);
+    - canonical pick: groupBy(span_md5).min(struct(doc_id, pos)) —
+      partial-aggregated, repeated spans only;
+    - covered positions: explode the span width ONLY for duplicate
+      occurrences (duplicate mass, not corpus mass), collect_set per doc;
+    - rewrite: ONE row of removed positions joins back per doc, and the
+      indexed ``filter(toks, (x, i) -> ...)`` deletes in the projection.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text).
+    """
+    toks = "__rm_toks"
+    spans = (
+        f"CASE WHEN size({toks}) >= {span_tokens} THEN "
+        f"transform(sequence(0, size({toks}) - {span_tokens}), "
+        f"i -> md5(concat_ws(' ', slice({toks}, i + 1, {span_tokens})))) "
+        f"ELSE array() END"
+    )
+    from pyspark.sql import Window as W
+
+    pos = (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.expr(spans)).alias("pos", "span_md5"),
+        )
+    )
+    repeated = pos.withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("span_md5"))
+    ).where(F.col("__n") >= 2)
+    canonical = repeated.groupBy("span_md5").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__c")
+    )
+    dup_occ = repeated.join(canonical, "span_md5").where(
+        (F.col("doc_id") != F.col("__c.doc_id"))
+        | (F.col("pos") != F.col("__c.pos"))
+    )
+    removed = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (span_tokens - 1))
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tpos").alias("__removed"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias(toks)
+    )
+    rm = F.coalesce(F.col("__removed"), F.array().cast("array<int>"))
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(rm).cast("int").alias("n_removed"),
+        F.array_join(
+            F.filter(toks, lambda x, i: ~F.array_contains(rm, i)),
+            " ",
+        ).alias("cleaned_text"),
+    )

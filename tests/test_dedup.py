@@ -140,3 +140,69 @@ class TestClusterArgValidation:
         pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         with pytest.raises(ValueError, match="max_iter"):
             duplicate_clusters(pairs, max_iter=0)
+
+
+class TestRemoveDuplicateSpans:
+    def test_keeps_exactly_one_canonical_copy(self, spark):
+        from skope_api_spark.operators.dedup import remove_duplicate_spans
+
+        boiler = "x1 x2 x3 x4"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{boiler} a b c d"),
+                (2, f"{boiler} e f g h"),
+                (3, f"{boiler} i j k l"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(docs, span_tokens=4).collect()
+        }
+        # doc 1 holds the canonical (smallest (doc_id, pos)) copy
+        assert out[1].n_removed == 0
+        assert out[1].cleaned_text == f"{boiler} a b c d"
+        # later docs lose the boilerplate span, keep their unique tails
+        assert out[2].cleaned_text == "e f g h"
+        assert out[3].cleaned_text == "i j k l"
+        assert out[2].n_removed == out[3].n_removed == 4
+
+    def test_within_doc_repetition_removed(self, spark):
+        from skope_api_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, "p q r s p q r s tail1 tail2")],
+            "doc_id long, text string",
+        )
+        row = remove_duplicate_spans(docs, span_tokens=4).collect()[0]
+        # second occurrence of "p q r s" (pos 4..7) is removed
+        assert row.cleaned_text == "p q r s tail1 tail2"
+        assert row.n_removed == 4
+
+    def test_short_and_unique_docs_untouched(self, spark):
+        from skope_api_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "all tokens unique here today friend ok yes")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+        assert out[1].n_removed == 0 and out[1].cleaned_text == "too short"
+        assert out[2].n_removed == 0
+
+    def test_overlapping_duplicate_spans_union_coverage(self, spark):
+        from skope_api_spark.operators.dedup import remove_duplicate_spans
+
+        # 5-token repeat means two overlapping 4-token spans repeat;
+        # covered positions must union, not double-count
+        docs = spark.createDataFrame(
+            [(1, "a b c d e z1 z2 z3"), (2, "a b c d e y1 y2 y3")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(docs, span_tokens=4).collect()
+        }
+        assert out[1].n_removed == 0
+        assert out[2].cleaned_text == "y1 y2 y3"
+        assert out[2].n_removed == 5
