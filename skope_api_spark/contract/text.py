@@ -709,3 +709,49 @@ def text_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.text.linear_quality_score)."""
     docs = load(spark, sf_dir, "documents")
     return ops.linear_quality_score(docs).orderBy("doc_id")
+
+
+@query(
+    "sample_pack_training_sequences",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 8 AS INT) AS shard,
+         string_split(text, ' ') AS ws
+  FROM documents
+), offs AS (
+  SELECT doc_id, shard, ws,
+         COALESCE(SUM(len(ws)) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM base
+), pos0 AS (
+  SELECT shard, off, ws, unnest(range(1, len(ws) + 1)) AS i FROM offs
+), pos AS (
+  SELECT shard,
+         CAST((off + i - 1) // 64 AS BIGINT) AS seq_id,
+         (off + i - 1) % 64 AS sp,
+         ws[i] AS tok
+  FROM pos0
+), agg AS (
+  SELECT shard, seq_id, COUNT(*) AS c,
+         string_agg(tok, ' ' ORDER BY sp) AS seq_text
+  FROM pos GROUP BY shard, seq_id
+)
+SELECT shard, seq_id, seq_text FROM agg WHERE c = 64
+ORDER BY shard, seq_id
+""",
+)
+def sample_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk example packing (the pretraining group_texts step):
+    md5-sharded docs concatenated in doc_id order per shard and cut into
+    exact 64-token sequences, trailing remainder dropped. One skinny
+    window cumsum over doc rows + one token-level regroup shuffle (the
+    inherent cost — sequences span documents)."""
+    from skope_api_spark.operators.sampling import pack_training_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_training_sequences(
+        docs, seq_len=64, n_shards=8
+    ).orderBy("shard", "seq_id")

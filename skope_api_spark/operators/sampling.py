@@ -185,3 +185,79 @@ def weighted_sample(
         .orderBy(F.desc(key_col), id_col)
         .limit(k)
     )
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    seq_len: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk example packing — the pretraining "group_texts"
+    step at corpus scale: documents are hash-assigned to shards,
+    concatenated in deterministic (doc_id) order within each shard, and
+    cut into EXACT ``seq_len``-token sequences; each shard's trailing
+    partial sequence is dropped (standard packing discards the remainder
+    rather than pad). Differs from ``pack_documents`` (bin packing of
+    whole docs under a budget): here documents are split across sequence
+    boundaries so every emitted example has exactly ``seq_len`` tokens.
+
+    Scale shape: the running offset is a window cumsum over doc-level
+    rows (one skinny shuffle of (shard, doc_id, n_tokens)); tokens then
+    regroup into sequences with one token-level shuffle on
+    (shard, seq_id) — the op's inherent cost, since a sequence can span
+    documents. Shard count bounds window-partition size; at 100 TB
+    n_shards scales with the cluster so no shard's doc list is hot.
+
+    Returns (shard, seq_id, seq_text), seq_id dense from 0 per shard.
+    """
+    if seq_len < 1 or n_shards < 1:
+        raise ValueError("seq_len and n_shards must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = base.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    positions = offs.select(
+        "shard",
+        F.col("__offset"),
+        F.posexplode("__toks").alias("__p", "tok"),
+    ).select(
+        "shard",
+        ((F.col("__offset") + F.col("__p")) / seq_len)
+        .cast("long")
+        .alias("seq_id"),
+        F.pmod(F.col("__offset") + F.col("__p"), F.lit(seq_len)).alias(
+            "__sp"
+        ),
+        "tok",
+    )
+    return (
+        positions.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__sp", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+        .where(F.col("__cnt") == seq_len)  # drop each shard's remainder
+        .select("shard", "seq_id", "seq_text")
+    )

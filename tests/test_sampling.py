@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from skope_api_spark.operators.sampling import pack_documents, stratified_hash_sample
@@ -138,3 +139,56 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestPackTrainingSequences:
+    def test_sequences_exact_length_and_span_documents(self, spark):
+        from skope_api_spark.operators.sampling import pack_training_sequences
+
+        # one shard -> pure concat in doc_id order; 10 tokens over 3 docs
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "e f g"), (3, "h i j")],
+            "doc_id long, text string",
+        )
+        rows = pack_training_sequences(
+            docs, seq_len=4, n_shards=1
+        ).orderBy("seq_id").collect()
+        # 10 tokens -> 2 full sequences, 2-token remainder dropped
+        assert [(r.seq_id, r.seq_text) for r in rows] == [
+            (0, "a b c d"),
+            (1, "e f g h"),  # spans docs 2 and 3
+        ]
+
+    def test_remainder_dropped_per_shard(self, spark):
+        from skope_api_spark.operators.sampling import pack_training_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        assert (
+            pack_training_sequences(docs, seq_len=4, n_shards=1).count() == 0
+        )
+
+    def test_deterministic_across_runs(self, spark):
+        from skope_api_spark.operators.sampling import pack_training_sequences
+        from skope_api_spark.tables import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        a = sorted(
+            (r.shard, r.seq_id, r.seq_text)
+            for r in pack_training_sequences(docs).collect()
+        )
+        b = sorted(
+            (r.shard, r.seq_id, r.seq_text)
+            for r in pack_training_sequences(docs).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_validation(self, spark):
+        from skope_api_spark.operators.sampling import pack_training_sequences
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            pack_training_sequences(docs, seq_len=0)
+        with pytest.raises(ValueError):
+            pack_training_sequences(docs, n_shards=0)
