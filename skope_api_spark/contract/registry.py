@@ -12,7 +12,16 @@ Rules enforced by convention (see tests/test_contract.py):
   in BOTH plans (same decimals) so cross-engine accumulation-order noise
   cannot flip the value hash;
 - counts are cast to BIGINT on the DuckDB side (DuckDB widens integer sums
-  to HUGEINT, which Spark has no analogue for).
+  to HUGEINT, which Spark has no analogue for);
+- NEVER round a revenue-style sum to cents: price (2dp) x rate-complement
+  (2dp) products are exactly 4 decimal places, so rounded-to-2 sums hit
+  half-cent ties where the engines' tie rules differ (Spark HALF_UPs the
+  shortest decimal repr of the double; DuckDB rounds the binary value).
+  Accumulate via per-row CAST to DECIMAL(18,4) — which exactly recovers
+  the true product — sum exactly, and report at 4dp (see
+  q10_returned_item_customers). ROUND(SUM(...), 2) on doubles stays safe
+  only while no group lands on a boundary; prefer the decimal pattern for
+  any new money-sum query.
 """
 
 from __future__ import annotations
