@@ -520,7 +520,7 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             right_start="purchase_ts",
             right_end="p_end",
             bucket="30 minutes",
-            extra_condition=F.col("click_user") == F.col("user_id"),
+            keys=[("click_user", "user_id")],
         )
         .select(
             "user_id",

@@ -44,15 +44,22 @@ def interval_overlap_join(
     right_start: str,
     right_end: str,
     bucket: str = "1 hour",
+    keys: list[tuple[str, str]] | None = None,
     extra_condition: Column | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose CLOSED intervals overlap:
     ``l.start <= r.end AND r.start <= l.end``.
 
     Column names must be disjoint between the two sides (alias before
-    calling). ``extra_condition`` adds a predicate over the joined columns
-    (e.g. different-user). Emits each pair exactly once via the
-    first-shared-bucket rule — no post-join distinct.
+    calling). ``keys`` lists (left_col, right_col) equality pairs that are
+    part of the match (e.g. same user); they join as HASH KEYS alongside
+    the bucket index, shrinking candidates from everything-in-the-bucket
+    to per-(key, bucket). (Catalyst extracts plain ``==`` conjuncts from
+    ``extra_condition`` into hash keys too — verified on the executed
+    plan — so ``keys`` is the declarative spelling of the same plan, and
+    ``extra_condition`` remains for predicates with no equi form.) Emits
+    each pair exactly once via the first-shared-bucket rule — no
+    post-join distinct.
     """
     width_ms = parse_gap_ms(bucket)
     overlap = set(left.columns) & set(right.columns)
@@ -87,6 +94,8 @@ def interval_overlap_join(
         & (F.col(right_start) <= F.col(left_end))
         & (F.col("__lb") == first_shared)
     )
+    for lk, rk in keys or ():
+        cond = cond & (F.col(lk) == F.col(rk))
     if extra_condition is not None:
         cond = cond & extra_condition
     return l_bucketed.join(r_bucketed, cond).drop("__lb", "__rb")

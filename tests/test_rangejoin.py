@@ -111,3 +111,30 @@ class TestIntervalOverlapJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestKeyedIntervalJoin:
+    def test_keys_restrict_matches_and_plan_uses_hash_keys(self, spark):
+        from skope_api_spark.operators.rangejoin import interval_overlap_join
+
+        a = spark.createDataFrame(
+            [(1, 10, datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 3, 0)),
+             (2, 20, datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 3, 0))],
+            "a_id long, a_user long, a_start timestamp, a_end timestamp",
+        )
+        b = spark.createDataFrame(
+            [(7, 10, datetime(2024, 1, 1, 2, 0), datetime(2024, 1, 1, 4, 0)),
+             (8, 30, datetime(2024, 1, 1, 2, 0), datetime(2024, 1, 1, 4, 0))],
+            "b_id long, b_user long, b_start timestamp, b_end timestamp",
+        )
+        j = interval_overlap_join(
+            a, b,
+            left_start="a_start", left_end="a_end",
+            right_start="b_start", right_end="b_end",
+            keys=[("a_user", "b_user")],
+        )
+        rows = [(r.a_id, r.b_id) for r in j.collect()]
+        assert rows == [(1, 7)]  # only the same-user overlapping pair
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the key participates in the hash join, not a post-join filter
+        assert "a_user" in plan.split("Join")[1].split("\n")[0]
