@@ -1150,3 +1150,41 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# --- TPC-H q16 shape: NOT IN (null-aware anti join) + distinct count ----------
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16's shape — distinct suppliers per brand excluding a flagged
+    set, written with SQL NOT IN on the Spark side too (spark.sql), which
+    plans as a null-aware anti join: the semantics differ from left_anti
+    when the subquery can yield NULL (one NULL empties the result), and
+    the contract documents that the keys here are non-null so the two
+    coincide. Distinct count partial-aggregates per (brand, suppkey)
+    before the final count."""
+    for t in ("lineitem", "part", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"__q16_{t}")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM __q16_lineitem
+        JOIN __q16_part ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN (
+          SELECT s_suppkey FROM __q16_supplier WHERE s_acctbal < 0
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
