@@ -646,7 +646,10 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bloom's false positives — exactness is independent of bloom size,
     which only tunes wasted shuffle rows. The engine-side equivalent of
     Spark's internal runtime bloom filter (not publicly callable), usable
-    on shapes the automatic rule misses."""
+    on shapes the automatic rule misses. ``min_fact_bytes=0`` forces the
+    bloom path here so the driver keeps exercising it at test scale; a
+    blind production call gets the costing guard's plain-join fall-through
+    below DEFAULT_MIN_FACT_BYTES (joins.py)."""
     from skope_api_spark.operators.joins import bloom_pruned_semi_join
 
     li = load(spark, sf_dir, "lineitem")
@@ -658,7 +661,13 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pruned = bloom_pruned_semi_join(
-        li, dim, "l_suppkey", "s_suppkey", num_bits=1024, num_hashes=5
+        li,
+        dim,
+        "l_suppkey",
+        "s_suppkey",
+        num_bits=1024,
+        num_hashes=5,
+        min_fact_bytes=0,
     )
     return (
         pruned.groupBy("l_returnflag")
@@ -1042,10 +1051,11 @@ LIMIT 20
 )
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10's shape — top customers by returned-item revenue in a
-    quarter. Date + returnflag filters push into the scans; the top-20
-    orders by the ROUNDED revenue in both engines so tie-breaking (then
-    custkey) selects identical rows; orderBy().limit() compiles to
-    TakeOrderedAndProject."""
+    quarter. Date + returnflag filters push into the scans; per the
+    registry money-sum rule the revenue is an EXACT decimal(18,4) sum
+    (cast to double only for output), so the top-20 ordering (then
+    custkey) is deterministic across engines with no rounding step;
+    orderBy().limit() compiles to TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")

@@ -75,6 +75,30 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     ]
 
 
+# xxhash64 hashes the BYTES of its input, so `1` as int and `1` as bigint
+# hash differently — a build/probe dtype mismatch would produce false
+# NEGATIVES and silently drop true join matches. Normalize every integral
+# key to bigint and every float key to double before hashing, on both
+# sides, and refuse mismatched key types that normalization can't unify.
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+
+
+def _normalized_key(df: DataFrame, key_col: str) -> tuple[Column, str]:
+    """(column, normalized-dtype) for ``df[key_col]`` with integral types
+    widened to bigint and floats to double so build and probe hash the
+    same byte representation of equal values."""
+    dtype = dict(df.dtypes).get(key_col)
+    if dtype is None:
+        raise ValueError(f"column {key_col!r} not found in {df.columns}")
+    col = F.col(key_col)
+    if dtype in _INTEGRAL_TYPES:
+        return col.cast("long"), "bigint"
+    if dtype in _FLOAT_TYPES:
+        return col.cast("double"), "double"
+    return col, dtype
+
+
 def bloom_build(
     dim: DataFrame,
     key_col: str,
@@ -86,10 +110,9 @@ def bloom_build(
     ``dim[key_col]``. m/64 longs regardless of dim row count."""
     m = _round_up_64(int(num_bits))
     n_words = m // 64
+    key, _ = _normalized_key(dim, key_col)
     pos = dim.select(
-        F.explode(F.array(*_positions(F.col(key_col), m, num_hashes))).alias(
-            "pos"
-        )
+        F.explode(F.array(*_positions(key, m, num_hashes))).alias("pos")
     )
     words = (
         pos.select(
@@ -147,12 +170,21 @@ def bloom_prefilter(
     """Fact rows whose key MIGHT be in ``dim[dim_key]`` — a superset of the
     semi-join (no false negatives) computed without shuffling ``fact``:
     the 1-row bloom broadcasts and the k bit tests run in the projection."""
+    fact_norm, fact_type = _normalized_key(fact, fact_key)
+    _, dim_type = _normalized_key(dim, dim_key)
+    if fact_type != dim_type:
+        raise ValueError(
+            f"bloom key dtype mismatch: fact[{fact_key}] normalizes to "
+            f"{fact_type} but dim[{dim_key}] to {dim_type}; xxhash64 is "
+            "byte-sensitive, so mismatched types would hash equal values "
+            "differently and silently DROP true matches — cast one side"
+        )
     bloom = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
     return (
         fact.join(F.broadcast(bloom))
         .where(
             bloom_might_contain(
-                F.col(fact_key),
+                fact_norm,
                 F.col("bits"),
                 num_bits=num_bits,
                 num_hashes=num_hashes,
@@ -160,6 +192,21 @@ def bloom_prefilter(
         )
         .drop("bits")
     )
+
+
+# Below this estimated fact size the bloom build+probe costs more than it
+# saves (PERF.md measured it ~0.2 s SLOWER than the plain semi-join at
+# sf0.1, where the whole shuffle is memory-speed); the win only appears
+# when the avoided shuffle is disk/network-bound. 1 GiB is a deliberately
+# conservative floor — roughly the point where a fact side stops fitting a
+# single executor's shuffle buffers.
+DEFAULT_MIN_FACT_BYTES = 1 << 30
+
+
+def _estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — file-size based for scans
+    with filter/project selectivity factored in; no job is triggered."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 def bloom_pruned_semi_join(
@@ -170,13 +217,29 @@ def bloom_pruned_semi_join(
     *,
     num_bits: int = 1 << 20,
     num_hashes: int = 4,
+    min_fact_bytes: int = DEFAULT_MIN_FACT_BYTES,
 ) -> DataFrame:
     """EXACT semi-join with a Bloom prefilter: the bloom drops non-matching
     fact rows before the shuffle, the left-semi join removes the false
     positives. At 100 TB this is the difference between shuffling the full
-    fact table and shuffling ~|matching| + fpp·|fact| rows."""
+    fact table and shuffling ~|matching| + fpp·|fact| rows.
+
+    Costing guard: when Catalyst's size estimate for ``fact`` is below
+    ``min_fact_bytes`` the bloom cannot pay for its build+probe (measured
+    regression in PERF.md's local-regime audit) and the call falls through
+    to the plain left-semi join — same rows either way, since both paths
+    are exact. Pass ``min_fact_bytes=0`` to force the bloom path."""
+    fact_type = _normalized_key(fact, fact_key)[1]
+    dim_type = _normalized_key(dim, dim_key)[1]
+    if fact_type != dim_type:
+        raise ValueError(
+            f"bloom key dtype mismatch: fact[{fact_key}] normalizes to "
+            f"{fact_type} but dim[{dim_key}] to {dim_type} — cast one side"
+        )
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if _estimated_size_bytes(fact) < int(min_fact_bytes):
+        return fact.join(dim_keys, fact_key, "left_semi")
     pruned = bloom_prefilter(
         fact, dim, fact_key, dim_key, num_bits=num_bits, num_hashes=num_hashes
     )
-    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return pruned.join(dim_keys, fact_key, "left_semi")

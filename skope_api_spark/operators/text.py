@@ -556,7 +556,11 @@ def _lines_exprs(text_col, line_delim, tokens_per_line):
             lambda i: F.array_join(F.slice(toks, i * t + 1, t), " "),
         )
     else:
-        lines = F.split(F.col(text_col), F.lit(line_delim).cast("string"))
+        # F.split's pattern is a Java regex; the documented semantics here
+        # are a LITERAL delimiter, so quote it (Pattern.quote's \Q...\E
+        # form) — otherwise '.', '|' or '\t' would split on every char.
+        quoted = "\\Q" + str(line_delim).replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        lines = F.split(F.col(text_col), quoted)
         n_lines = F.size(lines).cast("int")
     return lines, n_lines
 

@@ -75,9 +75,23 @@ def colocated_join(
 def assert_no_shuffle_join(df: DataFrame) -> None:
     """Raise if the executed plan re-shuffles a side of the join — the
     regression guard for bucket-layout drift (e.g. a write path that
-    dropped ``bucketBy``, or mismatched bucket counts)."""
+    dropped ``bucketBy``, or mismatched bucket counts).
+
+    Scoped to the join's subtree: the plan string prints top-down, so any
+    operator ABOVE the join (a downstream repartition or aggregation that
+    legitimately exchanges on a non-bucket key) appears before the first
+    join node and is ignored; only exchanges feeding the join (printed at
+    or below it) trip the guard. Callers may therefore pass either the
+    bare join or a frame with downstream ops stacked on top."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange hashpartitioning" in plan:
+    lines = plan.splitlines()
+    join_at = next(
+        (i for i, ln in enumerate(lines) if "Join" in ln), None
+    )
+    if join_at is None:
+        return  # no join in the plan — nothing to guard
+    subtree = "\n".join(lines[join_at:])
+    if "Exchange hashpartitioning" in subtree:
         raise AssertionError(
             "join re-shuffles despite bucketed layout:\n" + plan
         )

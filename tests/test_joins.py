@@ -106,6 +106,62 @@ class TestBloomSemantics:
         assert len(ids) < 60  # ~0 false positives at this sizing
 
 
+class TestKeyDtypeDiscipline:
+    def test_int_vs_bigint_keys_still_match(self, spark):
+        """xxhash64 is byte-sensitive: without normalization an int build
+        key and a bigint probe key hash differently and true matches are
+        silently DROPPED. Both sides normalize to bigint, so the mixed-type
+        call must return every true match."""
+        fact = spark.range(0, 200).select(
+            (F.col("id") % 50).cast("long").alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.createDataFrame([(3,), (17,)], "dk int")  # int, not long
+        exact = sorted(
+            r.payload
+            for r in fact.join(
+                dim.select(F.col("dk").cast("long").alias("k")),
+                "k",
+                "left_semi",
+            ).collect()
+        )
+        got = sorted(
+            r.payload
+            for r in bloom_pruned_semi_join(
+                fact, dim, "k", "dk", num_bits=1 << 10, min_fact_bytes=0
+            ).collect()
+        )
+        assert got == exact and len(exact) == 8
+
+    def test_unrelated_key_types_rejected(self, spark):
+        fact = spark.range(0, 10).select(F.col("id").alias("k"))
+        dim = spark.createDataFrame([("3",)], "dk string")
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            bloom_prefilter(fact, dim, "k", "dk", num_bits=256)
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            bloom_pruned_semi_join(fact, dim, "k", "dk", num_bits=256)
+
+
+class TestCostingGuard:
+    def test_small_fact_plans_plain_semi_join(self, spark, fact_dim):
+        """Below min_fact_bytes the bloom can't pay for itself (PERF.md's
+        measured local-regime loss) — the plan must contain NO bloom
+        machinery, just the plain left-semi join."""
+        fact, dim = fact_dim
+        df = bloom_pruned_semi_join(fact, dim, "k", "dk")  # default guard
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan and "bit_get" not in plan
+        assert df.count() == fact.join(
+            dim.select(F.col("dk").alias("k")), "k", "left_semi"
+        ).count()
+
+    def test_forced_bloom_path_keeps_machinery(self, spark, fact_dim):
+        fact, dim = fact_dim
+        df = bloom_pruned_semi_join(fact, dim, "k", "dk", min_fact_bytes=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan
+
+
 class TestBloomScaleBounds:
     def test_oversized_bloom_rejected(self, spark, fact_dim):
         """Past the broadcast-sanity cap the right move is sharding or the

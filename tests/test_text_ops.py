@@ -287,3 +287,23 @@ class TestLineFilter:
 
         with pytest.raises(ValueError, match="at most one"):
             line_filter(_docs(spark, [(1, "x")]), line_delim="\n", tokens_per_line=3)
+
+    def test_regex_special_delimiters_are_literal(self, spark):
+        """line_delim is documented as a LITERAL delimiter, but F.split
+        takes a Java regex — '.', '|', '\\t' and even '\\E' must split
+        only on themselves, not on every character."""
+        from skope_api_spark.operators.text import with_doc_lines
+
+        for delim, text, want in [
+            (".", "alpha beta.gamma delta", ["alpha beta", "gamma delta"]),
+            ("|", "one two|three four", ["one two", "three four"]),
+            ("\t", "tab one\ttab two", ["tab one", "tab two"]),
+            ("\\E", "left\\Eright", ["left", "right"]),
+            ("a.c", "xxa.cyy", ["xx", "yy"]),  # 'abc' must NOT match
+        ]:
+            rows = (
+                with_doc_lines(_docs(spark, [(1, text)]), line_delim=delim)
+                .orderBy("pos")
+                .collect()
+            )
+            assert [r.line for r in rows] == want, delim
