@@ -1198,3 +1198,380 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_brand
         """
     )
+
+
+# --- TPC-H q4 shape: EXISTS + date window -------------------------------------
+@query(
+    "q4_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate <  DATE '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4's shape — orders in a quarter with at least one late line
+    (shipped >60 days after the order date; the testdata has no commit/
+    receipt dates), counted by priority. The correlated EXISTS (it
+    references o_orderdate, not just the key) compiles to ONE left-semi
+    hash join on the equi key with the date comparison as the join's
+    residual filter — no re-scan of lineitem per order, and semi-join
+    short-circuits on the first matching line. The quarter filter pushes
+    into the orders scan before the join."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H q9 shape: multi-join profit rollup ---------------------------------
+@query(
+    "q9_product_type_profit",
+    oracle="""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(
+           l.l_extendedprice * (1 - l.l_discount)
+             - 0.1 * p.p_retailprice * l.l_quantity
+           AS DECIMAL(18,4)
+         ) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9's shape — profit by supplier nation and order year over a
+    part-name filter. The testdata has no partsupp, so supply cost is
+    modeled as 10% of p_retailprice per unit; the profit expression is
+    exact at 4 decimal places (2dp price x 2dp rate; 3dp cost x integral
+    quantity), so per the registry money-sum rule it accumulates as an
+    exact DECIMAL(18,4) sum. Five-way join: nation force-broadcast (25
+    rows); the p_name LIKE filter prunes part BEFORE its join so only
+    matching partkeys reach the fact; everything else left to AQE."""
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --- TPC-H q11 shape: group HAVING vs global-share scalar ---------------------
+@query(
+    "q11_important_part_value",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(val AS DOUBLE) > (
+  SELECT CAST(SUM(val) AS DOUBLE) * 0.002 FROM pv
+)
+ORDER BY part_value DESC, partkey
+""",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11's shape — parts whose revenue through one nation's
+    suppliers exceeds a fraction of that nation's total (group-HAVING
+    against a global-share scalar subquery). The per-part aggregation runs
+    ONCE and is reused for both the rows and the scalar (same lazy plan;
+    Spark evaluates the 1-row global sum as a broadcast cross join, the
+    decorrelated form of the scalar subquery). Both sides accumulate exact
+    decimals and compare as identical doubles, so the threshold cannot
+    flip on accumulation order."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    pv = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ).alias("val")
+        )
+    )
+    threshold = pv.agg(
+        (F.sum("val").cast("double") * 0.002).alias("__threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .where(F.col("val").cast("double") > F.col("__threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# --- TPC-H q12 shape: CASE aggregation over a join ----------------------------
+@query(
+    "q12_priority_line_counts",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate <  DATE '1998-01-01'
+GROUP BY flag
+ORDER BY flag
+""",
+)
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12's shape — urgent vs non-urgent line counts among slow
+    shipments in a year (the testdata has no l_shipmode/receiptdate, so
+    the mode column is l_returnflag and 'late' is shipped >30 days after
+    ordering). The two CASE sums are a single-pass conditional
+    aggregation — one shuffle, partial-aggregated map-side; the year
+    window pushes into the lineitem scan, the cross-table date comparison
+    runs as the join's residual filter."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= F.date_add(o.o_orderdate, 30)),
+        )
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --- TPC-H q15 shape: max over an aggregated view -----------------------------
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate <  DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15's shape — the supplier(s) with the maximum quarterly
+    revenue, via a reused aggregated view and a max-over-it scalar. The
+    revenue view computes once; the 1-row MAX broadcasts back over it
+    (decorrelated scalar subquery). The equality filter is on the EXACT
+    decimal totals — with double sums, accumulation-order noise could
+    make the winner fail its own max comparison cross-engine; exact
+    decimals make `= MAX` deterministic. Ties all surface, ordered by
+    suppkey."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ).alias("total_rev")
+        )
+    )
+    best = revenue.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_rev") == F.col("__max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H q18 shape: IN over a grouped HAVING --------------------------------
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS total_price,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 140
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18's shape — customers with very-large-quantity orders: an
+    IN over a grouped HAVING subquery on the same fact table. The
+    qualifying-orderkey set is one partial-aggregated groupBy producing a
+    skinny (orderkey) relation; the IN becomes a left-semi join on it, so
+    the fact is scanned twice but shuffled only on the join keys. Top-100
+    compiles to TakeOrderedAndProject; o_totalprice is a raw column (not
+    a cross-engine sum), so ROUND is tie-safe."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 140)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(big_orders, "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H q20 shape: nested two-level semi join ------------------------------
+@query(
+    "q20_part_supplier_shortlist",
+    oracle="""
+SELECT s_name, s_suppkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+  )
+    AND l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate <  DATE '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 60
+)
+ORDER BY s_suppkey
+""",
+)
+def q20_part_supplier_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20's shape — suppliers who moved real volume of 'red' parts
+    in a year: a two-level nested semi join (supplier <- lineitem <- part)
+    with a per-(supplier, part) HAVING between the levels (the testdata
+    has no partsupp, so the availability predicate becomes shipped-volume
+    > 60). Inner level: the part-name filter prunes part to a skinny key
+    set semi-joined into the fact; middle: one partial-aggregated groupBy
+    on the composite key; outer: left-semi onto supplier. No level
+    materializes more than keys."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    red_parts = p.where(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    qualified = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(red_parts, "l_partkey", "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 60)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(qualified, "s_suppkey", "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
