@@ -19,8 +19,19 @@ sharing a bucket are compared:
 Cost model: an interval of length L explodes to ~L/width + 1 rows. Pick
 ``bucket`` near the typical interval length — too small multiplies the
 fan-out, too large multiplies the per-bucket comparison count. Long-tail
-intervals (≫ width) are the skew risk: their buckets all land in the same
-join partitions; cap them upstream or widen the bucket.
+intervals (≫ width) are the skew/memory hazard: a single row spanning B
+buckets asks ``sequence()`` to materialize a B-element array in one task
+(a year-long interval at 1 s buckets is a 3·10⁷-long array) before the
+shuffle spreads the fan-out. ``max_buckets_per_interval`` bounds that:
+long intervals are first split into sub-ranges of at most that many
+buckets (one cheap explode over ⌈B/cap⌉ indexes), then each sub-range
+explodes its own ≤ cap buckets — same exploded rows, but no array ever
+exceeds max(⌈B/cap⌉, cap) elements and the generated rows pipeline
+through codegen instead of materializing per source row. Every split row
+carries the ORIGINAL start/end, so the overlap predicate and the
+first-shared-bucket emission rule are untouched — each bucket of an
+interval is covered by exactly one sub-range, so pairs still emit exactly
+once with no dedup.
 """
 
 from __future__ import annotations
@@ -35,6 +46,34 @@ def _bucket_idx(ts_col: Column, width_ms: int) -> Column:
     return F.floor(F.unix_millis(ts_col) / F.lit(width_ms)).cast("long")
 
 
+def _exploded_buckets(
+    df: DataFrame,
+    start: str,
+    end: str,
+    width_ms: int,
+    cap: int | None,
+    out: str,
+) -> DataFrame:
+    """``df`` with one row per covered bucket index in ``out``. With a
+    ``cap``, a two-level explode (sub-range index, then buckets within the
+    sub-range) bounds every generated ``sequence()`` array to ``cap``
+    elements regardless of interval length."""
+    b0 = _bucket_idx(F.col(start), width_ms)
+    b1 = _bucket_idx(F.col(end), width_ms)
+    if cap is None:
+        return df.withColumn(out, F.explode(F.sequence(b0, b1)))
+    cap = int(cap)
+    if cap < 1:
+        raise ValueError("max_buckets_per_interval must be >= 1")
+    sub = df.withColumn(
+        "__sub",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.floor((b1 - b0) / cap))),
+    )
+    s0 = b0 + F.col("__sub") * cap
+    s1 = F.least(s0 + (cap - 1), b1)
+    return sub.withColumn(out, F.explode(F.sequence(s0, s1))).drop("__sub")
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -46,6 +85,7 @@ def interval_overlap_join(
     bucket: str = "1 hour",
     keys: list[tuple[str, str]] | None = None,
     extra_condition: Column | None = None,
+    max_buckets_per_interval: int | None = 4096,
 ) -> DataFrame:
     """All (left, right) pairs whose CLOSED intervals overlap:
     ``l.start <= r.end AND r.start <= l.end``.
@@ -59,30 +99,20 @@ def interval_overlap_join(
     plan — so ``keys`` is the declarative spelling of the same plan, and
     ``extra_condition`` remains for predicates with no equi form.) Emits
     each pair exactly once via the first-shared-bucket rule — no
-    post-join distinct.
+    post-join distinct. ``max_buckets_per_interval`` (default 4096) bounds
+    the per-row explode array for long-tail intervals — see the module
+    docstring; pass None to disable the split level.
     """
     width_ms = parse_gap_ms(bucket)
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
 
-    l_bucketed = left.withColumn(
-        "__lb",
-        F.explode(
-            F.sequence(
-                _bucket_idx(F.col(left_start), width_ms),
-                _bucket_idx(F.col(left_end), width_ms),
-            )
-        ),
+    l_bucketed = _exploded_buckets(
+        left, left_start, left_end, width_ms, max_buckets_per_interval, "__lb"
     )
-    r_bucketed = right.withColumn(
-        "__rb",
-        F.explode(
-            F.sequence(
-                _bucket_idx(F.col(right_start), width_ms),
-                _bucket_idx(F.col(right_end), width_ms),
-            )
-        ),
+    r_bucketed = _exploded_buckets(
+        right, right_start, right_end, width_ms, max_buckets_per_interval, "__rb"
     )
     first_shared = F.greatest(
         _bucket_idx(F.col(left_start), width_ms),

