@@ -372,81 +372,104 @@ def duplicate_clusters(
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
-    Iterative min-label propagation (the Pregel/GraphX pattern in plain
-    DataFrame ops): every node starts labeled with its own id and
-    repeatedly takes the min of its neighbors' labels until a fixpoint —
-    the label converges to the smallest id reachable, i.e. the canonical
-    representative of each duplicate cluster. Converges in O(cluster
-    diameter) rounds; near-dup graphs are shallow (pairs/cliques), so 2-3
-    rounds in practice. The per-round convergence check is a driver-side
-    scalar (count of changed labels) — the standard shape for iterative
-    algorithms, not a data collect.
+    Large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) in plain DataFrame
+    ops. Each round rewires edges toward neighborhood minima:
 
-    Convergence needs one round per hop of the largest cluster's diameter
-    (plus one to detect the fixpoint). If ``max_iter`` rounds pass while
-    labels are still changing, the labels are WRONG for any cluster wider
-    than ``max_iter`` hops — so this raises rather than silently returning
-    a partial merge; callers with pathological chain-shaped graphs (not
-    the shallow clique/pair shape near-dup graphs have) should raise
-    ``max_iter``.
+    - large-star: every node strictly larger than its neighbor ``u``
+      re-attaches to ``min(N(u) ∪ {u})``;
+    - small-star: on edges oriented large→small, every smaller neighbor
+      (and ``u`` itself) re-attaches to the smallest neighbor.
+
+    The edge set monotonically contracts toward stars centered on each
+    component's minimum id — O(log² n) rounds worst case, O(log n) in
+    practice, vs the O(diameter) of naive min-label propagation: a
+    chain-shaped cluster of diameter 10³ converges in ~10 rounds, not
+    10³ Spark jobs. Each round is two partial-aggregated groupBys plus a
+    distinct on a skinny 2-column edge list; the per-round convergence
+    check is a driver-side scalar (edge-set symmetric difference count),
+    the standard iterative-algorithm shape, not a data collect.
+
+    If ``max_iter`` rounds pass while the edge set is still changing, the
+    labels would be a WRONG partial merge — so this raises rather than
+    silently returning them (``max_iter`` bounds log-rounds now, so the
+    default 20 covers any graph of < 2^20 diameter).
 
     Returns (doc_id, cluster_id = min reachable id) for every node that
-    appears in ``pairs``.
+    appears in ``pairs`` — deterministic, same contract as the previous
+    propagation implementation (hash-checked by
+    ``dedup_duplicate_clusters``).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     a, b = id_cols
-    fwd = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    nodes = (
+        raw.select(F.col("u").alias("n"))
+        .union(raw.select(F.col("v").alias("n")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # canonical orientation large→small; self-pairs carry no connectivity
+    edges = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("u").alias("v"), F.col("label").alias("vlabel")
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("vlabel").alias("nbr_label"))
+        # localCheckpoint per round: each round's plan references the
+        # previous one — without truncation the lineage compounds and the
+        # final plan grows with round count
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # localCheckpoint (not cache): each iteration's plan references the
-        # previous one — without truncation the lineage doubles per round
-        # and the final plan grows exponentially with graph diameter
-        new_labels = (
-            labels.join(nbr, "u", "left")
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
             .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                F.col("v").alias("lu"),
+                F.least("u", "mv").alias("lv"),
             )
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("mv"))
+        small = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("su"), F.col("mv").alias("sv"))
+            .select(F.col("su").alias("u"), F.col("sv").alias("v"))
+            .union(smins.select("u", F.col("mv").alias("v")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(
-                labels.select("u", F.col("label").alias("old")), "u"
-            )
-            .where(F.col("label") != F.col("old"))
-            .count()
+            small.subtract(edges).count() + edges.subtract(small).count()
         )
-        labels = new_labels
+        edges = small
         if changed == 0:
             break
     else:
-        edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} rounds - "
-            f"{changed} labels still changing; a cluster's diameter exceeds "
-            f"max_iter. Re-run with a larger max_iter."
+            f"{changed} edges still rewiring; raise max_iter (it bounds "
+            "log-rounds, so this takes an astronomically deep graph or a "
+            "tiny limit). Refusing to return a partial merge."
         )
-    edges.unpersist()
-    return labels.select(
-        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    # fixpoint = stars: every non-root node has exactly one edge, to its
+    # component's min; roots (and isolated nodes) label themselves
+    return (
+        nodes.join(
+            edges.select(F.col("u").alias("n"), F.col("v").alias("root")),
+            "n",
+            "left",
+        )
+        .select(
+            F.col("n").alias("doc_id"),
+            F.coalesce("root", "n").alias("cluster_id"),
+        )
     )
 
 

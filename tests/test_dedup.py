@@ -16,20 +16,38 @@ def chain_pairs(spark, n: int):
 
 
 class TestClusterPropagationDepth:
-    def test_chain_converges_within_diameter_rounds(self, spark):
-        """A diameter-11 path needs 11 propagation rounds (+1 to detect the
-        fixpoint); max_iter=13 must converge with every node labeled 0."""
+    def test_chain_converges_in_log_rounds(self, spark):
+        """Star contraction is O(log n) rounds, not O(diameter): a path of
+        diameter 1000 (which the old propagation loop could never finish
+        inside its default 20 rounds) must converge within ~2·log2(n)+2
+        rounds with every node labeled 0."""
+        import math
+
+        n = 1000
+        budget = 2 * math.ceil(math.log2(n)) + 2  # 22 rounds
         out = {
             r.doc_id: r.cluster_id
-            for r in duplicate_clusters(chain_pairs(spark, 11), max_iter=13).collect()
+            for r in duplicate_clusters(
+                chain_pairs(spark, n), max_iter=budget
+            ).collect()
         }
-        assert out == {i: 0 for i in range(12)}
+        assert out == {i: 0 for i in range(n + 1)}
 
     def test_max_iter_exceeded_raises_not_partial(self, spark):
         """Labels after too-few rounds would be a WRONG partial merge — the
         operator must refuse, not return them."""
         with pytest.raises(RuntimeError, match="did not converge"):
-            duplicate_clusters(chain_pairs(spark, 11), max_iter=5).collect()
+            duplicate_clusters(chain_pairs(spark, 200), max_iter=2).collect()
+
+    def test_self_pairs_and_isolated_nodes_label_themselves(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, 5), (1, 2)], "doc_a long, doc_b long"
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert out == {5: 5, 1: 1, 2: 1}
 
     def test_two_components_stay_separate(self, spark):
         pairs = spark.createDataFrame(
