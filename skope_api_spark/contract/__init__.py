@@ -38,16 +38,28 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skope_zonal_mean",
     "skope_zonal_median_monthly",
     "skope_bbox_zonal_area",
-    "skope_monthly_to_annual_resample",
-    "skope_area_weighted_mean",
+    # r07 gate rotation (VERDICT r06 item 6): five redundant skope_*/w4
+    # variants and two same-family asof/sim slots cede their positions to
+    # never-driver-checked registry entries. Every ceded query stays
+    # regression-covered by the full check_correctness replay, and each
+    # family keeps at least one driver-gated representative:
+    #   skope_monthly_to_annual_resample -> dedup_remove_duplicate_spans
+    #   skope_area_weighted_mean         -> sample_pack_training_sequences
+    #   skope_point_with_uncertainty     -> text_linear_quality_score
+    #   skope_nan_poisoning_smoothers    -> scd2_merge_customers
+    #   w4_reference_interval_zscore     -> q21_waiting_supplier
+    #   sim_embedding_near_dup_16planes  -> q9_product_type_profit (r07)
+    #   asof_forward_click_to_purchase   -> q15_top_supplier (r07)
+    "dedup_remove_duplicate_spans",
+    "sample_pack_training_sequences",
     "skope_trailing_ma",
     "skope_centered_ma",
-    "skope_nan_poisoning_smoothers",
+    "text_linear_quality_score",
     "skope_rolling_zscore",
     "skope_fixed_zscore",
     "skope_summary_stats",
     "skope_catalog_metadata_join",
-    "skope_point_with_uncertainty",
+    "scd2_merge_customers",
     "skope_polygon_zonal_stats",
     "skope_batched_multi_query",
     "skope_multi_series_fanout",
@@ -56,7 +68,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "w2_trailing_moving_average",
     "w3_rolling_zscore",
     "w4_fixed_interval_zscore",
-    "w4_reference_interval_zscore",
+    "q21_waiting_supplier",
     # r06: moving_median_smoother (extension smoother, not reference core)
     # cedes its slot to the bucketed range join; full replay still covers it
     "range_join_overlapping_sessions",
@@ -92,14 +104,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sim_lsh_bucket_topk",
     "sim_ivf_topk",
     "sim_embedding_near_dup_bucketed",
-    "sim_embedding_near_dup_16planes",
+    "q9_product_type_profit",
     "sim_embedding_near_dup_multiprobe",
     "sim_recall_report",
     # as-of joins, skew (KMV's slot went to multiprobe in r03; the HLL
     # sketch's slot goes to the recall contract in r04 — both sketches stay
     # regression-covered by the full check_correctness replay)
     "asof_join_purchase_to_click",
-    "asof_forward_click_to_purchase",
+    "q15_top_supplier",
     "skew_salted_event_rollup",
 )
 
