@@ -24,6 +24,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def default_driver_memory() -> str:
+    """Local-mode JVM heap (driver == all executors in local[N]).
+
+    Spark's 1g default is an artifact of cluster mode, where the driver
+    only coordinates; in local mode the single JVM also holds every
+    executor thread's shuffle/broadcast/state memory, so at sf1 (~6M-row
+    lineitem) 1g OOMs on the first ~100 MB broadcast build. 8g is the
+    local equivalent of a normally-sized executor; override with
+    SPARK_GRAFT_DRIVER_MEM."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+
 def get_spark(
     app_name: str = "skope_api_spark",
     *,
@@ -40,6 +52,8 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # applies only at JVM launch; a no-op if a session already exists
+        .config("spark.driver.memory", default_driver_memory())
         .config("spark.scheduler.mode", "FAIR" if fair_scheduling else "FIFO")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -187,3 +187,125 @@ class TestStreamStreamJoin:
                 for r in spark.sql("SELECT * FROM ss_join_test").collect()
             )
         assert got == expected
+
+
+class TestExactlyOnceSink:
+    """batchId-keyed idempotent foreachBatch sink: a replayed micro-batch
+    (crash between sink write and checkpoint commit) must not duplicate."""
+
+    def _rows(self, spark, path):
+        from skope_api_spark.streaming.sink import read_sink
+
+        return sorted(
+            (r.event_id, r.ts, r.user_id)
+            for r in read_sink(spark, path)
+            .select("event_id", "ts", "user_id")
+            .collect()
+        )
+
+    def test_kill_and_replay_no_duplicates(self, spark, tmp_path_factory):
+        """Run the sink, then delete the checkpoint's last commit marker —
+        exactly the crash-before-commit state — and restart. Spark replays
+        the final batch from its offsets; the sink must hash identical."""
+        import os
+        import shutil
+
+        from skope_api_spark.streaming.sink import write_stream_exactly_once
+
+        base = tmp_path_factory.mktemp("eo_sink")
+        landing, sink, ckpt = (
+            str(base / "landing"),
+            str(base / "sink"),
+            str(base / "ckpt"),
+        )
+        os.makedirs(landing)
+        shutil.copy(
+            f"{SF_DIR}/events.parquet", f"{landing}/events_a.parquet"
+        )
+        stream = se.stream_events(spark, landing, with_watermark=None)
+        write_stream_exactly_once(
+            stream, path=sink, checkpoint=ckpt, query_name="eo_run1"
+        )
+        first = self._rows(spark, sink)
+        n_input = spark.read.parquet(landing).count()
+        assert len(first) == n_input > 0
+
+        # crash-before-commit: offsets for the last batch exist, its commit
+        # marker does not -> restart MUST replay that batch
+        commits = sorted(
+            f
+            for f in os.listdir(f"{ckpt}/commits")
+            if not f.startswith(".")
+        )
+        os.remove(f"{ckpt}/commits/{commits[-1]}")
+        # the local checksum FS keeps a .crc sidecar per file; a leftover
+        # sidecar makes the replayed commit's rename fail
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        stream = se.stream_events(spark, landing, with_watermark=None)
+        write_stream_exactly_once(
+            stream, path=sink, checkpoint=ckpt, query_name="eo_replay"
+        )
+        assert self._rows(spark, sink) == first  # replay, not append
+
+    def test_new_data_lands_once_after_replay(self, spark, tmp_path_factory):
+        """After recovery, later files land as later batches — every input
+        row exactly once across the whole kill/replay/continue sequence."""
+        import os
+        import shutil
+
+        from skope_api_spark.streaming.sink import write_stream_exactly_once
+
+        base = tmp_path_factory.mktemp("eo_sink2")
+        landing, sink, ckpt = (
+            str(base / "landing"),
+            str(base / "sink"),
+            str(base / "ckpt"),
+        )
+        os.makedirs(landing)
+        shutil.copy(
+            f"{SF_DIR}/events.parquet", f"{landing}/events_a.parquet"
+        )
+        stream = se.stream_events(spark, landing, with_watermark=None)
+        write_stream_exactly_once(stream, path=sink, checkpoint=ckpt)
+        commits = sorted(
+            f
+            for f in os.listdir(f"{ckpt}/commits")
+            if not f.startswith(".")
+        )
+        os.remove(f"{ckpt}/commits/{commits[-1]}")
+        # the local checksum FS keeps a .crc sidecar per file; a leftover
+        # sidecar makes the replayed commit's rename fail
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+
+        # second input file arrives while the first batch is uncommitted
+        df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        df.withColumn(
+            "event_id", df.event_id + 1_000_000
+        ).write.parquet(f"{landing}/events_b.parquet", mode="overwrite")
+
+        stream = se.stream_events(spark, landing, with_watermark=None)
+        write_stream_exactly_once(stream, path=sink, checkpoint=ckpt)
+        got = self._rows(spark, sink)
+        n_input = spark.read.parquet(landing).count()
+        assert len(got) == len(set(got)) == n_input
+
+    def test_writer_is_idempotent_per_batch(self, spark, batch_events, tmp_path_factory):
+        """The foreachBatch function itself: same (batchId, data) twice ==
+        once (the property the recovery guarantee rests on)."""
+        from skope_api_spark.streaming.sink import (
+            idempotent_batch_writer,
+            read_sink,
+        )
+
+        sink = str(tmp_path_factory.mktemp("eo_sink3") / "out")
+        write = idempotent_batch_writer(sink)
+        sample = batch_events.limit(100)
+        write(sample, 0)
+        write(sample, 0)  # replay of the same micro-batch
+        assert read_sink(spark, sink).count() == 100
+        write(sample, 1)  # a NEW batch appends
+        assert read_sink(spark, sink).count() == 200
