@@ -164,7 +164,14 @@ def png_pixel_features(data: bytes, *, dim: int = 16) -> list[float]:
     mean intensity in [0, 1] (2×2 spatial grid × up to 4 channels),
     zero-padded/truncated to ``dim`` — the deterministic stand-in shape of
     a pooled conv feature, computed from actual pixel values."""
-    w, h, ch, px = png_decode(data)
+    return quadrant_features(*png_decode(data), dim=dim)
+
+
+def quadrant_features(
+    w: int, h: int, ch: int, px: bytes, *, dim: int = 16
+) -> list[float]:
+    """Per-quadrant per-channel mean intensity over a raw interleaved
+    8-bit raster — shared by the PNG and JPEG feature kernels."""
     sums = [0] * (4 * ch)
     counts = [0] * 4
     for y in range(h):
