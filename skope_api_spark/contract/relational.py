@@ -166,10 +166,12 @@ SELECT p_brand, p_partkey, revenue, rk FROM (
   SELECT
     p_brand,
     p_partkey,
-    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         AS DOUBLE) AS revenue,
     CAST(ROW_NUMBER() OVER (
       PARTITION BY p_brand
-      ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey
+      ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               DESC, p_partkey
     ) AS INT) AS rk
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand, p_partkey
@@ -178,6 +180,12 @@ ORDER BY p_brand, rk
 """,
 )
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand. Revenue follows the registry
+    money-sum rule (exact DECIMAL(18,4) accumulation): the r07 sf1
+    step-up caught the old ROUND(SUM(double), 2) on a half-cent tie —
+    one group in 200k landed exactly on a .005 boundary where Spark and
+    DuckDB round differently. Exact decimals make the sum, the ranking
+    order, and the emitted double identical in both engines at any SF."""
     from pyspark.sql import Window as W
 
     li = load(spark, sf_dir, "lineitem")
@@ -186,9 +194,13 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
@@ -736,7 +748,7 @@ WITH unit AS (
   ) WHERE rk = 1
 )
 SELECT b.l_partkey AS partkey, b.l_suppkey AS suppkey,
-       ROUND(b.unit_price, 4) AS unit_price
+       b.unit_price
 FROM best b
 WHERE b.l_partkey % 37 = 0
 ORDER BY partkey
@@ -750,7 +762,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate partially reduces map-side, so only one candidate row per
     (partition, partkey) reaches the shuffle — the window formulation
     shuffles and sorts every scored row. Same result, checked against the
-    window-form oracle."""
+    window-form oracle.
+
+    The unit price is emitted UNROUNDED: a single IEEE division is
+    bit-identical across engines, so the 9-significant-digit contract
+    compare is exact — while ROUND(x, 4) applied different tie rules to
+    quotients landing exactly on a half (caught by the r07 sf1 step-up:
+    3946.165/20 = 197.30825 rounded .3083 in Spark, .3082 in DuckDB)."""
     li = load(spark, sf_dir, "lineitem")
     unit = li.select(
         "l_partkey",
@@ -765,7 +783,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("b.l_suppkey").alias("suppkey"),
-            F.round(F.col("b.unit_price"), 4).alias("unit_price"),
+            F.col("b.unit_price").alias("unit_price"),
         )
         .orderBy("partkey")
     )
