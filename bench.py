@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_simhash_near_duplicates",
     "sim_cosine_topk",
     "sim_lsh_bucket_topk",
+    "sim_pq_rerank_topk",
     "text_quality_stats",
     "text_tfidf_top_terms",
 ]
