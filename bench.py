@@ -47,7 +47,11 @@ HEADLINE = [
     "dedup_simhash_near_duplicates",
     "sim_cosine_topk",
     "sim_lsh_bucket_topk",
-    "sim_pq_rerank_topk",
+    # sim_pq_rerank_topk is deliberately NOT in the headline: its wall
+    # time is ~90% one-off codebook training + code materialization
+    # (amortized across query batches in production, measured separately
+    # in PERF.md) — adding it would break cross-round comparability of
+    # headline_total
     "text_quality_stats",
     "text_tfidf_top_terms",
 ]

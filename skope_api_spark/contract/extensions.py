@@ -641,3 +641,38 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "tok")
     )
+
+
+@query(
+    "skew_hot_key_report",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+), tot AS (SELECT COUNT(*) AS t FROM events)
+SELECT event_type, n_rows,
+       ROUND(n_rows / t, 6) AS share,
+       CAST(CEIL((n_rows / t) * 32) AS INT) AS suggested_salt
+FROM counts, tot
+WHERE n_rows / t >= 0.05
+ORDER BY n_rows DESC, event_type
+""",
+)
+def skew_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profiler: the measurement that justifies (or rules out)
+    salting. events.event_type is near-uniform at ~20% per value, so all
+    five keys cross the 5% reporting threshold; suggested_salt is the
+    salt count that levels each key to one average reducer's load at 32
+    shuffle partitions (pinned so the oracle is engine-independent)."""
+    from skope_api_spark.operators.skew import detect_hot_keys
+
+    ev = load(spark, sf_dir, "events")
+    out = detect_hot_keys(
+        ev, ["event_type"], min_share=0.05, target_partitions=32
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("share", 6).alias("share"),
+        "suggested_salt",
+    ).orderBy(F.desc("n_rows"), "event_type")

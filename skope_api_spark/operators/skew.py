@@ -53,3 +53,55 @@ def salted_agg(
     for c in sums:
         phase2_aggs.append(F.sum(f"__sum_{c}").alias(f"sum_{c}"))
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    min_share: float = 0.01,
+    target_partitions: int | None = None,
+    max_keys: int = 100,
+) -> DataFrame:
+    """Frequency profile of the heaviest keys — the measurement step that
+    decides whether ``salted_agg`` (or AQE skew handling) is needed, and
+    with how many salts.
+
+    One partial-aggregated groupBy over the keys plus a broadcast 1-row
+    total; no driver-side collect — the report is a lazy DataFrame. For a
+    100 TB table, run it on a column-pruned scan (only ``keys`` are
+    read); the shuffle carries one row per distinct key.
+
+    Returns ``(*keys, n_rows, share, suggested_salt)`` for keys whose row
+    share is ≥ ``min_share``, heaviest first, capped at ``max_keys``
+    (TakeOrderedAndProject — no global sort). ``suggested_salt`` is the
+    salt count that spreads the key to roughly one average reducer's load:
+    ``ceil(share * target_partitions)`` (defaults to the session's
+    ``spark.sql.shuffle.partitions``), floored at 1; an empty result means
+    no key crosses the threshold and plain aggregation is fine.
+    """
+    if not (0.0 < min_share <= 1.0):
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    if target_partitions is None:
+        target_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.col("n_rows") / F.col("__total")
+        )
+        .where(F.col("share") >= min_share)
+        .withColumn(
+            "suggested_salt",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("share") * target_partitions),
+            ).cast("int"),
+        )
+        .drop("__total")
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(max_keys)
+    )
