@@ -23,6 +23,10 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -126,4 +130,98 @@ def running_anomalies_batch(events: DataFrame) -> DataFrame:
             & (F.abs(F.col("value") - mean) > K_SIGMA * sigma),
             F.lit(False),
         ).alias("is_anomaly"),
+    )
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) -----------------
+#
+# The successor to applyInPandasWithState: typed state handles
+# (Value/List/Map), timers, TTL, and initial-state seeding, with the same
+# Arrow-batched pandas surface. The operator below is the canonical
+# "running per-key totals" shape — ValueState carrying (n, total) across
+# micro-batches — with a JVM-native batch twin for parity proofs and
+# backfills.
+
+TOTALS_OUTPUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor keeping (n_events, total_value) per user.
+
+    Update mode emits one refreshed row per key per micro-batch — the
+    dashboard-feed shape.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (
+            tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas``.
+
+    State is 1 long + 1 double per user — O(active users); Update output
+    mode re-emits a key's row only in batches where it received events.
+
+    transformWithState requires the RocksDB state store (the default
+    HDFS-backed provider is unsupported and crashes the state server), so
+    this sets the session's provider conf — it applies to queries started
+    AFTER this call, which is the natural order here.
+
+    Environment gate: the transformWithState state-server protocol is
+    protobuf-based, and ``google.protobuf`` is not installed in every
+    environment (this sandbox lacks it — the driver worker dies with an
+    opaque 'worker exited unexpectedly'). Fail fast with a clear message
+    instead; ``applyInPandasWithState`` (``running_anomalies_stream``)
+    remains the dependency-free stateful path.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (its state-server protocol is protobuf-based); "
+            "install protobuf or use the applyInPandasWithState operators"
+        ) from e
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: one partial-aggregated groupBy (verification/backfill)."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
     )

@@ -57,3 +57,59 @@ class TestStatefulAnomalies:
         out = {r.event_id: r.is_anomaly for r in sf.running_anomalies_batch(df).collect()}
         assert out[7] is True          # the 50.0 spike
         assert sum(out.values()) == 1  # and nothing else
+
+
+class TestTransformWithState:
+    def test_running_totals_stream_equals_batch(self, spark, tmp_path_factory):
+        """transformWithStateInPandas (Spark 4 typed-state API): draining
+        the whole events fixture must reproduce the batch groupBy totals —
+        state accumulates correctly across keys and batches. Requires
+        google.protobuf (the API's state-server protocol) — skipped where
+        absent, with the ImportError gate itself asserted below."""
+        import tempfile
+
+        import pytest as _pytest
+
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            from skope_api_spark.streaming.stateful import (
+                running_totals_stream as _rts,
+            )
+            from skope_api_spark.streaming import events as _se
+            from skope_api_spark.tables import load as _load
+
+            with _pytest.raises(ImportError, match="protobuf"):
+                _rts(_load(spark, SF_DIR, "events"))
+            _pytest.skip("google.protobuf not installed in this environment")
+
+        from skope_api_spark.streaming import events as se
+        from skope_api_spark.streaming.stateful import (
+            running_totals_batch,
+            running_totals_stream,
+        )
+        from skope_api_spark.tables import load
+
+        d = tmp_path_factory.mktemp("events_twst")
+        (d / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+        batch_events = load(spark, SF_DIR, "events")
+        expected = {
+            r.user_id: (r.n_events, round(r.total_value, 4))
+            for r in running_totals_batch(batch_events).collect()
+        }
+
+        stream = se.stream_events(spark, str(d), with_watermark=None)
+        out = running_totals_stream(stream)
+        assert out.isStreaming
+        with tempfile.TemporaryDirectory() as ckpt:
+            se.run_available_now(
+                out,
+                query_name="twst_totals",
+                checkpoint=ckpt,
+                output_mode="update",
+            )
+            got = {
+                r.user_id: (r.n_events, round(r.total_value, 4))
+                for r in spark.sql("SELECT * FROM twst_totals").collect()
+            }
+        assert got == expected and len(got) > 0
