@@ -224,3 +224,45 @@ class TestRemoveDuplicateSpans:
         assert out[1].n_removed == 0
         assert out[2].cleaned_text == "y1 y2 y3"
         assert out[2].n_removed == 5
+
+
+class TestClusterRandomGraphs:
+    def test_random_graphs_match_union_find(self, spark):
+        """Star contraction vs a pure-Python union-find reference on random
+        multigraphs (self-loops, duplicate edges, isolated-by-self-pair
+        nodes all included)."""
+        import random
+
+        for seed in (1, 2, 3):
+            rng = random.Random(seed)
+            n = 60
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+            ]
+            pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            nodes = set()
+            for a, b in edges:
+                nodes.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            mins: dict[int, int] = {}
+            for x in nodes:
+                r = find(x)
+                mins[r] = min(mins.get(r, x), x)
+            expected = {x: mins[find(x)] for x in nodes}
+
+            got = {
+                r.doc_id: r.cluster_id
+                for r in duplicate_clusters(pairs).collect()
+            }
+            assert got == expected, f"seed {seed}"

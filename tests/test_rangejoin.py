@@ -215,3 +215,54 @@ class TestKeyedIntervalJoin:
         plan = j._jdf.queryExecution().executedPlan().toString()
         # the key participates in the hash join, not a post-join filter
         assert "a_user" in plan.split("Join")[1].split("\n")[0]
+
+
+class TestRandomizedSplitParity:
+    def test_random_intervals_with_small_cap_match_naive(self, spark):
+        """Seeded-random mixed-length intervals (minutes to multi-day) with
+        a small split cap: the bucketed+split join must equal the naive
+        quadratic join exactly, each pair once."""
+        import random
+        from datetime import datetime, timedelta
+
+        rng = random.Random(11)
+        base = datetime(2024, 3, 1)
+
+        def mk(prefix, n):
+            rows = []
+            for i in range(n):
+                start = base + timedelta(minutes=rng.randrange(0, 4000))
+                length = timedelta(
+                    minutes=rng.choice([1, 10, 90, 600, 2880])
+                )
+                rows.append((i, start, start + length))
+            return spark.createDataFrame(
+                rows,
+                f"{prefix}_id long, {prefix}_start timestamp, {prefix}_end timestamp",
+            )
+
+        a, b = mk("a", 30), mk("b", 30)
+        naive = sorted(
+            (r.a_id, r.b_id)
+            for r in a.join(
+                b,
+                (F.col("a_start") <= F.col("b_end"))
+                & (F.col("b_start") <= F.col("a_end")),
+            ).collect()
+        )
+        assert len(naive) > 50
+        got = [
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a,
+                b,
+                left_start="a_start",
+                left_end="a_end",
+                right_start="b_start",
+                right_end="b_end",
+                bucket="30 minutes",
+                max_buckets_per_interval=3,
+            ).collect()
+        ]
+        assert len(got) == len(set(got))
+        assert sorted(got) == naive
