@@ -68,18 +68,24 @@ def _round_up_64(num_bits: int) -> int:
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     # k hashes via xxhash64 over the (key, j) tuple — independent,
-    # deterministic, and identical on build and probe sides
+    # deterministic, and identical on build and probe sides.
+    # xxhash64 hashes the BYTES of its input, so `1` as int and `1` as
+    # bigint would hash differently and silently DROP true matches; the
+    # cast-to-string canonicalizes every integer width (and strings pass
+    # through) so the public build/probe pair agrees without the caller
+    # thinking about dtypes. Float keys must be cast to double by the
+    # caller (a float and the double it widens to print different
+    # strings) — bloom_prefilter enforces that via _normalized_key.
+    canon = key.cast("string")
     return [
-        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
+        F.pmod(F.xxhash64(canon, F.lit(j)), F.lit(num_bits))
         for j in range(num_hashes)
     ]
 
 
-# xxhash64 hashes the BYTES of its input, so `1` as int and `1` as bigint
-# hash differently — a build/probe dtype mismatch would produce false
-# NEGATIVES and silently drop true join matches. Normalize every integral
-# key to bigint and every float key to double before hashing, on both
-# sides, and refuse mismatched key types that normalization can't unify.
+# Normalization for the DataFrame-level entry points: widen integrals to
+# bigint and floats to double so equal values on differently-typed sides
+# canonicalize identically, and refuse key types that can't be unified.
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _FLOAT_TYPES = {"float", "double"}
 
@@ -146,7 +152,13 @@ def bloom_might_contain(
 ) -> Column:
     """Predicate: all ``num_hashes`` bits for ``key`` are set in ``bits``.
     Pure scan-projection expression (pmod/xxhash64/bit_get) — k is small,
-    so the conjunction is unrolled rather than a ``forall`` loop."""
+    so the conjunction is unrolled rather than a ``forall`` loop.
+
+    Keys hash through their string canonicalization, so any integer width
+    (and string keys) probe a bloom built from any integer width with no
+    caller-side cast; FLOAT key columns must be ``.cast('double')`` first
+    to match a double-built bloom (use ``bloom_prefilter``, which
+    normalizes and validates both sides, when working from DataFrames)."""
     m = _round_up_64(int(num_bits))
 
     def bit_ok(pos: Column) -> Column:

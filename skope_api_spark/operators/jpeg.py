@@ -325,6 +325,19 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tt >> 4, tt & 0x0F)
+            # Ns=1 on a multi-component frame is a legal non-interleaved
+            # baseline layout (one scan per component, T.81 A.2.2) that
+            # this single-scan decoder does not implement — refuse
+            # cleanly rather than KeyError into the batch
+            missing = [
+                cid for cid, *_ in frame[2] if cid not in scan_tables
+            ]
+            if missing:
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported "
+                    f"(scan covers {sorted(scan_tables)} of frame "
+                    f"components {[c[0] for c in frame[2]]})"
+                )
             segs, endpos = _split_entropy(data, pos + 2 + seglen)
             return _decode_scan(
                 frame, scan_tables, quant, huff_dc, huff_ac,
@@ -336,6 +349,13 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_scan(frame, scan_tables, quant, huff_dc, huff_ac, dri, segs):
     w, h, comps = frame
+    if len(comps) == 1:
+        # single-component frames are non-interleaved by definition
+        # (T.81 A.2.2): one 8x8 block per MCU over the full pixel grid —
+        # declared sampling factors are irrelevant and must be ignored
+        # (some encoders keep 2x2 luma factors when writing grayscale)
+        cid, _ch, _cv, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -188,6 +188,7 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
         struct.error,
         OverflowError,
         IndexError,
+        KeyError,  # malformed table/component references
     )
 
     def encode(b: bytes) -> list[float]:

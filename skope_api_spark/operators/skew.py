@@ -67,10 +67,12 @@ def detect_hot_keys(
     decides whether ``salted_agg`` (or AQE skew handling) is needed, and
     with how many salts.
 
-    One partial-aggregated groupBy over the keys plus a broadcast 1-row
-    total; no driver-side collect — the report is a lazy DataFrame. For a
-    100 TB table, run it on a column-pruned scan (only ``keys`` are
-    read); the shuffle carries one row per distinct key.
+    ONE partial-aggregated groupBy over the keys — the 1-row total is
+    derived from the counts aggregate (one row per distinct key), never
+    a second scan of ``df`` — then a broadcast back over the counts; no
+    driver-side collect, the report is a lazy DataFrame. For a 100 TB
+    table the single scan is column-pruned to ``keys`` and the shuffle
+    carries one row per distinct key.
 
     Returns ``(*keys, n_rows, share, suggested_salt)`` for keys whose row
     share is ≥ ``min_share``, heaviest first, capped at ``max_keys``
@@ -87,7 +89,7 @@ def detect_hot_keys(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn(

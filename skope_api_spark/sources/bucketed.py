@@ -72,26 +72,43 @@ def colocated_join(
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
 
 
-def assert_no_shuffle_join(df: DataFrame) -> None:
-    """Raise if the executed plan re-shuffles a side of the join — the
-    regression guard for bucket-layout drift (e.g. a write path that
-    dropped ``bucketBy``, or mismatched bucket counts).
+def _walk_plan(node):
+    """Depth-first walk over a SparkPlan, descending through the AQE
+    wrappers (AdaptiveSparkPlan / QueryStage) that hide their subtrees
+    from ``children()``."""
+    yield node
+    cname = node.getClass().getName()
+    if "AdaptiveSparkPlanExec" in cname:
+        yield from _walk_plan(node.executedPlan())
+        return
+    if "QueryStageExec" in cname:
+        yield from _walk_plan(node.plan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
 
-    Scoped to the join's subtree: the plan string prints top-down, so any
-    operator ABOVE the join (a downstream repartition or aggregation that
-    legitimately exchanges on a non-bucket key) appears before the first
-    join node and is ignored; only exchanges feeding the join (printed at
-    or below it) trip the guard. Callers may therefore pass either the
-    bare join or a frame with downstream ops stacked on top."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    lines = plan.splitlines()
-    join_at = next(
-        (i for i, ln in enumerate(lines) if "Join" in ln), None
-    )
-    if join_at is None:
-        return  # no join in the plan — nothing to guard
-    subtree = "\n".join(lines[join_at:])
-    if "Exchange hashpartitioning" in subtree:
-        raise AssertionError(
-            "join re-shuffles despite bucketed layout:\n" + plan
-        )
+
+def assert_no_shuffle_join(df: DataFrame) -> None:
+    """Raise if any join in the executed plan is fed by a hash-partition
+    shuffle — the regression guard for bucket-layout drift (e.g. a write
+    path that dropped ``bucketBy``, or mismatched bucket counts).
+
+    Walks the actual plan TREE and inspects only each join node's
+    descendants, so operators elsewhere in the plan — a downstream
+    aggregation above the join, or a sibling branch of a union that
+    legitimately exchanges on a non-bucket key — cannot false-alarm
+    (string-scoped versions of this guard misattributed those)."""
+    root = df._jdf.queryExecution().executedPlan()
+    joins = [n for n in _walk_plan(root) if "Join" in n.nodeName()]
+    for j in joins:
+        for d in _walk_plan(j):
+            if d is j:
+                continue
+            if "Exchange" in d.nodeName() and "hashpartitioning" in d.simpleString(
+                100
+            ):
+                raise AssertionError(
+                    "join re-shuffles despite bucketed layout:\n"
+                    + root.toString()
+                )

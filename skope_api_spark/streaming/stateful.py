@@ -181,17 +181,22 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     State is 1 long + 1 double per user — O(active users); Update output
     mode re-emits a key's row only in batches where it received events.
 
-    transformWithState requires the RocksDB state store (the default
-    HDFS-backed provider is unsupported and crashes the state server), so
-    this sets the session's provider conf — it applies to queries started
-    AFTER this call, which is the natural order here.
+    Preconditions, both checked here with clear errors instead of the
+    opaque crashes they otherwise cause (NOT silently fixed — mutating
+    the shared session conf would change the state-store provider under
+    every OTHER streaming query started later, breaking their
+    checkpointed state formats):
 
-    Environment gate: the transformWithState state-server protocol is
-    protobuf-based, and ``google.protobuf`` is not installed in every
-    environment (this sandbox lacks it — the driver worker dies with an
-    opaque 'worker exited unexpectedly'). Fail fast with a clear message
-    instead; ``applyInPandasWithState`` (``running_anomalies_stream``)
-    remains the dependency-free stateful path.
+    - RocksDB state store: transformWithState does not support the
+      default HDFS-backed provider. Set
+      ``spark.sql.streaming.stateStore.providerClass`` to
+      ``...state.RocksDBStateStoreProvider`` before starting the query.
+    - ``google.protobuf`` installed: the API's state-server protocol is
+      protobuf-based (this sandbox lacks it — the driver worker dies
+      with 'worker exited unexpectedly').
+
+    ``applyInPandasWithState`` (``running_anomalies_stream``) remains the
+    dependency-free stateful path.
     """
     try:
         import google.protobuf  # noqa: F401
@@ -201,10 +206,18 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             "package (its state-server protocol is protobuf-based); "
             "install protobuf or use the applyInPandasWithState operators"
         ) from e
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
     )
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state store; "
+            "set spark.sql.streaming.stateStore.providerClass to "
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider on the session before starting "
+            "this query (not set globally here — it would change the "
+            "provider under other queries' checkpoints)"
+        )
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

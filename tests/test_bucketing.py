@@ -112,3 +112,33 @@ class TestBucketedJoin:
             write_bucketed(li, "t", bucket_cols=["l_orderkey"], n_buckets=0)
         with pytest.raises(ValueError, match="bucket_cols"):
             write_bucketed(li, "t", bucket_cols=[], n_buckets=4)
+
+
+class TestShuffleGuardScoping:
+    def test_sibling_branch_exchange_does_not_false_alarm(
+        self, spark, bucketed_tables, no_broadcast
+    ):
+        """A union whose OTHER branch aggregates (exchanging on a
+        non-bucket key) must not trip the guard — only exchanges feeding
+        a join count (the string-scoped guard misattributed these)."""
+        join = colocated_join(
+            spark, "bkt_lineitem", "bkt_orders", ["l_orderkey"]
+        ).select(F.col("l_orderkey").cast("double").alias("out"))
+        sibling = (
+            spark.table("bkt_lineitem")
+            .groupBy("l_extendedprice")  # non-bucket key -> real exchange
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+            .select(F.col("n").alias("out"))
+        )
+        stacked = join.unionByName(sibling)
+        plan = stacked._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan  # the sibling's exchange
+        assert_no_shuffle_join(stacked)  # ...must not false-alarm
+
+    def test_shuffled_join_still_caught_through_tree_walk(
+        self, spark, no_broadcast
+    ):
+        a = spark.range(0, 5000).select(F.col("id").alias("k"))
+        b = spark.range(0, 5000).select(F.col("id").alias("k"))
+        with pytest.raises(AssertionError, match="re-shuffles"):
+            assert_no_shuffle_join(a.join(b, "k"))

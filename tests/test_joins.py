@@ -185,3 +185,37 @@ class TestBloomScaleBounds:
             fact, dim, "k", "dk", num_bits=8, num_hashes=2
         ).count()
         assert got == exact
+
+
+class TestPublicPairDtypeCanonicalization:
+    def test_int_key_build_probe_pair_matches(self, spark):
+        """The public bloom_build + bloom_might_contain pair with INT keys
+        on both sides: string canonicalization means every integer width
+        hashes identically, so members always hit."""
+        dim = spark.createDataFrame([(i,) for i in range(50)], "dk int")
+        bloom = bloom_build(dim, "dk", num_bits=1 << 12, num_hashes=5)
+        probe = (
+            spark.range(0, 100)
+            .select(F.col("id").cast("int").alias("id"))
+            .join(F.broadcast(bloom))
+        )
+        hits = probe.where(
+            bloom_might_contain(
+                F.col("id"), F.col("bits"), num_bits=1 << 12, num_hashes=5
+            )
+        )
+        ids = {r.id for r in hits.collect()}
+        assert set(range(50)) <= ids  # no silent drops
+
+    def test_mixed_width_build_vs_probe(self, spark):
+        """Build from INT dim, probe with BIGINT fact — the exact dtype
+        drift the canonicalization exists for."""
+        dim = spark.createDataFrame([(3,), (17,)], "dk int")
+        bloom = bloom_build(dim, "dk", num_bits=256, num_hashes=3)
+        probe = spark.range(0, 30).join(F.broadcast(bloom))  # id: bigint
+        hits = probe.where(
+            bloom_might_contain(
+                F.col("id"), F.col("bits"), num_bits=256, num_hashes=3
+            )
+        )
+        assert {3, 17} <= {r.id for r in hits.collect()}

@@ -146,3 +146,36 @@ class TestFeatures:
         fmt, w, h = _sniff_image(jpeg_encode(20, 14, bytes(20 * 14 * 3)))
         assert (fmt, w, h) == ("jpeg", 20, 14)
         assert jpeg_encode(8, 8, bytes(192))[:2] == JPEG_SOI
+
+
+class TestScanLayouts:
+    def test_partial_multi_component_scan_rejected_cleanly(self):
+        """SOS covering 1 of 3 frame components (legal non-interleaved
+        multi-scan baseline) must raise NotImplementedError — not KeyError,
+        which would escape the multimodal fallback seam."""
+        data = bytearray(jpeg_encode(8, 8, bytes([10, 20, 30] * 64)))
+        sos = data.index(b"\xff\xda")
+        # rewrite SOS: ns=1, component 1 only, then the 3 fixed bytes
+        new_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        data[sos : sos + 14] = new_sos  # old SOS was 2+2+1+6+3 = 14 bytes
+        with pytest.raises(NotImplementedError, match="non-interleaved"):
+            jpeg_decode(bytes(data))
+        # and the encoder seam falls back instead of crashing the batch
+        from skope_api_spark.operators import multimodal as mm
+
+        feats = mm.pixel_or_hash_encoder()(bytes(data))
+        assert feats == mm.hash_pseudo_encoder()(bytes(data))
+
+    def test_grayscale_with_declared_2x2_sampling_decodes(self):
+        """Single-component frames are non-interleaved by definition; some
+        encoders keep 2x2 luma factors when writing grayscale. Forcing the
+        factors in the header must not change the decode."""
+        w, h = 24, 16
+        px = bytes((3 * x + 2 * y) % 200 for y in range(h) for x in range(w))
+        data = bytearray(jpeg_encode(w, h, px, channels=1))
+        sof = data.index(b"\xff\xc0")
+        assert data[sof + 11] == 0x11  # declared 1x1
+        data[sof + 11] = 0x22  # pretend 2x2 sampling
+        w2, h2, ch, out = jpeg_decode(bytes(data))
+        assert (w2, h2, ch) == (w, h, 1)
+        assert max(abs(out[i] - px[i]) for i in range(len(px))) <= 4
