@@ -755,3 +755,48 @@ def sample_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFram
     return pack_training_sequences(
         docs, seq_len=64, n_shards=8
     ).orderBy("shard", "seq_id")
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS u
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM (
+  SELECT doc_id,
+         CASE WHEN u < 800000 THEN 'train'
+              WHEN u < 900000 THEN 'val'
+              WHEN u < 1000000 THEN 'test' END AS split
+  FROM h
+)
+GROUP BY split
+ORDER BY split
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the shared
+    md5-derived uniform hash — disjoint, RNG-free, reproducible from the
+    id alone (a re-run can never leak a train doc into test). The oracle
+    replays the identical hash and boundaries."""
+    from skope_api_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

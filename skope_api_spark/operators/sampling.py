@@ -261,3 +261,38 @@ def pack_training_sequences(
         .where(F.col("__cnt") == seq_len)  # drop each shard's remainder
         .select("shard", "seq_id", "seq_text")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment by id hash.
+
+    Each row lands in exactly one named split: the uniform id hash falls
+    into consecutive half-open intervals sized by the (normalized-to-≤1)
+    fractions, in the mapping's insertion order; any hash mass past the
+    last boundary gets NULL (caller-visible "unassigned" remainder). No
+    RNG, no shuffle, stable across runs/engines/partitionings — the same
+    document can never leak from train into test on a re-run, and
+    membership is reproducible from the id alone.
+
+    Returns ``df`` plus ``out_col``; filter per split downstream (the
+    predicate pushes into the scan).
+    """
+    fracs = [(name, float(f)) for name, f in splits.items()]
+    if not fracs or any(f < 0 for _, f in fracs):
+        raise ValueError("splits must be a non-empty map of >= 0 fractions")
+    if sum(f for _, f in fracs) > 1.0 + 1e-9:
+        raise ValueError("split fractions must sum to <= 1")
+    h = _uniform_hash(F.col(id_col))
+    expr = None
+    upper = 0.0
+    for name, f in fracs:
+        upper += f
+        cond = h < upper * _HASH_MOD
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)

@@ -192,3 +192,44 @@ class TestPackTrainingSequences:
             pack_training_sequences(docs, seq_len=0)
         with pytest.raises(ValueError):
             pack_training_sequences(docs, n_shards=0)
+
+
+class TestHashSplit:
+    def test_partition_is_disjoint_exhaustive_deterministic(self, spark):
+        from skope_api_spark.operators.sampling import hash_split
+
+        docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+        out = hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+        by_doc = {r.doc_id: r.split for r in out}
+        assert len(by_doc) == 2000  # one verdict per row
+        assert set(by_doc.values()) == {"train", "val", "test"}
+        # roughly the configured proportions
+        n_train = sum(1 for s in by_doc.values() if s == "train")
+        assert 0.75 < n_train / 2000 < 0.85
+        # a second run assigns identically (no RNG)
+        again = {
+            r.doc_id: r.split
+            for r in hash_split(
+                docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).collect()
+        }
+        assert again == by_doc
+
+    def test_remainder_is_null(self, spark):
+        from skope_api_spark.operators.sampling import hash_split
+
+        docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        out = hash_split(docs, {"train": 0.5}).collect()
+        nulls = sum(1 for r in out if r.split is None)
+        assert 0.4 < nulls / 500 < 0.6  # ~half unassigned, visible as NULL
+
+    def test_bad_fractions_rejected(self, spark):
+        from skope_api_spark.operators.sampling import hash_split
+
+        docs = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError, match="sum"):
+            hash_split(docs, {"a": 0.9, "b": 0.2})
+        with pytest.raises(ValueError, match="fractions"):
+            hash_split(docs, {})
