@@ -986,3 +986,147 @@ def pq_topk_rerank(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+    m: int = 32,
+    pq_cells: int = 32,
+    pq_iters: int = 1,
+    shortlist: int = 50,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ architecture, Jégou et al. 2011): a coarse
+    k-means quantizer restricts candidates to the query's ``nprobe``
+    nearest cells, and RESIDUALS (vector − cell centroid) are PQ-encoded
+    so the in-cell scan reads m-byte codes, not raw vectors.
+
+    Composition of the two existing trained paths, end to end:
+
+    - coarse: ``kmeans_centroids`` (md5-seeded, 6-decimal-rounded Lloyd);
+      corpus rows assign to exactly ONE cell (max-cosine, min-cell ties);
+    - residual PQ: ``pq_kmeans_codebooks`` trained on residuals — the
+      quantization error of a residual is far smaller than of the raw
+      vector, the reason IVFPQ beats flat PQ at equal bytes;
+    - query: fan out to ``nprobe`` cells (bounded batch × nprobe rows),
+      build a per-(query, cell) residual LUT — m × pq_cells doubles,
+      broadcast — and ADC-score ONLY candidates in probed cells via the
+      (cell, j, code) equi-join;
+    - exact cosine re-rank of the per-query ``shortlist`` on raw vectors.
+
+    At 100 TB: candidate volume is |probed cells| / n_cells of the corpus,
+    scanned at m bytes/vector; raw vectors are touched for
+    |queries| × shortlist rows only. Recall measured in tests/PERF.md;
+    dials are nprobe (cell recall) and shortlist (ADC→exact headroom).
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cents = kmeans_centroids(
+        corpus,
+        n_cells=n_cells,
+        iters=coarse_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+    def nearest_cells(df: DataFrame, idc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", cosine(F.col("v"), F.col("centroid"))
+        )
+        if n <= 1:
+            return scored.groupBy(idc).agg(
+                F.max_by(
+                    F.struct("cell", "v", "centroid"),
+                    F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
+                ).alias("b")
+            ).select(
+                idc,
+                F.col("b.cell").alias("cell"),
+                F.col("b.v").alias("v"),
+                F.col("b.centroid").alias("centroid"),
+            )
+        w = W.partitionBy(idc).orderBy(F.desc("__csim"), "cell")
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n)
+            .select(idc, "cell", "v", "centroid")
+        )
+
+    residual = F.zip_with("v", "centroid", lambda a, b: a - b)
+    assigned = nearest_cells(vecs, "vec_id", 1).withColumn("r", residual)
+    res_frame = assigned.select("vec_id", F.col("r").alias("res"))
+    cb = pq_kmeans_codebooks(
+        res_frame,
+        m=m,
+        n_cells=pq_cells,
+        iters=pq_iters,
+        dim=dim,
+        id_col="vec_id",
+        vec_col="res",
+    )
+    codes = (
+        pq_assign_codes(
+            res_frame, cb, m=m, dim=dim, id_col="vec_id", vec_col="res"
+        )
+        .withColumnRenamed("cell", "pq_cell")  # PQ code, per subspace
+        .join(assigned.select("vec_id", "cell"), "vec_id")  # coarse cell
+    )
+
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    q_probed = nearest_cells(q_vecs, "query_id", nprobe).withColumn(
+        "r", residual
+    )
+    q_subs = q_probed.select(
+        "query_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        F.col("r"),
+    ).select(
+        "query_id", "cell", "j",
+        F.slice("r", F.col("j") * (dim // m) + 1, dim // m).alias("sv"),
+    )
+    lut = q_subs.join(F.broadcast(cb.withColumnRenamed("cell", "pq_cell")), "j").select(
+        "query_id",
+        "cell",
+        "j",
+        "pq_cell",
+        _ssd(F.col("sv"), F.col("centroid")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "j", "pq_cell"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 6).alias("ad"))
+    )
+    wsl = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    sl = (
+        scored.withColumn("__rk", F.row_number().over(wsl))
+        .where(F.col("__rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = q_vecs.select("query_id", F.col("v").alias("__qv"))
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("__nv"))
+    rer = (
+        sl.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__nv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
