@@ -676,3 +676,124 @@ def skew_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("share", 6).alias("share"),
         "suggested_salt",
     ).orderBy(F.desc("n_rows"), "event_type")
+
+
+def _pr_iteration(prev: str, cur: str) -> str:
+    """One unrolled PageRank power-iteration CTE (mirrors operators/graph.py:
+    rank' = (1-d)/N + d * sum(rank/outdeg over in-edges), rounded to 12 dp
+    so accumulation-order noise cannot compound across iterations)."""
+    return f"""{cur} AS (
+  SELECT nodes.node,
+         ROUND((1.0 - 0.85) / ANY_VALUE(nn.n)
+               + 0.85 * COALESCE(SUM(c.c), 0.0), 12) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, {prev}.rank / od.outdeg AS c
+             FROM e JOIN {prev} ON {prev}.node = e.src
+             JOIN od ON od.src = e.src) c
+    ON c.dst = nodes.node
+  GROUP BY nodes.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src,
+           LEAD(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+od AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),
+{_pr_iteration("r0", "r1")},
+{_pr_iteration("r1", "r2")},
+{_pr_iteration("r2", "r3")}
+SELECT node AS part_node, ROUND(rank, 6) AS pagerank
+FROM r3
+ORDER BY pagerank DESC, part_node
+LIMIT 20
+"""
+
+
+@query("graph_pagerank_copurchase", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 3-iteration PageRank over the part co-purchase graph
+    (consecutive line numbers within an order -> directed part edge; see
+    operators/graph.py for the per-iteration join/agg plan and the
+    12-dp-per-iteration determinism contract). Top-20 by 6-dp rank,
+    node-id tie-break -> TakeOrderedAndProject."""
+    from skope_api_spark.operators.graph import pagerank, transition_edges
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = transition_edges(
+        li,
+        group_col="l_orderkey",
+        order_col="l_linenumber",
+        node_col="l_partkey",
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select(
+            F.col("node").alias("part_node"),
+            F.round("rank", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "part_node")
+        .limit(20)
+    )
+
+
+@query(
+    "json_quarantine_ingest",
+    oracle="""
+WITH raw AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN 'x' || props ELSE props END AS p
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       ROUND(AVG(CASE WHEN json_valid(p)
+                      THEN CAST(json_extract(p, '$.k') AS INT) END), 4)
+         AS avg_k
+FROM raw
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read ingestion with quarantine: a deterministic 1-in-13
+    slice of the ``props`` payloads is corrupted (PREFIX garbage — both
+    engines reject it; trailing garbage would diverge, Jackson accepts it
+    while DuckDB's json_valid does not), then parsed with an explicit
+    schema carrying a ``_corrupt_record`` column — the real PERMISSIVE
+    quarantine pattern: malformed rows keep their raw payload in the
+    corrupt column, are counted per group, and are excluded from the
+    typed aggregate. At scale this is the standard "parse, quarantine,
+    aggregate the clean side" landing-zone plan: one scan, parsing in the
+    projection, no corpus-sized extra shuffle."""
+    ev = load(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 13 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        corrupted,
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return (
+        ev.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("p._corrupt_record").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_quarantined"),
+            F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

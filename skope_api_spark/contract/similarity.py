@@ -703,3 +703,70 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         "rk",
     ).orderBy("query_id", "rk")
+
+
+@query(
+    "sim_sq8_topk",
+    oracle="""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pos AS (SELECT UNNEST(range(1, 65)) AS p),
+dims AS (
+  SELECT p, MIN(v[p]) AS mn, MAX(v[p]) AS mx
+  FROM c CROSS JOIN pos GROUP BY p
+), codes AS (
+  SELECT c.vec_id, d.p,
+         CASE WHEN d.mx - d.mn > 0.0
+              THEN LEAST(255.0, GREATEST(0.0,
+                     FLOOR((c.v[d.p] - d.mn) * 256.0 / (d.mx - d.mn))))
+              ELSE 0.0 END AS code,
+         d.mn, d.mx
+  FROM c CROSS JOIN dims d
+), recon AS (
+  SELECT vec_id, p,
+         mn + (code + 0.5) * ((mx - mn) / 256.0) AS r
+  FROM codes
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8
+), approx AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         ROUND(SUM(q.qv[r.p] * r.r), 6) AS ad
+  FROM q JOIN recon r ON r.vec_id <> q.query_id
+  GROUP BY q.query_id, r.vec_id
+), sl AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY ad DESC, neighbor_id) AS srk
+  FROM approx
+), rer AS (
+  SELECT s.query_id, s.neighbor_id, list_cosine_similarity(q.qv, c.v) AS cs
+  FROM sl s
+  JOIN q ON q.query_id = s.query_id
+  JOIN c ON c.vec_id = s.neighbor_id
+  WHERE s.srk <= 32
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rk
+  FROM rer
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: per-dimension min/max training, 8-bit
+    codes, shortlist-32 by approximate dot product against bin-center
+    reconstructions, exact-cosine rerank to top-5 for 8 queries. The
+    oracle replays the identical quantizer (floor/clamp, same operation
+    order) so the code table — and therefore the shortlist and the final
+    ranking — is reproducible cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.sq_topk(emb, emb.where(F.col("vec_id") < 8), k=5, shortlist=32)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rk",
+    ).orderBy("query_id", "rk")

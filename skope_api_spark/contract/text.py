@@ -800,3 +800,94 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+WITH q(query_id, term) AS (
+  VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'scan'),
+         (3, 'customer'), (3, 'order')
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         len(string_split(text, ' '))::DOUBLE AS dl
+  FROM documents
+), postings AS (
+  SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf, ANY_VALUE(dl) AS dl
+  FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*)::DOUBLE AS df FROM postings GROUP BY tok
+), stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs,
+         AVG(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN postings p ON p.tok = q.term
+  JOIN dfreq d ON d.tok = q.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+), ranked AS (
+  SELECT CAST(query_id AS INT) AS query_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rk,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rk, doc_id, score
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-5 documents for a 3-query keyword batch
+    over the inverted index (see operators/retrieval.py for the posting /
+    broadcast / candidate-bounded plan shape). The oracle replays the
+    identical scoring expression — same operation order, Lucene-style
+    positive idf — and both engines rank on the 6-dp rounded score with a
+    doc_id tie-break."""
+    from skope_api_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "scan"),
+         (3, "customer"), (3, "order")],
+        "query_id int, term string",
+    )
+    return bm25_topk(docs, queries, k=5).orderBy("query_id", "rk")
+
+
+@query(
+    "sample_temperature_mixing",
+    oracle=f"""
+WITH totals AS (
+  SELECT source, SUM(len(string_split(text, ' ')))::DOUBLE AS tot
+  FROM documents GROUP BY source
+), raw AS (
+  SELECT source, POWER(tot, 0.3 - 1.0) AS r FROM totals
+), mx AS (SELECT MAX(r) AS m FROM raw),
+fr AS (SELECT source, r / (SELECT m FROM mx) AS frac FROM raw)
+SELECT d.doc_id, d.source, ROUND(f.frac, 6) AS frac
+FROM documents d JOIN fr f USING (source)
+WHERE {_H.format(c="d.doc_id")} < f.frac * 1000000
+ORDER BY d.doc_id
+""",
+)
+def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing (alpha = 0.3): per-source keep-rates
+    proportional to token-share^(alpha-1), max-normalized so the rarest
+    source keeps everything, then the shared md5-threshold filter. The
+    oracle replays the same power/normalize/hash arithmetic."""
+    from skope_api_spark.operators.sampling import temperature_mixing
+
+    docs = load(spark, sf_dir, "documents")
+    out = temperature_mixing(docs, alpha=0.3)
+    return out.select(
+        "doc_id", "source", F.round("__frac", 6).alias("frac")
+    ).orderBy("doc_id")

@@ -187,6 +187,47 @@ def weighted_sample(
     )
 
 
+def temperature_mixing(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    rule, XLM-R style): with natural token shares ``p_s``, the target mix
+    is ``q_s ∝ p_s^alpha`` — alpha < 1 flattens the distribution,
+    upsampling rare sources relative to dominant ones. Realized as a
+    deterministic per-source keep-RATE ``r_s ∝ p_s^(alpha-1)`` normalized
+    so the rarest source keeps everything (max rate = 1), then the shared
+    md5-threshold filter; the surviving corpus's expected token shares
+    are exactly the tempered distribution.
+
+    Plan shape: one per-source token-total aggregation (#sources rows),
+    the rate computed against a broadcast 1-row max — both tiny broadcast
+    sides — then a pure filter in the corpus scan projection. No
+    corpus-sized shuffle; same determinism/nesting story as
+    ``stratified_hash_sample``.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    totals = df.groupBy(source_col).agg(
+        F.sum(n_tok).cast("double").alias("__tot")
+    )
+    # p_s^(alpha-1) with p_s = tot_s / N: the 1/N factors cancel in the
+    # max-normalization, so rates use raw totals directly.
+    raw = totals.select(
+        source_col, F.pow(F.col("__tot"), alpha - 1.0).alias("__raw")
+    )
+    mx = raw.agg(F.max("__raw").alias("__mx"))
+    fracs = raw.crossJoin(F.broadcast(mx)).select(
+        source_col, (F.col("__raw") / F.col("__mx")).alias("__frac")
+    )
+    return df.join(F.broadcast(fracs), source_col).where(
+        _uniform_hash(F.col(id_col)) < F.col("__frac") * _HASH_MOD
+    )
+
+
 def pack_training_sequences(
     df: DataFrame,
     text_col: str = "text",

@@ -1130,3 +1130,130 @@ def ivfpq_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+# --- int8 scalar quantization (SQ8) --------------------------------------
+
+
+def sq_bounds(
+    corpus: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension min/max training for scalar quantization, as ONE row
+    of aligned arrays (mn_arr, mx_arr) so encode/score stay array ops.
+
+    posexplode -> groupBy(pos) is the scale path: partial aggregation
+    collapses the per-partition explode to d rows before the shuffle, so
+    the exchange carries d keys regardless of corpus size.
+    """
+    dims = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    packed = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("d")
+    )
+    return packed.select(
+        F.transform("d", lambda s: s["mn"]).alias("mn_arr"),
+        F.transform("d", lambda s: s["mx"]).alias("mx_arr"),
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit codes: code_i = clamp(floor((x_i - mn_i) * 256 / (mx_i - mn_i)),
+    0, 255); a constant dimension (mx == mn) codes to 0. Returns
+    (vec_id, codes array<int>) — a 64-dim float vector shrinks 4x->8x
+    depending on source width; at 100 TB the code table IS the index.
+    """
+    enc = corpus.crossJoin(F.broadcast(bounds))
+    rng = F.zip_with(
+        F.col("mx_arr"), F.col("mn_arr"), lambda a, b: a - b
+    )
+    shifted = F.zip_with(
+        F.col(vec_col), F.col("mn_arr"), lambda x, m: x.cast("double") - m
+    )
+    codes = F.zip_with(
+        shifted,
+        rng,
+        lambda s, r: F.when(r > 0.0, F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor(s * 256.0 / r))
+        )).otherwise(F.lit(0.0)).cast("int"),
+    )
+    return enc.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 32,
+) -> DataFrame:
+    """SQ8 ANN: shortlist by approximate dot product against bin-center
+    reconstructions (mn_i + (code_i + 0.5) * step_i), exact-cosine rerank.
+
+    The corpus-sized scan touches only the int8 code table (plus bounds
+    broadcast); raw vectors are read for |queries| x shortlist rows in the
+    rerank join. Shortlist ranking uses the 6-dp rounded approximate dot
+    (then neighbor id) so the candidate set is reproducible cross-engine.
+    """
+    bounds = sq_bounds(corpus, vec_col=vec_col)
+    codes = sq_encode(corpus, bounds, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .crossJoin(F.broadcast(bounds))
+    )
+    step = F.zip_with(
+        F.col("mx_arr"), F.col("mn_arr"), lambda a, b: (a - b) / 256.0
+    )
+    centered = F.zip_with(
+        F.col("codes"), step, lambda c, s: (c.cast("double") + 0.5) * s
+    )
+    recon = F.zip_with(centered, F.col("mn_arr"), lambda t, m: t + m)
+    approx = F.aggregate(
+        F.zip_with(F.col("__qv"), recon, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wsl = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("__approx"), 6)), "vec_id"
+    )
+    sl = (
+        scored.withColumn("__approx", approx)
+        .withColumn("__rk", F.row_number().over(wsl))
+        .where(F.col("__rk") <= shortlist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv2")
+    )
+    rer = (
+        sl.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine_sim", cosine(F.col("__qv2"), F.col("__nv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )

@@ -1,0 +1,196 @@
+"""Round-7 session-2 operators: BM25 retrieval, fixed-iteration PageRank,
+int8 scalar-quantized ANN, temperature mixing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.graph import pagerank, transition_edges
+from skope_api_spark.operators.retrieval import bm25_topk, build_postings
+from skope_api_spark.operators.sampling import temperature_mixing
+from skope_api_spark.operators.similarity import sq_bounds, sq_encode, sq_topk
+
+
+# --- BM25 ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "hash join fast hash"),
+        (1, "hash scan"),
+        (2, "vector scan scan scan"),
+        (3, "the a the a"),
+        (4, "join join join hash table"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_tf_and_dl(docs):
+    p = {
+        (r.doc_id, r.tok): (r.tf, r.dl)
+        for r in build_postings(docs).collect()
+    }
+    assert p[(0, "hash")] == (2.0, 4.0)
+    assert p[(2, "scan")] == (3.0, 4.0)
+    assert (3, "hash") not in p
+
+
+def test_bm25_ranks_matching_docs_first(spark, docs):
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join")], "query_id int, term string"
+    )
+    out = bm25_topk(docs, queries, k=5).collect()
+    got = [(r.query_id, r.rk, r.doc_id) for r in out]
+    # docs 0/1/4 contain query terms; 2 and 3 do not appear at all
+    assert {r[2] for r in got} == {0, 1, 4}
+    # ranks are 1..n contiguous
+    assert sorted(r[1] for r in got) == [1, 2, 3]
+    # doc 0 (two 'hash' + short) must beat doc 1 (one 'hash', no 'join'):
+    ranks = {r[2]: r[1] for r in got}
+    assert ranks[0] < ranks[1]
+
+
+def test_bm25_idf_positive_even_for_ubiquitous_term(spark):
+    # term in EVERY doc: Lucene-style idf = ln(1 + 0.5/(N+0.5)) > 0
+    rows = [(i, "common") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([(1, "common")], "query_id int, term string")
+    out = bm25_topk(docs, q, k=10).collect()
+    assert len(out) == 4
+    assert all(r.score > 0 for r in out)
+
+
+# --- PageRank -----------------------------------------------------------
+
+
+def test_transition_edges_dedup_and_tiebreak(spark):
+    rows = [
+        # group 1: a->b->c plus duplicate order values (tie-broken by node)
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        # group 2: same consecutive pair twice -> ONE distinct edge
+        (2, 1, "a"), (2, 2, "b"),
+        # group 3: self-loop dropped
+        (3, 1, "x"), (3, 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, "g int, o int, node string")
+    edges = {
+        (r.src, r.dst)
+        for r in transition_edges(
+            df, group_col="g", order_col="o", node_col="node"
+        ).collect()
+    }
+    assert edges == {("a", "b"), ("b", "c")}
+
+
+def test_pagerank_star_graph(spark):
+    # star: spokes a,b,c all point at hub h. Hub must rank strictly higher;
+    # ranks of symmetric spokes must be identical.
+    edges = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h")], "src string, dst string"
+    )
+    r = {x.node: x.rank for x in pagerank(edges, iterations=3).collect()}
+    assert r["h"] > r["a"]
+    assert r["a"] == r["b"] == r["c"]
+    # spokes get only the teleport term (1-d)/N each iteration
+    assert math.isclose(r["a"], 0.15 / 4, rel_tol=1e-9)
+
+
+def test_pagerank_cycle_uniform(spark):
+    # a->b->c->a: perfectly symmetric, every node keeps rank 1/3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = [x.rank for x in pagerank(edges, iterations=4).collect()]
+    assert all(math.isclose(v, 1 / 3, abs_tol=1e-9) for v in r)
+
+
+def test_pagerank_mass_conservation_no_dangling(spark):
+    # without dangling nodes total rank mass stays 1 (documented contract)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    total = sum(x.rank for x in pagerank(edges, iterations=5).collect())
+    assert math.isclose(total, 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_checkpoint_matches_lazy(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    lazy = {x.node: x.rank for x in pagerank(edges, iterations=4).collect()}
+    chk = {
+        x.node: x.rank
+        for x in pagerank(edges, iterations=4, checkpoint_every=2).collect()
+    }
+    assert lazy == chk
+
+
+# --- int8 scalar quantization ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_sq_bounds_shape(vecs):
+    b = sq_bounds(vecs).collect()[0]
+    assert b.mn_arr == [0.0, 0.0, 0.0]
+    assert b.mx_arr == [1.0, 1.0, 1.0]
+
+
+def test_sq_encode_extremes_and_constant_dim(spark):
+    rows = [(0, [0.0, 5.0]), (1, [10.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = sq_bounds(df)
+    codes = {r.vec_id: r.codes for r in sq_encode(df, b).collect()}
+    # min -> 0, max -> clamped 255; constant dim (mx == mn) -> 0
+    assert codes[0] == [0, 0]
+    assert codes[1] == [255, 0]
+
+
+def test_sq_topk_matches_exact_on_separable_data(spark, vecs):
+    out = sq_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2, shortlist=4)
+    got = [(r.rk, r.neighbor_id) for r in out.collect()]
+    # nearest to [1,0,0]: vec 1 (0.994) then vec 4 (0.707)
+    assert got == [(1, 1), (2, 4)]
+
+
+# --- temperature mixing -------------------------------------------------
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    rows = [(i, "big" if i < 90 else "small", "w " * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mixing(df, alpha=0.3)
+    fr = {
+        r["source"]: r["frac"]
+        for r in out.select("source", F.col("__frac").alias("frac"))
+        .distinct()
+        .collect()
+    }
+    # rarest source keeps everything; dominant source is downsampled by
+    # (p_small/p_big)^(1-alpha) = (10/90)^0.7
+    assert math.isclose(fr["small"], 1.0, rel_tol=1e-12)
+    assert math.isclose(fr["big"], (10 / 90) ** 0.7, rel_tol=1e-9)
+
+
+def test_temperature_alpha_one_keeps_everything(spark):
+    rows = [(i, f"s{i % 3}", "a b c") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mixing(df, alpha=1.0)
+    # alpha = 1 -> natural distribution -> every rate is 1 -> no filtering
+    assert out.count() == 30
