@@ -797,3 +797,51 @@ def json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "fuzzy_join_part_terms",
+    oracle="""
+WITH dict AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS term FROM part
+), pw AS (
+  SELECT p_partkey, string_split(p_name, ' ')[1] AS w
+  FROM part WHERE p_partkey % 17 = 0
+), probes AS (
+  SELECT DISTINCT
+    substring(w, 1, CAST(p_partkey % len(w) AS INT))
+    || substring(w, CAST(p_partkey % len(w) AS INT) + 2, len(w)) AS probe
+  FROM pw
+)
+SELECT p.probe, d.term,
+       CAST(levenshtein(p.probe, d.term) AS INT) AS dist
+FROM probes p CROSS JOIN dict d
+WHERE levenshtein(p.probe, d.term) <= 1
+ORDER BY p.probe, d.term
+""",
+)
+def fuzzy_join_part_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy join: deterministic 1-char-deletion misspellings of
+    part-name words, matched back to the part vocabulary on edit distance
+    <= 1 via the 1-deletion-neighborhood equi-join (guaranteed recall —
+    see operators/fuzzy.py). The oracle is the brute-force all-pairs
+    levenshtein the banding provably reproduces."""
+    from skope_api_spark.operators.fuzzy import fuzzy_join
+
+    part = load(spark, sf_dir, "part")
+    dict_ = part.select(
+        F.explode(F.split("p_name", " ")).alias("term")
+    ).distinct()
+    w = F.split("p_name", " ")[0]
+    pos = (F.col("p_partkey") % F.length(w)).cast("int")
+    probes = (
+        part.where(F.col("p_partkey") % 17 == 0)
+        .select(
+            F.concat(
+                w.substr(F.lit(1), pos),
+                w.substr(pos + 2, F.length(w)),
+            ).alias("probe")
+        )
+        .distinct()
+    )
+    return fuzzy_join(probes, dict_).orderBy("probe", "term")

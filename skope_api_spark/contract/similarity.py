@@ -770,3 +770,46 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         "rk",
     ).orderBy("query_id", "rk")
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, v AS av, label AS anchor_label
+  FROM c WHERE vec_id < 8
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_cosine_similarity(a.av, c.v) AS cs
+  FROM a JOIN c ON c.label <> a.anchor_label
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+       PARTITION BY anchor_id ORDER BY cs DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT anchor_id, rk, neighbor_id, ROUND(cs, 4) AS cosine_sim,
+       anchor_label, neighbor_label
+FROM ranked WHERE rk <= 5
+ORDER BY anchor_id, rk
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor (8 anchors), the
+    top-5 most-similar vectors carrying a DIFFERENT label (see
+    operators/similarity.py::hard_negative_mining for the broadcast /
+    pre-score label-filter plan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.hard_negative_mining(
+        emb, emb.where(F.col("vec_id") < 8), k=5
+    )
+    return out.select(
+        "anchor_id",
+        "rk",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "anchor_label",
+        "neighbor_label",
+    ).orderBy("anchor_id", "rk")

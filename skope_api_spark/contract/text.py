@@ -891,3 +891,25 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.round("__frac", 6).alias("frac")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*)::DOUBLE AS c FROM ch GROUP BY doc_id, ch
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+FROM counts GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (the compressibility
+    quality signal; see operators/text.py::char_entropy for the
+    histogram-shaped plan). Both engines compute the identical
+    H = ln(n) - sum(c*ln c)/n formulation rounded to 6 dp."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.char_entropy(docs).orderBy("doc_id")

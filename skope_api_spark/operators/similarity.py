@@ -1257,3 +1257,52 @@ def sq_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor, the top-k
+    most-similar corpus vectors with a DIFFERENT label — the pairs a
+    retrieval/embedding model most needs to push apart.
+
+    Same plan family as ``brute_force_topk`` (bounded anchor batch
+    broadcast into the corpus scan, JVM-side cosine, per-anchor top-k);
+    the label inequality is applied BEFORE scoring so mismatched pairs
+    never rank. For corpus-scale anchor sets, swap the broadcast for the
+    bucketed LSH candidate join exactly as in ``lsh_bucket_topk``.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("anchor_label") != F.col("neighbor_label"))
+        .withColumn("cosine_sim", cosine(F.col("__av"), F.col("__cv")))
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select(
+            "anchor_id",
+            "rk",
+            "neighbor_id",
+            "cosine_sim",
+            "anchor_label",
+            "neighbor_label",
+        )
+    )

@@ -694,3 +694,32 @@ def linear_quality_score(
         score.alias("quality_score"),
         bucket.alias("quality_bucket"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    "compressibility" quality signal (boilerplate/repetitive junk scores
+    low, natural text sits in a narrow band; cf. the entropy filters in
+    web-corpus cleaning pipelines).
+
+    H = ln(n) - (1/n) * sum_c count_c * ln(count_c), computed from the
+    (doc, char) histogram: one explode + groupBy whose shuffle carries at
+    most |alphabet| rows per document after map-side combine.
+    """
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
+    )

@@ -194,3 +194,85 @@ def test_temperature_alpha_one_keeps_everything(spark):
     out = temperature_mixing(df, alpha=1.0)
     # alpha = 1 -> natural distribution -> every rate is 1 -> no filtering
     assert out.count() == 30
+
+
+# --- fuzzy join (SymSpell 1-deletion neighborhoods) ---------------------
+
+
+def test_deletion_variants(spark):
+    from skope_api_spark.operators.fuzzy import deletion_variants
+
+    df = spark.createDataFrame([("ring",), ("",)], "t string")
+    got = [r.v for r in df.select(deletion_variants(F.col("t")).alias("v")).collect()]
+    assert got[0] == ["ring", "ing", "rng", "rig", "rin"]
+    # empty string: just itself — no runaway descending sequence(1, 0)
+    assert got[1] == [""]
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    from skope_api_spark.operators.fuzzy import fuzzy_join
+
+    probe_rows = ["rng", "bolt", "blt", "xyz", "blue", "bluee"]
+    term_rows = ["ring", "bolt", "blue", "gear"]
+    probes = spark.createDataFrame([(p,) for p in probe_rows], "probe string")
+    terms = spark.createDataFrame([(t,) for t in term_rows], "term string")
+    got = {
+        (r.probe, r.term, r.dist) for r in fuzzy_join(probes, terms).collect()
+    }
+    # brute-force reference
+    def lev(a, b):
+        d = [[i + j if not i * j else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(d[i-1][j] + 1, d[i][j-1] + 1,
+                              d[i-1][j-1] + (a[i-1] != b[j-1]))
+        return d[len(a)][len(b)]
+
+    want = {
+        (p, t, lev(p, t))
+        for p in probe_rows for t in term_rows if lev(p, t) <= 1
+    }
+    assert got == want
+    assert ("bolt", "bolt", 0) in got       # exact match included
+    assert all(p != "xyz" for p, _, _ in got)  # no spurious matches
+
+
+def test_fuzzy_join_rejects_unsupported_distance(spark):
+    from skope_api_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame([("a",)], "probe string")
+    with pytest.raises(ValueError):
+        fuzzy_join(df, df.withColumnRenamed("probe", "term"), max_distance=2)
+
+
+# --- char entropy -------------------------------------------------------
+
+
+def test_char_entropy_extremes(spark):
+    from skope_api_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abcd")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
+    assert got[0] == (4, 0.0)                      # constant string: H = 0
+    assert got[1] == (4, round(math.log(4), 6))    # uniform over 4 chars
+
+
+# --- hard negatives -----------------------------------------------------
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from skope_api_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.1], 1),   # same label as anchor: must NOT appear
+        (2, [0.9, 0.2], 2),    # different label, very close: top negative
+        (3, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_mining(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    got = [(r.rk, r.neighbor_id) for r in out]
+    assert got == [(1, 2), (2, 3)]
+    assert all(r.neighbor_label != r.anchor_label for r in out)
