@@ -845,3 +845,44 @@ def fuzzy_join_part_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fuzzy_join(probes, dict_).orderBy("probe", "term")
+
+
+@query(
+    "mv_incremental_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental refresh: the pre-cutoff history is
+    aggregated once (the stored MV), the post-cutoff delta is aggregated
+    alone, and the two merge by re-reducing — O(delta + groups), never
+    re-reading history (operators/merge.py::incremental_rollup). The
+    oracle is the full recompute the refresh must equal."""
+    from skope_api_spark.operators.merge import incremental_rollup
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-20"
+    base_agg = (
+        ev.where(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    merged = incremental_rollup(
+        base_agg,
+        ev.where(F.col("ts") >= cutoff),
+        keys=["event_type"],
+        count_col="n",
+        sum_cols=[("sum_value", "value")],
+    )
+    return merged.select(
+        "event_type", "n", F.round("sum_value", 4).alias("sum_value")
+    ).orderBy("event_type")

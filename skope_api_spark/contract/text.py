@@ -913,3 +913,27 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = ln(n) - sum(c*ln c)/n formulation rounded to 6 dp."""
     docs = load(spark, sf_dir, "documents")
     return ops.char_entropy(docs).orderBy("doc_id")
+
+
+@query(
+    "sample_cap_per_source",
+    oracle=f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY {_H.format(c="doc_id")}, doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 10
+ORDER BY doc_id
+""",
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap (crawl-style "at most 10 docs per source"): rows
+    ranked by the shared md5-uniform of their id within each source, top
+    10 kept — deterministic and unbiased in arrival order
+    (operators/sampling.py::cap_per_group)."""
+    from skope_api_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    out = cap_per_group(docs, group_col="source", id_col="doc_id", k=10)
+    return out.select("doc_id", "source").orderBy("doc_id")

@@ -109,3 +109,37 @@ def point_in_time_join(
         )
     )
     return facts.join(dim_history, cond, how)
+
+
+def incremental_rollup(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    *,
+    keys: Sequence[str],
+    count_col: str = "n",
+    sum_cols: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """Materialized-view incremental refresh for distributive aggregates
+    (COUNT / SUM — the rollups that merge without re-reading history):
+    aggregate ONLY the delta batch, union it with the existing aggregate
+    table, and re-reduce. The refresh cost is O(delta + |groups|),
+    independent of the fact-table history — the whole point of keeping a
+    rollup MV at 100 TB.
+
+    ``base_agg`` carries (keys..., count_col, *sum names); ``delta`` is
+    raw fact rows; ``sum_cols`` maps (output_sum_name, fact_value_col).
+    AVG/stddev refresh the same way from (count, sum, sum_sq) parts;
+    non-distributive aggregates (exact median, distinct) need their own
+    mergeable sketch (see operators/sketches.py).
+    """
+    d_agg = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col),
+        *[F.sum(src).alias(out) for out, src in sum_cols],
+    )
+    merged = base_agg.select(
+        *keys, count_col, *[out for out, _ in sum_cols]
+    ).unionByName(d_agg)
+    return merged.groupBy(*keys).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(out).alias(out) for out, _ in sum_cols],
+    )

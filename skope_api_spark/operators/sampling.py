@@ -337,3 +337,31 @@ def hash_split(
         cond = h < upper * _HASH_MOD
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Deterministic "at most k rows per group" — the crawl-pipeline
+    domain cap ("keep <= N pages per host"). Rows within a group are
+    ranked by the md5-uniform of their id (id tie-break), so the kept set
+    is reproducible across runs/engines and UNBIASED in arrival order —
+    capping by file order would keep whatever the scan happened to read
+    first.
+
+    One window shuffle on the group key. A pathologically hot group makes
+    a hot window partition; for those, pre-filter with the hot-key
+    detector (operators/skew.py) or raise the cap tier-wise.
+    """
+    w = W.partitionBy(group_col).orderBy(
+        _uniform_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

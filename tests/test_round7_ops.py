@@ -276,3 +276,57 @@ def test_hard_negatives_exclude_same_label(spark):
     got = [(r.rk, r.neighbor_id) for r in out]
     assert got == [(1, 2), (2, 3)]
     assert all(r.neighbor_label != r.anchor_label for r in out)
+
+
+# --- incremental rollup + per-group cap ---------------------------------
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    from skope_api_spark.operators.merge import incremental_rollup
+
+    rows = [(i, "a" if i % 2 else "b", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    base = (
+        df.where(F.col("id") < 12)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("v").alias("sv"))
+    )
+    merged = incremental_rollup(
+        base, df.where(F.col("id") >= 12),
+        keys=["k"], count_col="n", sum_cols=[("sv", "v")],
+    )
+    full = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("v").alias("sv"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_rollup_new_group_only_in_delta(spark):
+    from skope_api_spark.operators.merge import incremental_rollup
+
+    base_rows = spark.createDataFrame([("a", 2, 5.0)], "k string, n long, sv double")
+    delta = spark.createDataFrame([(99, "zz", 7.0)], "id long, k string, v double")
+    got = {
+        r.k: (r.n, r.sv)
+        for r in incremental_rollup(
+            base_rows, delta, keys=["k"], count_col="n", sum_cols=[("sv", "v")]
+        ).collect()
+    }
+    assert got == {"a": (2, 5.0), "zz": (1, 7.0)}
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from skope_api_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = sorted(r.doc_id for r in cap_per_group(df, k=5).collect())
+    out2 = sorted(r.doc_id for r in cap_per_group(df, k=5).collect())
+    assert out1 == out2                       # deterministic
+    assert len(out1) == 15                    # 3 groups x 5
+    # nesting: the k=3 sample is a subset of the k=5 sample
+    out3 = sorted(r.doc_id for r in cap_per_group(df, k=3).collect())
+    assert set(out3) <= set(out1)
