@@ -50,13 +50,23 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   w4_reference_interval_zscore     -> q21_waiting_supplier
     #   sim_embedding_near_dup_16planes  -> q9_product_type_profit (r07)
     #   asof_forward_click_to_purchase   -> q15_top_supplier (r07)
+    # r07 session-2 rotation: the round's new flagships take the slots of
+    # four skope_* window variants whose semantics stay driver-gated via
+    # their w1-w4 core twins, and of the multiprobe near-dup variant whose
+    # bucketed sibling stays gated. All ceded queries remain covered by the
+    # full check_correctness replay:
+    #   skope_trailing_ma                -> text_bm25_topk
+    #   skope_centered_ma                -> graph_pagerank_copurchase
+    #   skope_rolling_zscore             -> sim_sq8_topk
+    #   skope_fixed_zscore               -> fuzzy_join_part_terms
+    #   sim_embedding_near_dup_multiprobe -> mv_incremental_rollup
     "dedup_remove_duplicate_spans",
     "sample_pack_training_sequences",
-    "skope_trailing_ma",
-    "skope_centered_ma",
+    "text_bm25_topk",
+    "graph_pagerank_copurchase",
     "text_linear_quality_score",
-    "skope_rolling_zscore",
-    "skope_fixed_zscore",
+    "sim_sq8_topk",
+    "fuzzy_join_part_terms",
     "skope_summary_stats",
     "skope_catalog_metadata_join",
     "scd2_merge_customers",
@@ -105,7 +115,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_embedding_near_dup_bucketed",
     "q9_product_type_profit",
-    "sim_embedding_near_dup_multiprobe",
+    "mv_incremental_rollup",
     "sim_recall_report",
     # as-of joins, skew (KMV's slot went to multiprobe in r03; the HLL
     # sketch's slot goes to the recall contract in r04 — both sketches stay

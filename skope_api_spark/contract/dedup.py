@@ -366,3 +366,19 @@ def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites in the scan projection — corpus text never shuffles."""
     docs = load(spark, sf_dir, "documents")
     return ops.remove_duplicate_spans(docs, span_tokens=8).orderBy("doc_id")
+
+
+@query("dedup_jaccard_prefix_join", oracle=_JACCARD_ORACLE_BODY)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT similarity join (AllPairs/PPJoin family, see
+    operators/setjoin.py): third route to the shared all-pairs Jaccard
+    oracle — deterministic completeness by the prefix lemma, vs the
+    quadratic baseline (ngram_jaccard_pairs) and the probabilistic band
+    join (minhash_near_duplicates)."""
+    from skope_api_spark.operators.setjoin import jaccard_prefix_join
+
+    docs = load(spark, sf_dir, "documents")
+    out = jaccard_prefix_join(docs, threshold=0.7)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -352,9 +352,12 @@ def ngram_jaccard_pairs(
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
+    # try_divide: a pair of EMPTY shingle sets (docs shorter than the
+    # shingle width) has union size 0 — under ANSI mode a bare division
+    # throws DIVIDE_BY_ZERO; NULL matches DuckDB's 0/0 and fails >= t
+    jac = F.try_divide(
+        F.size(F.array_intersect("sh_a", "sh_b")),
+        F.size(F.array_union("sh_a", "sh_b")),
     ).cast("double")
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))

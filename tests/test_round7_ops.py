@@ -330,3 +330,42 @@ def test_cap_per_group_bounds_and_determinism(spark):
     # nesting: the k=3 sample is a subset of the k=5 sample
     out3 = sorted(r.doc_id for r in cap_per_group(df, k=3).collect())
     assert set(out3) <= set(out1)
+
+
+# --- prefix-filtered exact Jaccard join ---------------------------------
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    from skope_api_spark.operators.dedup import ngram_jaccard_pairs
+    from skope_api_spark.operators.setjoin import jaccard_prefix_join
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup
+        (2, base.replace("lazy", "sleepy")),         # near dup
+        (3, "completely different words in this one entirely unrelated"),
+        (4, base.replace("quick", "slow").replace("dog", "cat")),
+        (5, "short text"),                           # < shingle size after split? 2 tokens -> empty set
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in jaccard_prefix_join(docs, threshold=t).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+    # sanity: the exact dup pair is present at every threshold
+    assert (0, 1, 1.0) in got or any(a == 0 and b == 1 for a, b, _ in got)
+
+
+def test_jaccard_prefix_join_threshold_validation(spark):
+    from skope_api_spark.operators.setjoin import jaccard_prefix_join
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(docs, threshold=0.0)
