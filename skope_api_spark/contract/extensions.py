@@ -886,3 +886,83 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_type", "n", F.round("sum_value", 4).alias("sum_value")
     ).orderBy("event_type")
+
+
+@query(
+    "funnel_conversion_events",
+    oracle="""
+WITH ev AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'
+), c1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev
+  WHERE event_type = 'click' GROUP BY user_id
+), c2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+  JOIN c1 ON e.user_id = c1.user_id
+  WHERE e.event_type = 'view' AND e.ts > c1.t1 GROUP BY e.user_id
+), c3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+  JOIN c2 ON e.user_id = c2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c2.t2 GROUP BY e.user_id
+), stages AS (
+  SELECT c1.user_id,
+         CASE WHEN c3.user_id IS NOT NULL THEN 3
+              WHEN c2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS stage
+  FROM c1
+  LEFT JOIN c2 USING (user_id)
+  LEFT JOIN c3 USING (user_id)
+)
+SELECT CAST(stage AS INT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM stages GROUP BY stage ORDER BY stage
+""",
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel depth histogram over click -> view -> purchase, greedy
+    ordered matching (each step strictly after the matched previous
+    step; see operators/funnel.py). Population = users who reached step
+    1, so stages are 1..3. The window is cut to the first two days —
+    over the full month every user completes every step and the
+    histogram degenerates to one row."""
+    from skope_api_spark.operators.funnel import funnel_stages
+
+    ev = load(spark, sf_dir, "events").where(F.col("ts") < "2024-01-03")
+    st = funnel_stages(ev, ["click", "view", "purchase"])
+    return (
+        st.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+@query(
+    "cohort_retention_events",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.p) / 7 AS INT) AS period_n,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY f.cohort, period_n
+ORDER BY f.cohort, period_n
+""",
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-active ISO week,
+    counted in every later week they return (operators/funnel.py::
+    cohort_retention — two aggregations + one user-key join). Week
+    distances are exact multiples of 7 days (both endpoints truncated),
+    so the integer division is tie-free cross-engine."""
+    from skope_api_spark.operators.funnel import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    out = cohort_retention(ev)
+    # Spark date_trunc returns TIMESTAMP, DuckDB's returns DATE — align
+    return out.select(
+        F.col("cohort").cast("date").alias("cohort"), "period_n", "n_users"
+    ).orderBy("cohort", "period_n")

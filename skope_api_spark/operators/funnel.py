@@ -1,0 +1,106 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+The two workhorse product-analytics queries over an event stream — both
+pure DataFrame aggregation shapes that survive arbitrary scale:
+
+- **funnel**: how far does each user get through an ordered step list
+  (click -> view -> purchase), where later steps must happen strictly
+  AFTER the matched earlier step? Greedy matching (earliest qualifying
+  timestamp per step) is optimal for subsequence existence, so the plan
+  is one conditional aggregation per step plus a co-partitioned join
+  back on the user key — k steps = k passes over the (user, step)
+  aggregate, never over raw history more than once per step.
+
+- **cohort retention**: bucket users by first-activity period (their
+  cohort), then count who returns n periods later. Two aggregations and
+  one join, all on the user key.
+
+Both results are deterministic (min timestamps, counts) — no window
+ordering ties to manage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel depth: (user_id, stage, ts_step1..ts_stepK).
+
+    ``stage`` = number of steps completed in order (0..K); step i+1
+    matches the EARLIEST event of its type strictly after the matched
+    step-i timestamp (greedy — optimal for existence).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    # stage 1: earliest occurrence of the first step per user
+    cur = events.where(F.col(type_col) == steps[0]).groupBy(
+        F.col(user_col).alias("user_id")
+    ).agg(F.min(ts_col).alias("ts_1"))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(F.col(user_col).alias("user_id"), F.col(ts_col))
+            .join(cur.select("user_id", f"ts_{i - 1}"), "user_id")
+            .where(F.col(ts_col) > F.col(f"ts_{i - 1}"))
+            .groupBy("user_id")
+            .agg(F.min(ts_col).alias(f"ts_{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    stage = None
+    for i in range(len(steps), 0, -1):
+        cond = F.col(f"ts_{i}").isNotNull()
+        stage = (
+            F.when(cond, F.lit(i)) if stage is None else stage.when(cond, i)
+        )
+    stage = stage.otherwise(F.lit(0))
+    return cur.select(
+        "user_id",
+        stage.cast("int").alias("stage"),
+        *[f"ts_{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention counts: (cohort, period_n, n_users).
+
+    ``cohort`` = the user's first active period (date_trunc); a user
+    counts in (cohort, n) if they have ANY event n periods after their
+    cohort period. period_n = 0 is the cohort size.
+    """
+    firsts = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc(period, F.col(ts_col)).alias("p"),
+        )
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    # period distance in whole periods; weeks are fixed-width so integer
+    # day arithmetic is exact (months would need months_between)
+    days = {"week": 7, "day": 1}[period]
+    n = (F.datediff(F.col("p"), F.col("cohort")) / days).cast("int")
+    return (
+        active.select("cohort", n.alias("period_n"), "user_id")
+        .groupBy("cohort", "period_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -369,3 +369,85 @@ def test_jaccard_prefix_join_threshold_validation(spark):
     docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError):
         jaccard_prefix_join(docs, threshold=0.0)
+
+
+# --- funnel + cohort ----------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    from skope_api_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # u1 completes in order
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 12:00:00"),
+        # u2: purchase BEFORE view -> stops at stage 2
+        (2, "click", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 10:30:00"),
+        (2, "view", "2024-01-01 11:00:00"),
+        # u3: only a view, never clicked -> not in population
+        (3, "view", "2024-01-01 10:00:00"),
+        # u4: click+view at the SAME ts -> strict > rejects, stage 1
+        (4, "click", "2024-01-01 10:00:00"),
+        (4, "view", "2024-01-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.user_id: r.stage for r in funnel_stages(ev, ["click", "view", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 4: 1}
+
+
+def test_funnel_greedy_uses_earliest_match(spark):
+    from skope_api_spark.operators.funnel import funnel_stages
+
+    # greedy earliest-click at 10:00 lets the 10:30 view match even though
+    # a later click (11:00) would not
+    rows = [
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "view", "2024-01-01 10:30:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = funnel_stages(ev, ["click", "view"]).collect()[0]
+    assert got.stage == 2
+
+
+def test_funnel_empty_steps_raise(spark):
+    from skope_api_spark.operators.funnel import funnel_stages
+
+    ev = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    with pytest.raises(ValueError):
+        funnel_stages(ev, [])
+
+
+def test_cohort_retention_counts(spark):
+    from skope_api_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # u1 first active week of Jan 1 (Mon), returns 2 weeks later
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-16 10:00:00"),
+        # u2 same cohort, week 0 only (two events, one distinct period)
+        (2, "2024-01-03 10:00:00"),
+        (2, "2024-01-04 10:00:00"),
+        # u3 later cohort (week of Jan 8), returns next week
+        (3, "2024-01-10 10:00:00"),
+        (3, "2024-01-17 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r.cohort.date().isoformat() if hasattr(r.cohort, "date") else str(r.cohort), r.period_n): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
