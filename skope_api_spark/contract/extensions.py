@@ -966,3 +966,60 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("cohort").cast("date").alias("cohort"), "period_n", "n_users"
     ).orderBy("cohort", "period_n")
+
+
+@query(
+    "graph_triangle_top_nodes",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src,
+           LEAD(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL AND src <> dst
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+), nodes AS (
+  SELECT u AS node FROM und UNION SELECT v AS node FROM und
+)
+SELECT n.node AS part_node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_triangles
+FROM nodes n
+LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners GROUP BY node) c
+  USING (node)
+ORDER BY n_triangles DESC, part_node
+LIMIT 10
+""",
+)
+def graph_triangle_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by triangle participation in the co-purchase graph
+    (degree-ordered compact-forward counting, operators/graph.py::
+    triangle_counts — wedge join bounded by m^1.5 regardless of hub
+    degree). The oracle enumerates each id-ordered triangle (a<b<c) once
+    from the canonical undirected edge list; counts are exact integers,
+    so no rounding contracts are needed."""
+    from skope_api_spark.operators.graph import (
+        transition_edges,
+        triangle_counts,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = transition_edges(
+        li,
+        group_col="l_orderkey",
+        order_col="l_linenumber",
+        node_col="l_partkey",
+    )
+    out = triangle_counts(edges)
+    return (
+        out.select(F.col("node").alias("part_node"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "part_node")
+        .limit(10)
+    )

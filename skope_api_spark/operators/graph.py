@@ -110,3 +110,79 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list: (u, v) with u < v, distinct,
+    self-loops dropped — the normalization triangle counting needs."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the "compact-forward" algorithm — Latapy 2008; MR adaptation in
+    Suri & Vassilvitskii 2011, both public).
+
+    Orienting every undirected edge from the lower-(degree, id) endpoint
+    to the higher one makes the oriented out-degree O(sqrt(m)) even for
+    hubs, so the wedge join (the quadratic step) is bounded by
+    sum(outdeg^2) <= m^(3/2) instead of the hub-degree^2 a naive
+    adjacency join pays. Wedges (a->b, a->c) are then confirmed against
+    the oriented edge set with one more equi-join; each triangle is
+    found exactly once and credited to all three corners via an explode.
+
+    Returns (node, n_triangles) for every node of the graph (0 for
+    triangle-free nodes).
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("__deg").alias("__du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("__deg").alias("__dv")
+    )
+    ranked = und.join(du, "u").join(dv, "v")
+    # orient low-(deg, id) -> high-(deg, id)
+    fwd = ranked.select(
+        F.when(
+            (F.col("__du") < F.col("__dv"))
+            | ((F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select("e.a", "e.b")
+    w1 = fwd.select(F.col("a"), F.col("b").alias("x"))
+    w2 = fwd.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (
+        w1.join(w2, "a")
+        .where(F.col("x") < F.col("y"))
+        .select("a", "x", "y")
+    )
+    closing = fwd.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).distinct()
+    tris = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    corner = tris.select(
+        F.explode(F.array("a", "x", "y")).alias("node")
+    )
+    counts = corner.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    nodes = deg.select("node")
+    return nodes.join(counts, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

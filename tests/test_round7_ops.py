@@ -451,3 +451,39 @@ def test_cohort_retention_counts(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+# --- triangle counting --------------------------------------------------
+
+
+def test_triangle_counts_known_graph(spark):
+    from skope_api_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d}: every node is in C(3,2) = 3 triangles; pendant e: 0
+    edges = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    edges.append(("d", "e"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    from skope_api_spark.operators.graph import triangle_counts
+
+    # same triangle given with mixed/duplicate orientations counts once
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_free_graph(spark):
+    from skope_api_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert set(got.values()) == {0}
