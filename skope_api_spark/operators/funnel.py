@@ -97,7 +97,13 @@ def cohort_retention(
     )
     # period distance in whole periods; weeks are fixed-width so integer
     # day arithmetic is exact (months would need months_between)
-    days = {"week": 7, "day": 1}[period]
+    widths = {"week": 7, "day": 1}
+    if period not in widths:
+        raise ValueError(
+            f"period must be one of {sorted(widths)} (fixed-width day "
+            f"arithmetic); got {period!r}"
+        )
+    days = widths[period]
     n = (F.datediff(F.col("p"), F.col("cohort")) / days).cast("int")
     return (
         active.select("cohort", n.alias("period_n"), "user_id")

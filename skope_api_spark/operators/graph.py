@@ -172,9 +172,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .where(F.col("x") < F.col("y"))
         .select("a", "x", "y")
     )
-    closing = fwd.select(
-        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
-    ).distinct()
+    # the closing-edge set IS the canonical undirected list (already
+    # id-ordered and distinct) — reorienting fwd back would pay a wasted
+    # corpus-sized exchange + dedup
+    closing = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
     corner = tris.select(
         F.explode(F.array("a", "x", "y")).alias("node")
