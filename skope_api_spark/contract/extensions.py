@@ -1023,3 +1023,77 @@ def graph_triangle_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part_node")
         .limit(10)
     )
+
+
+# Shared convex CCW polygon fixture for the spatial join: one Python
+# constant renders BOTH the Spark rows and the DuckDB literals, so the
+# two engines see bit-identical vertex doubles.
+_SPATIAL_POLYS: list[tuple[int, list[tuple[float, float]]]] = [
+    (1, [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)]),
+    (2, [(10.0, 1.0), (14.0, 1.0), (12.0, 4.0)]),
+    (3, [(9.0, 10.0), (7.5, 12.598), (4.5, 12.598), (3.0, 10.0),
+         (4.5, 7.402), (7.5, 7.402)]),
+    (4, [(8.0, 8.0), (19.0, 8.0), (19.0, 14.0), (8.0, 14.0)]),
+    (5, [(4.0, 10.0), (6.0, 12.0), (4.0, 14.0), (2.0, 12.0)]),
+]
+
+
+def _polys_sql() -> str:
+    rows = []
+    for pid, verts in _SPATIAL_POLYS:
+        vs = ", ".join(f"{{'x': {x!r}, 'y': {y!r}}}" for x, y in verts)
+        rows.append(f"({pid}, [{vs}])")
+    return ",\n         ".join(rows)
+
+
+_SPATIAL_ORACLE = f"""
+WITH polys(poly_id, verts) AS (
+  VALUES {_polys_sql()}
+), pts AS (
+  SELECT event_id AS point_id,
+         (event_id % 200) / 10.0 AS px,
+         (user_id % 150) / 10.0 AS py
+  FROM events
+), hits AS (
+  SELECT p.point_id, g.poly_id
+  FROM pts p CROSS JOIN polys g
+  WHERE len(list_filter(range(1, len(g.verts) + 1), i ->
+      ( (g.verts[CASE WHEN i = len(g.verts) THEN 1 ELSE i + 1 END].x
+          - g.verts[i].x) * (p.py - g.verts[i].y)
+      - (g.verts[CASE WHEN i = len(g.verts) THEN 1 ELSE i + 1 END].y
+          - g.verts[i].y) * (p.px - g.verts[i].x) ) < 0)) = 0
+)
+SELECT CAST(poly_id AS INT) AS poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM hits GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+@query("spatial_join_points_polygons", oracle=_SPATIAL_ORACLE)
+def spatial_join_points_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join (operators/spatial.py): events mapped
+    to deterministic 2-D points, joined against five convex CCW polygons
+    (two overlapping) through the cell equi-join + half-plane verify.
+    The oracle brute-forces the same convex containment over the cross
+    product — the grid path must lose nothing."""
+    from skope_api_spark.operators.spatial import spatial_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("event_id") % 200) / F.lit(10.0)).alias("x"),
+        ((F.col("user_id") % 150) / F.lit(10.0)).alias("y"),
+    )
+    polys = spark.createDataFrame(
+        [
+            (pid, [{"x": x, "y": y} for x, y in verts])
+            for pid, verts in _SPATIAL_POLYS
+        ],
+        "poly_id int, verts array<struct<x double, y double>>",
+    )
+    out = spatial_join(pts, polys, cell_size=4.0)
+    return (
+        out.groupBy("poly_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .orderBy("poly_id")
+    )

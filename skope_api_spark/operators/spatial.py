@@ -1,0 +1,115 @@
+"""Distributed spatial join: points x polygons via grid bucketing.
+
+The reference evaluates ONE query polygon against a raster
+(`geometry.py` builds its mask on the driver); at engine scale the
+spatial question inverts: millions of points against thousands of
+polygons. The R-tree-less distributed plan every big engine uses:
+
+1. pick a grid cell size (~polygon diameter);
+2. each polygon registers in every cell its bbox overlaps (explode —
+   a few cells per polygon, the index build);
+3. each point lands in exactly ONE cell (pure projection);
+4. equi-join on the cell key — candidates are only (point, polygon)
+   pairs whose cell matches, never the cross product;
+5. exact point-in-polygon verify on candidates, JVM-side.
+
+Because a point has one cell and polygon cell sets are duplicate-free,
+no post-join dedup is needed.
+
+The verify predicate is the CONVEX half-plane test: for a
+counter-clockwise convex polygon, a point is inside iff every edge's
+cross product (v2-v1) x (p-v1) is >= 0 (boundary inclusive) — a
+``forall`` fold over the vertex array, whole-stage-codegen friendly and
+expressible identically in the DuckDB oracle. General (non-convex)
+polygons need the ray-casting fold instead — same plan shape, different
+predicate; the convex contract is documented, not a hidden limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(coord: Column, cell_size: float) -> Column:
+    return F.floor(coord / cell_size).cast("long")
+
+
+def polygon_cells(
+    polygons: DataFrame, *, cell_size: float, verts_col: str = "verts"
+) -> DataFrame:
+    """(cell_x, cell_y, poly_id): every grid cell a polygon's bbox
+    overlaps. The build side of the spatial index."""
+    xs = F.transform(F.col(verts_col), lambda v: v["x"])
+    ys = F.transform(F.col(verts_col), lambda v: v["y"])
+    out = (
+        polygons.withColumn(
+            "__cx",
+            F.sequence(
+                _cell(F.array_min(xs), cell_size),
+                _cell(F.array_max(xs), cell_size),
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.sequence(
+                _cell(F.array_min(ys), cell_size),
+                _cell(F.array_max(ys), cell_size),
+            ),
+        )
+        .withColumn("cell_x", F.explode("__cx"))
+        .withColumn("cell_y", F.explode("__cy"))
+    )
+    return out.drop("__cx", "__cy")
+
+
+def convex_contains(
+    verts_col: Column, px: Column, py: Column
+) -> Column:
+    """True iff (px, py) is inside/on the CCW convex polygon: every
+    edge's cross product (v2-v1) x (p-v1) >= 0."""
+    n = F.size(verts_col)
+    closed = F.concat(verts_col, F.slice(verts_col, 1, 1))
+    edges = F.arrays_zip(
+        F.slice(closed, 1, n).alias("v1"),
+        F.slice(closed, 2, n).alias("v2"),
+    )
+    return F.forall(
+        edges,
+        lambda e: (
+            (e["v2"]["x"] - e["v1"]["x"]) * (py - e["v1"]["y"])
+            - (e["v2"]["y"] - e["v1"]["y"]) * (px - e["v1"]["x"])
+        )
+        >= 0.0,
+    )
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    cell_size: float,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    verts_col: str = "verts",
+) -> DataFrame:
+    """All (point_id, poly_id) pairs with the point inside/on the convex
+    polygon. One equi-join on the grid cell; exact verify on candidates.
+    """
+    cells = polygon_cells(
+        polygons, cell_size=cell_size, verts_col=verts_col
+    ).select(poly_id, verts_col, "cell_x", "cell_y")
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(x_col).alias("__px"),
+        F.col(y_col).alias("__py"),
+        _cell(F.col(x_col), cell_size).alias("cell_x"),
+        _cell(F.col(y_col), cell_size).alias("cell_y"),
+    )
+    cand = pts.join(cells, ["cell_x", "cell_y"])
+    hit = cand.where(
+        convex_contains(F.col(verts_col), F.col("__px"), F.col("__py"))
+    )
+    return hit.select("point_id", poly_id)

@@ -487,3 +487,60 @@ def test_triangle_free_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert set(got.values()) == {0}
+
+
+# --- grid spatial join --------------------------------------------------
+
+
+def _polys_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, [{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0},
+                 {"x": 4.0, "y": 4.0}, {"x": 0.0, "y": 4.0}]),
+            # overlaps poly 1
+            (2, [{"x": 2.0, "y": 2.0}, {"x": 6.0, "y": 2.0},
+                 {"x": 6.0, "y": 6.0}, {"x": 2.0, "y": 6.0}]),
+        ],
+        "poly_id int, verts array<struct<x double, y double>>",
+    )
+
+
+def test_spatial_join_membership_and_overlap(spark):
+    from skope_api_spark.operators.spatial import spatial_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 1.0, 1.0),    # poly 1 only
+            (2, 3.0, 3.0),    # both polys (overlap region)
+            (3, 5.0, 5.0),    # poly 2 only
+            (4, 9.0, 9.0),    # outside everything
+            (5, 4.0, 4.0),    # on poly 1's corner AND inside poly 2
+            (6, 0.0, 0.0),    # on poly 1's corner (boundary inclusive)
+        ],
+        "point_id long, x double, y double",
+    )
+    got = {
+        (r.point_id, r.poly_id)
+        for r in spatial_join(pts, _polys_df(spark), cell_size=2.0).collect()
+    }
+    assert got == {(1, 1), (2, 1), (2, 2), (3, 2), (5, 1), (5, 2), (6, 1)}
+
+
+def test_spatial_join_cell_size_invariant(spark):
+    from skope_api_spark.operators.spatial import spatial_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 5)) for i in range(50)],
+        "point_id long, x double, y double",
+    )
+    polys = _polys_df(spark)
+    results = [
+        {
+            (r.point_id, r.poly_id)
+            for r in spatial_join(pts, polys, cell_size=cs).collect()
+        }
+        for cs in (0.5, 2.0, 10.0)
+    ]
+    # the grid is an index, not a semantic: any cell size gives the same pairs
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
