@@ -96,9 +96,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # replay, and sessionization itself stays gated via sessionize_events
     "text_line_filter_c4",
     "sessionize_events",
-    # text / multimodal battery
+    # text / multimodal battery (r07 session 2: text_token_counts cedes
+    # its slot to the grid spatial join — the geo-domain scale flagship;
+    # token counting stays regression-covered by the full replay)
     "text_quality_stats",
-    "text_token_counts",
+    "spatial_join_points_polygons",
     "text_langid_token_profile",
     "text_tfidf_top_terms",
     "join_bloom_pruned_revenue",
