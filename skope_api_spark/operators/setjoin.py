@@ -64,6 +64,29 @@ def _freq_sorted_shingles(
     )
 
 
+def _hash_sorted_shingles(
+    docs: DataFrame, *, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc_id, sh) with distinct shingles sorted by (md5(shingle),
+    shingle) — a shared pseudo-random global order computed ENTIRELY in
+    the scan projection: no explode, no frequency join, no regroup
+    shuffle. Candidate prefixes are then random rather than rare, which
+    is equivalent on flat shingle distributions but loses the
+    rare-first selectivity on Zipfian corpora (see jaccard_prefix_join's
+    ``order`` knob and the PERF.md measurement)."""
+    sh = with_token_shingles(docs, text_col, shingle_n, "shingles")
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.struct(F.md5(s).alias("h"), s.alias("s")),
+            )
+        ),
+        lambda e: e["s"],
+    )
+    return sh.select(F.col(id_col).alias("doc_id"), ordered.alias("sh"))
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     *,
@@ -71,17 +94,35 @@ def jaccard_prefix_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    order: str = "frequency",
 ) -> DataFrame:
     """All (doc_a, doc_b) pairs (a < b) with shingle-set Jaccard >=
-    ``threshold``. Exact — complete by the prefix lemma, verified by an
-    exact Jaccard on candidates only.
+    ``threshold``. Exact — complete by the prefix lemma (which only
+    needs SOME shared global order), verified by an exact Jaccard on
+    candidates only.
+
+    ``order``: "frequency" (rare-first, maximally selective prefixes —
+    the right default for Zipfian real corpora, costs one frequency
+    aggregation + regroup) or "hash" (md5 pseudo-random order computed
+    in the scan projection — zero extra shuffles, equivalent candidate
+    volume on flat shingle distributions).
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {t}")
-    sorted_docs = _freq_sorted_shingles(
-        docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    if order not in ("frequency", "hash"):
+        raise ValueError(f"order must be 'frequency' or 'hash', got {order!r}")
+    builder = (
+        _freq_sorted_shingles if order == "frequency" else _hash_sorted_shingles
     )
+    # the sorted index is referenced three times (prefix explode + both
+    # verify sides); without truncation Catalyst re-runs the whole build
+    # for every reference (0 ReusedExchange, measured ~12% slower at
+    # sf0.1) — lazy localCheckpoint materializes it once, same pattern
+    # as dedup.duplicate_clusters
+    sorted_docs = builder(
+        docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).localCheckpoint(eager=False)
     n = F.size("sh")
     prefix_len = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
     pre = sorted_docs.withColumn(

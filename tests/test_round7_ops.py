@@ -544,3 +544,22 @@ def test_spatial_join_cell_size_invariant(spark):
     # the grid is an index, not a semantic: any cell size gives the same pairs
     assert results[0] == results[1] == results[2]
     assert len(results[0]) > 0
+
+
+def test_jaccard_prefix_join_order_knob_equivalent(spark):
+    from skope_api_spark.operators.setjoin import jaccard_prefix_join
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base.replace("lazy", "sleepy")),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    freq = {(r.doc_a, r.doc_b) for r in jaccard_prefix_join(docs, threshold=0.6).collect()}
+    hsh = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_join(docs, threshold=0.6, order="hash").collect()
+    }
+    assert freq == hsh and freq
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(docs, order="lexicographic")
