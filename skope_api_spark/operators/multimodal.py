@@ -167,16 +167,17 @@ def hash_pseudo_encoder(dim: int = FEATURE_DIM):
 
 
 def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
-    """Default kernel: REAL pixel features for PNG and baseline-JPEG blobs
-    (pure-stdlib decodes in ``operators.png`` / ``operators.jpeg`` —
-    quadrant channel means from actual pixels), hash pseudo-embedding for
-    everything else. Unsupported variants (palette/16-bit/interlaced PNG;
-    progressive/arithmetic/CMYK JPEG) AND corrupt/truncated blobs fall
-    back rather than fail the batch — at corpus scale a malformed file is
-    data, not an error."""
+    """Default kernel: REAL pixel features for PNG, baseline-JPEG and GIF
+    blobs (pure-stdlib decodes in ``operators.png`` / ``operators.jpeg``
+    / ``operators.gif`` — quadrant channel means from actual pixels),
+    hash pseudo-embedding for everything else. Unsupported variants
+    (palette/16-bit/interlaced PNG; progressive/arithmetic/CMYK JPEG)
+    AND corrupt/truncated blobs fall back rather than fail the batch —
+    at corpus scale a malformed file is data, not an error."""
     import struct
     import zlib
 
+    from skope_api_spark.operators.gif import GIF_SIGNATURES, gif_pixel_features
     from skope_api_spark.operators.jpeg import JPEG_SOI, jpeg_pixel_features
     from skope_api_spark.operators.png import PNG_SIGNATURE, png_pixel_features
 
@@ -200,6 +201,11 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
         if b[:2] == JPEG_SOI:
             try:
                 return jpeg_pixel_features(b, dim=dim)
+            except decode_errors:
+                return fallback(b)
+        if b[:6] in GIF_SIGNATURES:
+            try:
+                return gif_pixel_features(b, dim=dim)
             except decode_errors:
                 return fallback(b)
         return fallback(b)
