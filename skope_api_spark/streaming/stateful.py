@@ -238,3 +238,86 @@ def running_totals_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
     )
+
+
+# --- streaming funnel ----------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("ts_reached", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("last_ts", DoubleType()),  # epoch seconds of last match
+    ]
+)
+
+FUNNEL_STEPS = ("click", "view", "purchase")
+
+
+def _advance_funnel(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Greedy ordered funnel per user: step i+1 matches the first event of
+    its type strictly after the matched step-i timestamp. Row-sequential
+    inside the key in (ts, event_id) order, so — for in-event-time-order
+    arrival (the watermark contract) — results are identical however the
+    stream is chopped into micro-batches. Emits one row per stage
+    ADVANCE (not per event), carrying the reaching timestamp."""
+    (user_id,) = key
+    stage, last_ts = state.get if state.exists else (0, float("-inf"))
+    out_rows: list[dict] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            if stage >= len(FUNNEL_STEPS):
+                break
+            ts = row["ts"]
+            epoch = ts.timestamp()
+            if row["event_type"] == FUNNEL_STEPS[stage] and epoch > last_ts:
+                stage += 1
+                last_ts = epoch
+                out_rows.append(
+                    {"user_id": user_id, "stage": stage, "ts_reached": ts}
+                )
+    state.update((stage, last_ts))
+    yield pd.DataFrame(out_rows, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA])
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming funnel over (user_id, event_type, ts, event_id)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _advance_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def funnel_batch_stages(events: DataFrame) -> DataFrame:
+    """Batch equivalent: operators.funnel.funnel_stages reshaped to the
+    same (user_id, stage, ts_reached) advance-event form."""
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.funnel import funnel_stages
+
+    st = funnel_stages(events, list(FUNNEL_STEPS))
+    parts = [
+        st.where(F.col(f"ts_{i}").isNotNull()).select(
+            "user_id",
+            F.lit(i).cast("long").alias("stage"),
+            F.col(f"ts_{i}").alias("ts_reached"),
+        )
+        for i in range(1, len(FUNNEL_STEPS) + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -113,3 +113,51 @@ class TestTransformWithState:
                 for r in spark.sql("SELECT * FROM twst_totals").collect()
             }
         assert got == expected and len(got) > 0
+
+
+class TestStreamingFunnel:
+    def test_stream_equals_batch_equivalent(self, spark, events_dir):
+        batch_events = load(spark, SF_DIR, "events")
+        expected = {
+            (r.user_id, r.stage): r.ts_reached
+            for r in sf.funnel_batch_stages(batch_events).collect()
+        }
+
+        stream = stream_events(spark, events_dir, with_watermark=None)
+        out = sf.funnel_stream(stream)
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                out.writeStream.format("memory")
+                .queryName("funnel_test")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                (r.user_id, r.stage): r.ts_reached
+                for r in spark.sql("SELECT * FROM funnel_test").collect()
+            }
+        assert len(got) == len(expected) > 0
+        assert got == expected
+
+    def test_state_carries_across_batches(self, spark):
+        # strict-after semantics inside one micro-batch: view at the same
+        # ts as the matched click must NOT advance
+        rows = [
+            (1, 1, "2024-01-01 10:00:00", "click"),
+            (1, 2, "2024-01-01 10:00:00", "view"),
+            (1, 3, "2024-01-01 11:00:00", "view"),
+            (2, 4, "2024-01-01 10:00:00", "view"),   # view before any click
+            (2, 5, "2024-01-01 11:00:00", "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_s string, event_type string"
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type"
+        )
+        got = {
+            (r.user_id, r.stage) for r in sf.funnel_batch_stages(df).collect()
+        }
+        assert got == {(1, 1), (1, 2), (2, 1)}
