@@ -183,10 +183,12 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("LZW raster shorter than frame")
         if ipacked & 0x40:
             idx = _deinterlace(idx, w, h)
+        # 256-entry LUT hoists the bounds branch out of the per-pixel loop
         np = len(palette)
-        rgb = b"".join(
-            palette[i] if i < np else b"\x00\x00\x00" for i in idx
-        )
+        lut = [
+            palette[i] if i < np else b"\x00\x00\x00" for i in range(256)
+        ]
+        rgb = b"".join(map(lut.__getitem__, idx))
         return w, h, 3, rgb
 
 

@@ -270,27 +270,42 @@ def _advance_funnel(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
     (user_id,) = key
     stage, last_ts = state.get if state.exists else (0, float("-inf"))
     out_rows: list[dict] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for _, row in pdf.iterrows():
-            if stage >= len(FUNNEL_STEPS):
-                break
-            ts = row["ts"]
-            epoch = ts.timestamp()
-            if row["event_type"] == FUNNEL_STEPS[stage] and epoch > last_ts:
-                stage += 1
-                last_ts = epoch
-                out_rows.append(
-                    {"user_id": user_id, "stage": stage, "ts_reached": ts}
-                )
+    # a key's events can span MULTIPLE Arrow chunks within one micro-batch
+    # (maxRecordsPerBatch) with no cross-chunk ordering — sorting each
+    # chunk independently would process events out of global event-time
+    # order and silently miss stage advances; concat THEN sort
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((stage, last_ts))
+        yield pd.DataFrame(
+            [], columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA]
+        )
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for row in pdf.itertuples(index=False):
+        if stage >= len(FUNNEL_STEPS):
+            break
+        ts = row.ts
+        epoch = ts.timestamp()
+        if row.event_type == FUNNEL_STEPS[stage] and epoch > last_ts:
+            stage += 1
+            last_ts = epoch
+            out_rows.append(
+                {"user_id": user_id, "stage": stage, "ts_reached": ts}
+            )
     state.update((stage, last_ts))
     yield pd.DataFrame(out_rows, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA])
 
 
 def funnel_stream(events: DataFrame) -> DataFrame:
-    """Streaming funnel over (user_id, event_type, ts, event_id)."""
+    """Streaming funnel over (user_id, event_type, ts, event_id).
+
+    Projects to the four consumed columns BEFORE the group shuffle so a
+    wide event schema is neither shuffled nor Arrow-serialized."""
     return (
-        events.groupBy("user_id")
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
         .applyInPandasWithState(
             _advance_funnel,
             outputStructType=FUNNEL_OUTPUT_SCHEMA,

@@ -142,9 +142,9 @@ class TestStreamingFunnel:
         assert len(got) == len(expected) > 0
         assert got == expected
 
-    def test_state_carries_across_batches(self, spark):
-        # strict-after semantics inside one micro-batch: view at the same
-        # ts as the matched click must NOT advance
+    def test_strict_after_semantics_batch_twin(self, spark):
+        # strict-after semantics: view at the same ts as the matched click
+        # must NOT advance; a view before any click is not stage 1
         rows = [
             (1, 1, "2024-01-01 10:00:00", "click"),
             (1, 2, "2024-01-01 10:00:00", "view"),
@@ -161,3 +161,65 @@ class TestStreamingFunnel:
             (r.user_id, r.stage) for r in sf.funnel_batch_stages(df).collect()
         }
         assert got == {(1, 1), (1, 2), (2, 1)}
+
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        # two availableNow runs over a growing landing dir with a SHARED
+        # checkpoint: the second run restores (stage, last_ts) from the
+        # state store, so the equal-ts view is still rejected and the
+        # later view advances — a FUNNEL_STATE_SCHEMA round-trip proof
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def write_batch(name, rows):
+            # one parquet FILE per micro-batch (the file stream source
+            # tracks files; a nested write.parquet dir would not be read
+            # by the schema probe)
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            df = pd.DataFrame(
+                rows, columns=["user_id", "event_id", "ts_s", "event_type"]
+            )
+            df["ts"] = pd.to_datetime(df.pop("ts_s"))
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                str(landing / name),
+            )
+
+        out_dir = str(tmp_path / "out")
+
+        def run(qname):
+            # parquet sink: the memory sink refuses checkpoint RECOVERY,
+            # which is exactly what this test exercises
+            stream = stream_events(spark, str(landing), with_watermark=None)
+            q = (
+                sf.funnel_stream(stream)
+                .writeStream.format("parquet")
+                .queryName(qname)
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                (r.user_id, r.stage)
+                for r in spark.read.parquet(out_dir).collect()
+            }
+
+        write_batch("b1.parquet", [(7, 1, "2024-01-01 10:00:00", "click")])
+        assert run("funnel_mb1") == {(7, 1)}
+        write_batch(
+            "b2.parquet",
+            [
+                (7, 2, "2024-01-01 10:00:00", "view"),  # equal ts: rejected
+                (7, 3, "2024-01-01 10:30:00", "view"),  # advances to 2
+            ],
+        )
+        # the parquet sink accumulates: batch-1's stage-1 row plus ONLY
+        # the new stage-2 advance (the equal-ts view was rejected against
+        # the RESTORED last_ts; no duplicate stage-1 emission)
+        assert run("funnel_mb2") == {(7, 1), (7, 2)}
