@@ -405,3 +405,54 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_orders"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "quantile_approx_accuracy",
+    oracle="""
+WITH t(q) AS (VALUES (0.25), (0.5), (0.75), (0.9))
+SELECT CAST(q AS DOUBLE) AS q,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+       TRUE AS within_bound
+FROM t ORDER BY q
+""",
+)
+def quantile_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy CONTRACT for the approximate-percentile sketch (same
+    pattern as sim_recall_report): percentile_approx's Greenwald-Khanna
+    guarantee is rank error <= n/accuracy, so for each target q the
+    REALIZED rank of the returned value — measured against the actual
+    data with one conditional aggregation — must satisfy
+    rank_le/n >= q - eps - slack and rank_lt/n <= q + eps + slack
+    (slack 2/n absorbs discrete-rank rounding). The oracle pins the
+    REQUIRED verdict (TRUE per q); the Spark side must earn it from the
+    sketch, whatever partitioning the merge took."""
+    probs = [0.25, 0.5, 0.75, 0.9]
+    acc = 10000
+    orders = load(spark, sf_dir, "orders")
+    ap = orders.agg(
+        F.percentile_approx("o_totalprice", probs, acc).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    ex = ap.select(F.posexplode("vals").alias("i", "v"), "n").select(
+        F.element_at(probs_arr, F.col("i") + 1).alias("q"), "v", "n"
+    )
+    joined = orders.crossJoin(F.broadcast(ex))
+    ranks = joined.groupBy("q", "v", "n").agg(
+        F.sum((F.col("o_totalprice") <= F.col("v")).cast("long")).alias(
+            "rank_le"
+        ),
+        F.sum((F.col("o_totalprice") < F.col("v")).cast("long")).alias(
+            "rank_lt"
+        ),
+    )
+    eps = 1.0 / acc
+    slack = 2.0 / F.col("n")
+    within = (
+        (F.col("rank_le") / F.col("n") >= F.col("q") - eps - slack)
+        & (F.col("rank_lt") / F.col("n") <= F.col("q") + eps + slack)
+    )
+    return ranks.select(
+        "q", F.col("n").cast("long").alias("n"), within.alias("within_bound")
+    ).orderBy("q")
