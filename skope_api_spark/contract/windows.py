@@ -532,3 +532,59 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id", "click_id")
     )
+
+
+@query(
+    "ts_seasonal_decompose_orders",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon0,
+         CAST(month(o_orderdate) AS INT) AS season,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT mon0, season, v,
+         CASE WHEN COUNT(*) OVER w = 13 THEN AVG(v) OVER w END AS trend
+  FROM m WINDOW w AS (ORDER BY mon0 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+), s AS (
+  SELECT season, AVG(v) AS smean FROM m GROUP BY season
+), g AS (SELECT AVG(smean) AS grand FROM s)
+SELECT CAST(t.mon0 AS DATE) AS mon, t.season,
+       ROUND(t.v, 2) AS v,
+       ROUND(t.trend, 4) AS trend,
+       ROUND(s.smean - g.grand, 4) AS seasonal,
+       ROUND(t.v - t.trend - (s.smean - g.grand), 4) AS residual
+FROM t JOIN s USING (season) CROSS JOIN g
+ORDER BY mon
+""",
+)
+def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the monthly revenue series
+    (operators/windows.py::seasonal_decompose): 13-point valid-window
+    trend, zero-centered per-month seasonal means, residual. Revenue
+    follows the registry money-sum rule (exact DECIMAL(18,2)
+    accumulation, double only at the edge)."""
+    from skope_api_spark.operators.windows import seasonal_decompose
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon0"),
+        F.month("o_orderdate").cast("int").alias("season"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    out = seasonal_decompose(
+        monthly, "v", order_by=["mon0"], season_col="season", period=12
+    )
+    return out.select(
+        F.col("mon0").cast("date").alias("mon"),
+        "season",
+        F.round("v", 2).alias("v"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 4).alias(
+            "residual"
+        ),
+    ).orderBy("mon")

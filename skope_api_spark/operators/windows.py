@@ -333,3 +333,60 @@ def gap_fill_interpolate(
             "interpolated"
         ),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    season_col: str,
+    period: int = 12,
+    partition_by: ColumnsArg = (),
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the first thing a user
+    asks of a monthly climate/sales series): value = trend + seasonal +
+    residual.
+
+    - trend: centered (period+1)-point moving average, "valid" windows
+      only (edges NULL) — the same NaN-discipline as W1;
+    - seasonal: per-``season_col`` mean of the series, centered so the
+      seasonal component sums to zero over one period (the standard
+      identifiability constraint);
+    - residual: value - trend - seasonal (NULL where trend is NULL).
+
+    Two window passes + one tiny per-season aggregate joined back via
+    broadcast — no corpus-sized extra shuffle beyond the ordering the
+    windows already need. Season means use the RAW series (textbook
+    classical decomposition's detrend-free variant — deterministic, no
+    iteration); for trend-dominated series detrend first.
+    """
+    width = period + 1 if period % 2 == 0 else period
+    smoothed = centered_moving_average(
+        df,
+        value_col,
+        order_by=order_by,
+        partition_by=partition_by,
+        width=width,
+        out_col="trend",
+    )
+    keys = list(partition_by) if partition_by else []
+    season_means = df.groupBy(*keys, season_col).agg(
+        F.avg(value_col).alias("__smean")
+    )
+    grand = season_means.groupBy(*keys).agg(
+        F.avg("__smean").alias("__grand")
+    )
+    seasonal = season_means.join(
+        F.broadcast(grand), keys if keys else None, "inner"
+    ) if keys else season_means.crossJoin(F.broadcast(grand))
+    seasonal = seasonal.select(
+        *keys, season_col, (F.col("__smean") - F.col("__grand")).alias("seasonal")
+    )
+    out = smoothed.join(
+        F.broadcast(seasonal), keys + [season_col] if keys else [season_col]
+    )
+    return out.withColumn(
+        "residual",
+        F.col(value_col) - F.col("trend") - F.col("seasonal"),
+    )

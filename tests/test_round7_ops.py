@@ -563,3 +563,46 @@ def test_jaccard_prefix_join_order_knob_equivalent(spark):
     assert freq == hsh and freq
     with pytest.raises(ValueError):
         jaccard_prefix_join(docs, order="lexicographic")
+
+
+# --- seasonal decomposition ---------------------------------------------
+
+
+def test_seasonal_decompose_pure_seasonal_series(spark):
+    from skope_api_spark.operators.windows import seasonal_decompose
+
+    # 4 "years" of period-4 data: value = 10 + seasonal offset per phase;
+    # a constant-trend series recovers its own seasonal pattern exactly
+    offsets = {0: 2.0, 1: -1.0, 2: 0.0, 3: -1.0}
+    rows = [(t, t % 4, 10.0 + offsets[t % 4]) for t in range(16)]
+    df = spark.createDataFrame(rows, "t int, season int, v double")
+    out = seasonal_decompose(
+        df, "v", order_by=["t"], season_col="season", period=4
+    ).orderBy("t").collect()
+    by_t = {r.t: r for r in out}
+    # seasonal component: per-season mean minus grand mean of season means
+    grand = sum(10.0 + o for o in offsets.values()) / 4
+    for t, r in by_t.items():
+        assert r.seasonal == pytest.approx(10.0 + offsets[t % 4] - grand)
+    # valid 5-point trend exists away from edges; trend+seasonal+residual = v
+    assert by_t[0].trend is None and by_t[15].trend is None
+    for t in range(2, 14):
+        assert by_t[t].trend is not None
+        assert by_t[t].trend + by_t[t].seasonal + by_t[t].residual == pytest.approx(
+            by_t[t].v
+        )
+
+
+def test_seasonal_decompose_partitioned(spark):
+    from skope_api_spark.operators.windows import seasonal_decompose
+
+    rows = [(g, t, t % 2, float(g * 100 + (t % 2))) for g in (1, 2) for t in range(8)]
+    df = spark.createDataFrame(rows, "g int, t int, season int, v double")
+    out = seasonal_decompose(
+        df, "v", order_by=["t"], season_col="season", period=2,
+        partition_by=["g"],
+    ).collect()
+    # seasonal means are computed per partition: group 2's level (200+)
+    # must not leak into group 1's seasonal component
+    for r in out:
+        assert abs(r.seasonal) <= 0.5 + 1e-9
