@@ -1097,3 +1097,59 @@ def spatial_join_points_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
         .orderBy("poly_id")
     )
+
+
+@query(
+    "dq_constraint_report_orders",
+    oracle="""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n_distinct_keys,
+         CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*) AS price_completeness,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                        AND o_orderdate <  TIMESTAMP '1999-01-01'
+                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS date_in_range_frac
+  FROM orders
+)
+SELECT c."constraint", c.observed, c.passed FROM a, LATERAL (
+  SELECT * FROM (VALUES
+    ('row_count_floor',    a.n_rows,              a.n_rows >= 1000),
+    ('orderkey_unique',    a.n_distinct_keys,     a.n_distinct_keys = a.n_rows),
+    ('price_complete',     a.price_completeness,  a.price_completeness = 1.0),
+    ('price_non_negative', a.min_price,           a.min_price >= 0.0),
+    ('date_in_range',      a.date_in_range_frac,  a.date_in_range_frac = 1.0)
+  ) AS v("constraint", observed, passed)
+) c
+""",
+)
+def dq_constraint_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality audit of the orders ingest
+    (operators/quality.py::constraint_report): row-count floor, key
+    uniqueness, price completeness and range, date window — all from ONE
+    aggregation; the report row order is the declaration order."""
+    from skope_api_spark.operators.quality import constraint_report
+
+    orders = load(spark, sf_dir, "orders")
+    in_range = (
+        (F.col("o_orderdate") >= "1992-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    ).cast("int")
+    return constraint_report(
+        orders,
+        [
+            ("row_count_floor", F.count(F.lit(1)),
+             F.col("row_count_floor") >= 1000),
+            ("orderkey_unique", F.countDistinct("o_orderkey"),
+             F.col("orderkey_unique") == F.col("row_count_floor")),
+            ("price_complete",
+             F.count("o_totalprice") / F.count(F.lit(1)),
+             F.col("price_complete") == 1.0),
+            ("price_non_negative", F.min("o_totalprice"),
+             F.col("price_non_negative") >= 0.0),
+            ("date_in_range",
+             F.sum(in_range) / F.count(F.lit(1)),
+             F.col("date_in_range") == 1.0),
+        ],
+    )

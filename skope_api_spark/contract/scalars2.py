@@ -419,7 +419,9 @@ FROM t ORDER BY q
 )
 def quantile_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy CONTRACT for the approximate-percentile sketch (same
-    pattern as sim_recall_report): percentile_approx's Greenwald-Khanna
+    pattern as sim_recall_report; determinism-safe — only exact counts
+    and tolerance booleans reach the hashed output, never the sketch
+    estimate itself): percentile_approx's Greenwald-Khanna
     guarantee is rank error <= n/accuracy, so for each target q the
     REALIZED rank of the returned value — measured against the actual
     data with one conditional aggregation — must satisfy

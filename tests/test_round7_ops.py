@@ -606,3 +606,50 @@ def test_seasonal_decompose_partitioned(spark):
     # must not leak into group 1's seasonal component
     for r in out:
         assert abs(r.seasonal) <= 0.5 + 1e-9
+
+
+# --- data-quality constraint report -------------------------------------
+
+
+def test_constraint_report_single_pass_and_failures(spark):
+    from skope_api_spark.operators.quality import constraint_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, -1.0)], "k long, v double"
+    )
+    rep = constraint_report(
+        df,
+        [
+            ("n", F.count(F.lit(1)), F.col("n") >= 10),
+            ("k_unique", F.countDistinct("k"), F.col("k_unique") == F.col("n")),
+            ("v_complete", F.count("v") / F.count(F.lit(1)),
+             F.col("v_complete") == 1.0),
+            ("v_min", F.min("v"), F.col("v_min") >= 0.0),
+        ],
+    )
+    got = {r.constraint: (r.observed, r.passed) for r in rep.collect()}
+    assert got["n"] == (3.0, False)
+    assert got["k_unique"] == (2.0, False)
+    assert got["v_complete"][1] is False
+    assert got["v_min"] == (-1.0, False)
+    # single-pass guarantee: the source is scanned exactly once (the
+    # count-distinct expands into a multi-phase aggregation, but all
+    # phases hang off ONE scan)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final AND Initial sections — count scans in the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_constraint_report_validation(spark):
+    from skope_api_spark.operators.quality import constraint_report
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        constraint_report(df, [])
+    with pytest.raises(ValueError):
+        constraint_report(
+            df,
+            [("a", F.count(F.lit(1)), F.lit(True)),
+             ("a", F.min("k"), F.lit(True))],
+        )
