@@ -588,3 +588,61 @@ def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     ).orderBy("mon")
+
+
+@query(
+    "ts_level_shift_monthly_revenue",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon0,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           + CASE WHEN date_trunc('month', o_orderdate)
+                       >= TIMESTAMP '1995-01-01'
+                  THEN 20000000.0 ELSE 0.0 END AS v
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT mon0, v,
+         COUNT(v) OVER wb AS bn, COUNT(v) OVER wa AS an,
+         AVG(v) OVER wb AS bm, AVG(v) OVER wa AS am,
+         VAR_POP(v) OVER wb AS bv, VAR_POP(v) OVER wa AS av
+  FROM m
+  WINDOW wb AS (ORDER BY mon0 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+         wa AS (ORDER BY mon0 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+)
+SELECT CAST(mon0 AS DATE) AS mon,
+       ROUND(v, 2) AS v,
+       ROUND(CASE WHEN bn = 5 AND an = 5 THEN bm END, 4) AS before_mean,
+       ROUND(CASE WHEN bn = 5 AND an = 5 THEN am END, 4) AS after_mean,
+       CASE WHEN bn = 5 AND an = 5 AND sqrt((bv + av) / 2.0) > 0.0
+            THEN abs(am - bm) > 3.0 * sqrt((bv + av) / 2.0) END AS is_shift
+FROM w ORDER BY mon
+""",
+)
+def ts_level_shift_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling level-shift detector (operators/windows.py::
+    level_shift_detect) over the monthly revenue series with an injected
+    +20M step at 1995-01 — the detector must flag the boundary and stay
+    quiet elsewhere; incomplete edge windows yield NULL."""
+    from skope_api_spark.operators.windows import level_shift_detect
+
+    orders = load(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", "o_orderdate")
+    monthly = orders.groupBy(mon.alias("mon0")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            + F.when(
+                F.col("mon0").isNotNull() & (F.col("mon0") >= "1995-01-01"),
+                F.lit(20000000.0),
+            ).otherwise(0.0)
+        ).alias("v")
+    )
+    out = level_shift_detect(
+        monthly, "v", order_by=["mon0"], width=5, threshold=3.0
+    )
+    return out.select(
+        F.col("mon0").cast("date").alias("mon"),
+        F.round("v", 2).alias("v"),
+        F.round("before_mean", 4).alias("before_mean"),
+        F.round("after_mean", 4).alias("after_mean"),
+        "is_shift",
+    ).orderBy("mon")

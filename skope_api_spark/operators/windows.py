@@ -390,3 +390,61 @@ def seasonal_decompose(
         "residual",
         F.col(value_col) - F.col("trend") - F.col("seasonal"),
     )
+
+
+def level_shift_detect(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    partition_by: ColumnsArg = (),
+    width: int = 5,
+    threshold: float = 3.0,
+    out_col: str = "is_shift",
+) -> DataFrame:
+    """Rolling level-shift (changepoint) detector: at each row, compare
+    the mean of the NEXT ``width`` values against the mean of the
+    PREVIOUS ``width`` values; flag when the jump exceeds ``threshold``
+    times the pooled standard deviation of the two windows.
+
+    Pure window algebra (two frames over one ordering shuffle) — the
+    deterministic, vectorizable cousin of CUSUM: CUSUM's running-max
+    recursion needs a sequential fold, while this two-window test is
+    embarrassingly parallel and catches the same abrupt mean shifts.
+    Edges (incomplete windows) and zero-variance plateaus yield NULL.
+
+    Returns the input plus (before_mean, after_mean, out_col boolean).
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    base = _ordered_window(partition_by, order_by)
+    before = base.rowsBetween(-width, -1)
+    after = base.rowsBetween(0, width - 1)
+    b_n, a_n = F.count(value_col).over(before), F.count(value_col).over(after)
+    b_mean = F.avg(value_col).over(before)
+    a_mean = F.avg(value_col).over(after)
+    b_var = F.var_pop(value_col).over(before)
+    a_var = F.var_pop(value_col).over(after)
+    pooled = F.sqrt((F.col("__bv") + F.col("__av")) / 2.0)
+    out = (
+        df.withColumn("__bn", b_n)
+        .withColumn("__an", a_n)
+        .withColumn("before_mean", b_mean)
+        .withColumn("after_mean", a_mean)
+        .withColumn("__bv", b_var)
+        .withColumn("__av", a_var)
+    )
+    complete = (F.col("__bn") == width) & (F.col("__an") == width)
+    flag = F.when(
+        complete & (pooled > 0.0),
+        F.abs(F.col("after_mean") - F.col("before_mean"))
+        > threshold * pooled,
+    )
+    return (
+        out.withColumn(out_col, flag)
+        .withColumn(
+            "before_mean", F.when(complete, F.col("before_mean"))
+        )
+        .withColumn("after_mean", F.when(complete, F.col("after_mean")))
+        .drop("__bn", "__an", "__bv", "__av")
+    )

@@ -653,3 +653,35 @@ def test_constraint_report_validation(spark):
             [("a", F.count(F.lit(1)), F.lit(True)),
              ("a", F.min("k"), F.lit(True))],
         )
+
+
+# --- level-shift detection ----------------------------------------------
+
+
+def test_level_shift_flags_injected_step(spark):
+    from skope_api_spark.operators.windows import level_shift_detect
+
+    # flat at 10 for t<10, flat at 50 for t>=10, small deterministic noise
+    rows = [
+        (t, (10.0 if t < 10 else 50.0) + (t % 3) * 0.1) for t in range(20)
+    ]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r.t: r.is_shift for r in level_shift_detect(
+        df, "v", order_by=["t"], width=4, threshold=3.0
+    ).collect()}
+    assert out[10] is True                      # the step boundary
+    # away from the boundary (windows fully on one level): no flag
+    assert out[5] is False
+    assert out[15] is False
+    # incomplete edge windows: NULL, not False
+    assert out[0] is None and out[19] is None
+
+
+def test_level_shift_zero_variance_plateau_is_null(spark):
+    from skope_api_spark.operators.windows import level_shift_detect
+
+    df = spark.createDataFrame([(t, 7.0) for t in range(12)], "t int, v double")
+    out = level_shift_detect(df, "v", order_by=["t"], width=3).collect()
+    assert all(r.is_shift is None for r in out)  # pooled sigma == 0 everywhere
+    with pytest.raises(ValueError):
+        level_shift_detect(df, "v", order_by=["t"], width=1)
