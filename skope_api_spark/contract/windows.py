@@ -544,8 +544,12 @@ WITH m AS (
   FROM orders GROUP BY 1, 2
 ), t AS (
   SELECT mon0, season, v,
-         CASE WHEN COUNT(*) OVER w = 13 THEN AVG(v) OVER w END AS trend
-  FROM m WINDOW w AS (ORDER BY mon0 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+         CASE WHEN COUNT(*) OVER w = 13
+              THEN (SUM(v) OVER w
+                    - 0.5 * LAG(v, 6) OVER o
+                    - 0.5 * LEAD(v, 6) OVER o) / 12.0 END AS trend
+  FROM m WINDOW w AS (ORDER BY mon0 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+              o AS (ORDER BY mon0)
 ), s AS (
   SELECT season, AVG(v) AS smean FROM m GROUP BY season
 ), g AS (SELECT AVG(smean) AS grand FROM s)
@@ -560,8 +564,9 @@ ORDER BY mon
 )
 def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the monthly revenue series
-    (operators/windows.py::seasonal_decompose): 13-point valid-window
-    trend, zero-centered per-month seasonal means, residual. Revenue
+    (operators/windows.py::seasonal_decompose): classical 2x12 centered
+    MA trend (half-weight endpoints — no seasonal leakage into the
+    trend), zero-centered per-month seasonal means, residual. Revenue
     follows the registry money-sum rule (exact DECIMAL(18,2)
     accumulation, double only at the edge)."""
     from skope_api_spark.operators.windows import seasonal_decompose
@@ -584,9 +589,7 @@ def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 2).alias("v"),
         F.round("trend", 4).alias("trend"),
         F.round("seasonal", 4).alias("seasonal"),
-        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 4).alias(
-            "residual"
-        ),
+        F.round("residual", 4).alias("residual"),
     ).orderBy("mon")
 
 
@@ -613,8 +616,10 @@ SELECT CAST(mon0 AS DATE) AS mon,
        ROUND(v, 2) AS v,
        ROUND(CASE WHEN bn = 5 AND an = 5 THEN bm END, 4) AS before_mean,
        ROUND(CASE WHEN bn = 5 AND an = 5 THEN am END, 4) AS after_mean,
-       CASE WHEN bn = 5 AND an = 5 AND sqrt((bv + av) / 2.0) > 0.0
-            THEN abs(am - bm) > 3.0 * sqrt((bv + av) / 2.0) END AS is_shift
+       CASE WHEN bn = 5 AND an = 5
+            THEN CASE WHEN sqrt((bv + av) / 2.0) > 0.0
+                      THEN abs(am - bm) > 3.0 * sqrt((bv + av) / 2.0)
+                      ELSE abs(am - bm) > 0.0 END END AS is_shift
 FROM w ORDER BY mon
 """,
 )

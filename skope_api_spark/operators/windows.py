@@ -348,8 +348,14 @@ def seasonal_decompose(
     asks of a monthly climate/sales series): value = trend + seasonal +
     residual.
 
-    - trend: centered (period+1)-point moving average, "valid" windows
-      only (edges NULL) — the same NaN-discipline as W1;
+    - trend: for EVEN periods the classical centered 2 x period moving
+      average — the (period+1)-window sum with HALF weight on the two
+      endpoints, divided by period — so every season enters the window
+      with total weight exactly 1 and no seasonal phase leaks into the
+      trend (a plain (period+1)-MA double-counts the endpoint season:
+      systematic bias offset/(period+1) per step). Odd periods use the
+      plain period-MA. "Valid" windows only (edges NULL) — the W1
+      discipline;
     - seasonal: per-``season_col`` mean of the series, centered so the
       seasonal component sums to zero over one period (the standard
       identifiability constraint);
@@ -360,32 +366,54 @@ def seasonal_decompose(
     windows already need. Season means use the RAW series (textbook
     classical decomposition's detrend-free variant — deterministic, no
     iteration); for trend-dominated series detrend first.
+
+    ``partition_by`` must be column NAMES (strings): the seasonal join
+    is by-name; Column objects would make its keys ambiguous.
     """
-    width = period + 1 if period % 2 == 0 else period
-    smoothed = centered_moving_average(
-        df,
-        value_col,
-        order_by=order_by,
-        partition_by=partition_by,
-        width=width,
-        out_col="trend",
-    )
     keys = list(partition_by) if partition_by else []
+    if any(not isinstance(k, str) for k in keys):
+        raise TypeError(
+            "seasonal_decompose partition_by must be column names "
+            "(strings) — the seasonal join is by-name"
+        )
+    if period % 2 == 0:
+        half = period // 2
+        base = _ordered_window(partition_by, order_by)
+        frame = base.rowsBetween(-half, half)
+        n_rows = F.count(F.lit(1)).over(frame)
+        n_vals = F.count(value_col).over(frame)
+        first = F.lag(value_col, half).over(base)
+        last = F.lead(value_col, half).over(base)
+        trend = F.when(
+            (n_rows == period + 1) & (n_vals == period + 1),
+            (F.sum(value_col).over(frame) - 0.5 * first - 0.5 * last)
+            / float(period),
+        )
+        smoothed = df.withColumn("trend", trend)
+    else:
+        smoothed = centered_moving_average(
+            df,
+            value_col,
+            order_by=order_by,
+            partition_by=partition_by,
+            width=period,
+            out_col="trend",
+        )
     season_means = df.groupBy(*keys, season_col).agg(
         F.avg(value_col).alias("__smean")
     )
     grand = season_means.groupBy(*keys).agg(
         F.avg("__smean").alias("__grand")
     )
-    seasonal = season_means.join(
-        F.broadcast(grand), keys if keys else None, "inner"
-    ) if keys else season_means.crossJoin(F.broadcast(grand))
+    seasonal = (
+        season_means.join(F.broadcast(grand), keys)
+        if keys
+        else season_means.crossJoin(F.broadcast(grand))
+    )
     seasonal = seasonal.select(
         *keys, season_col, (F.col("__smean") - F.col("__grand")).alias("seasonal")
     )
-    out = smoothed.join(
-        F.broadcast(seasonal), keys + [season_col] if keys else [season_col]
-    )
+    out = smoothed.join(F.broadcast(seasonal), keys + [season_col])
     return out.withColumn(
         "residual",
         F.col(value_col) - F.col("trend") - F.col("seasonal"),
@@ -411,7 +439,10 @@ def level_shift_detect(
     deterministic, vectorizable cousin of CUSUM: CUSUM's running-max
     recursion needs a sequential fold, while this two-window test is
     embarrassingly parallel and catches the same abrupt mean shifts.
-    Edges (incomplete windows) and zero-variance plateaus yield NULL.
+    Edges (incomplete windows) yield NULL. Zero pooled variance is NOT
+    a dead zone: a clean noise-free step (both windows internally
+    constant, different levels) flags True — any nonzero jump against
+    zero noise is infinite effect size — while a flat plateau is False.
 
     Returns the input plus (before_mean, after_mean, out_col boolean).
     """
@@ -435,10 +466,12 @@ def level_shift_detect(
         .withColumn("__av", a_var)
     )
     complete = (F.col("__bn") == width) & (F.col("__an") == width)
+    jump = F.abs(F.col("after_mean") - F.col("before_mean"))
     flag = F.when(
-        complete & (pooled > 0.0),
-        F.abs(F.col("after_mean") - F.col("before_mean"))
-        > threshold * pooled,
+        complete,
+        F.when(pooled > 0.0, jump > threshold * pooled).otherwise(
+            jump > 0.0
+        ),
     )
     return (
         out.withColumn(out_col, flag)

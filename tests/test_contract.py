@@ -56,6 +56,41 @@ class TestOracleHygiene:
                         f"{name}: raw sketch estimate in a hashed output"
                     )
 
+    def test_sketch_contracts_are_boolean_verdicts(self, spark):
+        """The determinism-safe marker is not an honor system: every
+        sketch-using checked query must (a) carry at least one boolean
+        verdict column — the structural shape of a bounds contract, not a
+        raw estimate — and (b) produce identical results under a
+        different shuffle partitioning (sketch merge order must not
+        reach the hashed output)."""
+        import inspect
+
+        import skope_api_spark.contract as c
+
+        sf = "/root/testdata/sf0.001"
+        for name in c.ORACLES:
+            src = inspect.getsource(c.QUERIES[name])
+            if not any(
+                s in src
+                for s in ("approx_count_distinct(", "percentile_approx(")
+            ):
+                continue
+            df = c.QUERIES[name](spark, sf)
+            types = [f.dataType.typeName() for f in df.schema.fields]
+            assert "boolean" in types, (
+                f"{name}: sketch query without a verdict column"
+            )
+            a = sorted(map(tuple, df.collect()))
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            try:
+                b = sorted(
+                    map(tuple, c.QUERIES[name](spark, sf).collect())
+                )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            assert a == b, f"{name}: partitioning-dependent output"
+
     def test_round_used_on_float_aggregates(self):
         """Order-dependent double aggregates must be rounded in oracles
         (registry.py rule) — spot-check that SUM over doubles is wrapped."""

@@ -584,13 +584,14 @@ def test_seasonal_decompose_pure_seasonal_series(spark):
     grand = sum(10.0 + o for o in offsets.values()) / 4
     for t, r in by_t.items():
         assert r.seasonal == pytest.approx(10.0 + offsets[t % 4] - grand)
-    # valid 5-point trend exists away from edges; trend+seasonal+residual = v
+    # the 2x4 half-weight-endpoint MA must recover the FLAT trend exactly
+    # on a pure seasonal series (a plain 5-MA would oscillate by
+    # offset/5 with the phase) — this pins the classical trend, not just
+    # the residual tautology
     assert by_t[0].trend is None and by_t[15].trend is None
     for t in range(2, 14):
-        assert by_t[t].trend is not None
-        assert by_t[t].trend + by_t[t].seasonal + by_t[t].residual == pytest.approx(
-            by_t[t].v
-        )
+        assert by_t[t].trend == pytest.approx(10.0)
+        assert by_t[t].residual == pytest.approx(0.0, abs=1e-9)
 
 
 def test_seasonal_decompose_partitioned(spark):
@@ -677,11 +678,24 @@ def test_level_shift_flags_injected_step(spark):
     assert out[0] is None and out[19] is None
 
 
-def test_level_shift_zero_variance_plateau_is_null(spark):
+def test_level_shift_clean_step_and_plateau(spark):
     from skope_api_spark.operators.windows import level_shift_detect
 
-    df = spark.createDataFrame([(t, 7.0) for t in range(12)], "t int, v double")
-    out = level_shift_detect(df, "v", order_by=["t"], width=3).collect()
-    assert all(r.is_shift is None for r in out)  # pooled sigma == 0 everywhere
+    # zero pooled variance is NOT a dead zone: a noise-free step flags
+    # True (infinite effect size) while a flat plateau is False
+    step = spark.createDataFrame(
+        [(t, 10.0 if t < 6 else 50.0) for t in range(12)], "t int, v double"
+    )
+    got = {r.t: r.is_shift for r in level_shift_detect(
+        step, "v", order_by=["t"], width=3
+    ).collect()}
+    assert got[6] is True     # the clean boundary
+    # t=4: after-window (rows 4..6) mixes levels -> nonzero pooled sigma,
+    # jump well under 3 sigma -> False, not a spurious early flag
+    assert got[4] is False
+    flat = spark.createDataFrame([(t, 7.0) for t in range(12)], "t int, v double")
+    out = level_shift_detect(flat, "v", order_by=["t"], width=3).collect()
+    complete = [r for r in out if r.is_shift is not None]
+    assert complete and all(r.is_shift is False for r in complete)
     with pytest.raises(ValueError):
-        level_shift_detect(df, "v", order_by=["t"], width=1)
+        level_shift_detect(flat, "v", order_by=["t"], width=1)
