@@ -1153,3 +1153,137 @@ def dq_constraint_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("date_in_range") == 1.0),
         ],
     )
+
+
+@query(
+    "cdc_apply_customers",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey AS k, 2 AS seq, 'U' AS op, c_name,
+         ROUND(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'D', c_name, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 1, 'I',
+         'new customer ' || CAST(c_custkey AS VARCHAR), 0.0
+  FROM customer WHERE c_custkey % 17 = 0
+), latest AS (
+  SELECT k, op, c_name, c_acctbal FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM changes) t
+  WHERE rn = 1
+), survivors AS (
+  SELECT k AS c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+), kept AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM changes)
+)
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM survivors)
+ORDER BY c_custkey
+""",
+)
+def cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state apply (operators/merge.py::cdc_apply): a derived
+    change batch — updates for keys %5, deletes for %10 (their seq 3
+    beats the update's seq 2), inserts at key+1e6 for %17 — applied to
+    the customer snapshot. The %10 keys must vanish (delete wins by
+    sequence), %5-but-not-%10 keys carry the +100 balance, inserts
+    appear, everything else passes through untouched."""
+    from skope_api_spark.operators.merge import cdc_apply
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    upd = cust.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    dels = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        "c_name",
+        "c_acctbal",
+    )
+    ins = cust.where(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.concat(
+            F.lit("new customer "), F.col("c_custkey").cast("string")
+        ).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins).withColumnRenamed(
+        "k", "c_custkey"
+    )
+    out = cdc_apply(
+        cust,
+        changes,
+        key_cols=["c_custkey"],
+        seq_col="seq",
+        payload_cols=["c_name", "c_acctbal"],
+    )
+    return out.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).orderBy("c_custkey")
+
+
+@query(
+    "snapshot_diff_customers",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 <> 0
+), b AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN ROUND(c_acctbal + 50.0, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN a.c_custkey IS NULL THEN 'added'
+              WHEN b.c_custkey IS NULL THEN 'removed'
+              WHEN a.c_acctbal <> b.c_acctbal THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b USING (c_custkey)
+) t
+GROUP BY status ORDER BY status
+""",
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the FULL OUTER JOIN shape: two derived
+    customer snapshots (rows dropped on each side, balances drifted on
+    %7 keys) classified added/removed/changed/unchanged and counted.
+    The join coalesces the key from whichever side is present."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_a")
+    )
+    b = cust.where(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.round(F.col("c_acctbal") + 50.0, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_b"),
+    )
+    joined = a.join(b, "c_custkey", "full_outer")
+    status = (
+        F.when(F.col("bal_a").isNull(), "added")
+        .when(F.col("bal_b").isNull(), "removed")
+        .when(F.col("bal_a") != F.col("bal_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("status")
+    )

@@ -143,3 +143,42 @@ def incremental_rollup(
         F.sum(count_col).cast("long").alias(count_col),
         *[F.sum(out).alias(out) for out, _ in sum_cols],
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a CDC change batch (I/U/D rows) to a snapshot — the plain
+    "latest state" MERGE (SCD type 1), complementing the history-keeping
+    ``scd2_merge``.
+
+    - latest change per key: ONE aggregation taking the lexicographic
+      max of struct(seq, op, payload...) — seq decides (callers must
+      make it unique per key, e.g. a log offset; the struct tail makes
+      any residual tie deterministic), partial-agg friendly, no window
+      sort;
+    - keys whose latest op is 'D' are dropped; other latest payloads
+      win over the base row (U) or create it (I);
+    - unchanged base rows pass through via a key anti-join.
+
+    All joins are key-partitioned hash joins; the change batch never
+    forces a base-table rewrite beyond the affected keys' partitions —
+    the lakehouse MERGE shape before file rewrite.
+    """
+    keys = list(key_cols)
+    payloads = list(payload_cols)
+    latest = changes.groupBy(*keys).agg(
+        F.max(F.struct(seq_col, op_col, *payloads)).alias("__c")
+    )
+    survivors = latest.where(F.col(f"__c.{op_col}") != "D").select(
+        *keys, *[F.col(f"__c.{p}").alias(p) for p in payloads]
+    )
+    changed_keys = changes.select(*keys).distinct()
+    kept = base.join(changed_keys, keys, "left_anti").select(*keys, *payloads)
+    return kept.unionByName(survivors)

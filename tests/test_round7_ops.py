@@ -699,3 +699,34 @@ def test_level_shift_clean_step_and_plateau(spark):
     assert complete and all(r.is_shift is False for r in complete)
     with pytest.raises(ValueError):
         level_shift_detect(flat, "v", order_by=["t"], width=1)
+
+
+# --- CDC latest-state apply ---------------------------------------------
+
+
+def test_cdc_apply_semantics(spark):
+    from skope_api_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "U", "b2", 25.0),   # update
+            (3, 1, "U", "c2", 35.0),   # update then...
+            (3, 2, "D", "c2", 35.0),   # ...delete wins by seq
+            (4, 1, "I", "d", 40.0),    # insert
+            (1, 1, "D", "a", 10.0),    # delete then...
+            (1, 2, "I", "a2", 11.0),   # ...re-insert wins by seq
+        ],
+        "k long, seq int, op string, name string, bal double",
+    )
+    got = {
+        r.k: (r.name, r.bal)
+        for r in cdc_apply(
+            base, changes, key_cols=["k"], seq_col="seq",
+            payload_cols=["name", "bal"],
+        ).collect()
+    }
+    assert got == {1: ("a2", 11.0), 2: ("b2", 25.0), 4: ("d", 40.0)}
