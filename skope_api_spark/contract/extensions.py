@@ -1287,3 +1287,78 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("status")
     )
+
+
+_SITES: list[tuple[int, float, float]] = [
+    (1, 40.7, -74.0),   # NYC-ish
+    (2, 51.5, -0.1),    # London-ish
+    (3, 35.7, 139.7),   # Tokyo-ish
+    (4, -33.9, 151.2),  # Sydney-ish
+    (5, 19.4, -99.1),   # CDMX-ish
+    (6, 0.0, 0.0),      # null island
+]
+
+
+def _sites_sql() -> str:
+    return ", ".join(f"({sid}, {la!r}, {lo!r})" for sid, la, lo in _SITES)
+
+
+_NEAREST_ORACLE = f"""
+WITH sites(site_id, slat, slon) AS (
+  VALUES {_sites_sql()}
+), pts AS (
+  SELECT event_id AS point_id,
+         (user_id % 120) * 0.5 - 30.0 AS plat,
+         (event_id % 360) * 0.5 - 90.0 AS plon
+  FROM events
+), d AS (
+  SELECT p.point_id, s.site_id,
+         ROUND(2.0 * 6371.0088 * asin(sqrt(
+           sin(radians(s.slat - p.plat) / 2.0)
+             * sin(radians(s.slat - p.plat) / 2.0)
+           + cos(radians(p.plat)) * cos(radians(s.slat))
+             * sin(radians(s.slon - p.plon) / 2.0)
+             * sin(radians(s.slon - p.plon) / 2.0)
+         )), 6) AS km
+  FROM pts p CROSS JOIN sites s
+), best AS (
+  SELECT point_id, site_id, km,
+         ROW_NUMBER() OVER (
+           PARTITION BY point_id ORDER BY km, site_id) AS rn
+  FROM d
+)
+SELECT CAST(site_id AS INT) AS site_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(km), 4) AS avg_km
+FROM best WHERE rn = 1
+GROUP BY site_id ORDER BY site_id
+"""
+
+
+@query("spatial_nearest_site", oracle=_NEAREST_ORACLE)
+def spatial_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment (operators/spatial.py::nearest_site):
+    events mapped to deterministic lat/lon, each assigned to the closest
+    of six reference sites by 6-dp-rounded haversine km (site-id
+    tie-break), reported as per-site counts and mean distance. Broadcast
+    sites + one min-struct aggregation — no window sort."""
+    from skope_api_spark.operators.spatial import nearest_site
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("user_id") % 120) * 0.5 - 30.0).alias("lat"),
+        ((F.col("event_id") % 360) * 0.5 - 90.0).alias("lon"),
+    )
+    sites = spark.createDataFrame(
+        _SITES, "site_id int, lat double, lon double"
+    )
+    out = nearest_site(pts, sites)
+    return (
+        out.groupBy("site_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("distance_km"), 4).alias("avg_km"),
+        )
+        .orderBy("site_id")
+    )

@@ -113,3 +113,66 @@ def spatial_join(
         convex_contains(F.col(verts_col), F.col("__px"), F.col("__py"))
     )
     return hit.select("point_id", poly_id)
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine, R = 6371.0088 mean Earth
+    radius). Identical operation order on both engines keeps the
+    contract deterministic."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2.0 * 6371.0088 * F.asin(F.sqrt(a))
+
+
+def nearest_site(
+    points: DataFrame,
+    sites: DataFrame,
+    *,
+    point_id: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    site_id: str = "site_id",
+) -> DataFrame:
+    """Assign every point to its nearest site (great-circle): the
+    station-assignment / geofencing primitive. ``sites`` is a bounded
+    reference table (weather stations, warehouses) broadcast into the
+    point scan; the per-point argmin is ONE aggregation over
+    min(struct(distance, site)) — lexicographic min, so km ties break
+    by site id deterministically — never a window sort.
+
+    For site tables too large to broadcast, pre-bucket both sides by
+    geo cell (the ``spatial_join`` grid) and run the same argmin within
+    the candidate cells.
+    """
+    s = sites.select(
+        F.col(site_id).alias("__sid"),
+        F.col(lat_col).alias("__slat"),
+        F.col(lon_col).alias("__slon"),
+    )
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(lat_col).alias("__plat"),
+        F.col(lon_col).alias("__plon"),
+    )
+    dist = haversine_km(
+        F.col("__plat"), F.col("__plon"), F.col("__slat"), F.col("__slon")
+    )
+    cand = p.crossJoin(F.broadcast(s)).select(
+        "point_id",
+        F.struct(
+            F.round(dist, 6).alias("km"), F.col("__sid").alias("sid")
+        ).alias("__d"),
+    )
+    best = cand.groupBy("point_id").agg(F.min("__d").alias("__best"))
+    return best.select(
+        "point_id",
+        F.col("__best.sid").alias("site_id"),
+        F.col("__best.km").alias("distance_km"),
+    )

@@ -730,3 +730,33 @@ def test_cdc_apply_semantics(spark):
         ).collect()
     }
     assert got == {1: ("a2", 11.0), 2: ("b2", 25.0), 4: ("d", 40.0)}
+
+
+# --- nearest site (haversine) -------------------------------------------
+
+
+def test_haversine_known_distance(spark):
+    from skope_api_spark.operators.spatial import haversine_km
+
+    df = spark.createDataFrame([(40.7128, -74.0060, 51.5074, -0.1278)],
+                               "a double, b double, c double, d double")
+    km = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0].km
+    assert km == pytest.approx(5570, abs=10)   # NYC -> London great circle
+
+
+def test_nearest_site_assignment_and_ties(spark):
+    from skope_api_spark.operators.spatial import nearest_site
+
+    sites = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 10.0)], "site_id int, lat double, lon double"
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.0, 1.0),   # near site 1
+         (2, 0.0, 9.0),   # near site 2
+         (3, 0.0, 5.0)],  # EXACT midpoint: tie -> lower site id
+        "point_id long, lat double, lon double",
+    )
+    got = {r.point_id: r.site_id for r in nearest_site(pts, sites).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
