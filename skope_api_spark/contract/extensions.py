@@ -1262,8 +1262,13 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     %7 keys) classified added/removed/changed/unchanged and counted.
     The join coalesces the key from whichever side is present."""
     cust = load(spark, sf_dir, "customer")
+    # presence markers (not payload NULLs) classify existence, so a
+    # legitimately-NULL balance could never masquerade as a missing row —
+    # matching the oracle's key-presence semantics exactly
     a = cust.where(F.col("c_custkey") % 11 != 0).select(
-        "c_custkey", F.col("c_acctbal").alias("bal_a")
+        "c_custkey",
+        F.col("c_acctbal").alias("bal_a"),
+        F.lit(1).alias("in_a"),
     )
     b = cust.where(F.col("c_custkey") % 13 != 0).select(
         "c_custkey",
@@ -1273,11 +1278,12 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("c_acctbal"))
         .alias("bal_b"),
+        F.lit(1).alias("in_b"),
     )
     joined = a.join(b, "c_custkey", "full_outer")
     status = (
-        F.when(F.col("bal_a").isNull(), "added")
-        .when(F.col("bal_b").isNull(), "removed")
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
         .when(F.col("bal_a") != F.col("bal_b"), "changed")
         .otherwise("unchanged")
     )
@@ -1313,13 +1319,13 @@ WITH sites(site_id, slat, slon) AS (
   FROM events
 ), d AS (
   SELECT p.point_id, s.site_id,
-         ROUND(2.0 * 6371.0088 * asin(sqrt(
+         ROUND(2.0 * 6371.0088 * asin(sqrt(least(
            sin(radians(s.slat - p.plat) / 2.0)
              * sin(radians(s.slat - p.plat) / 2.0)
            + cos(radians(p.plat)) * cos(radians(s.slat))
              * sin(radians(s.slon - p.plon) / 2.0)
-             * sin(radians(s.slon - p.plon) / 2.0)
-         )), 6) AS km
+             * sin(radians(s.slon - p.plon) / 2.0),
+           1.0))), 6) AS km
   FROM pts p CROSS JOIN sites s
 ), best AS (
   SELECT point_id, site_id, km,

@@ -179,6 +179,8 @@ def cdc_apply(
     survivors = latest.where(F.col(f"__c.{op_col}") != "D").select(
         *keys, *[F.col(f"__c.{p}").alias(p) for p in payloads]
     )
-    changed_keys = changes.select(*keys).distinct()
+    # latest already holds exactly the distinct changed keys — reusing it
+    # avoids a second full scan+shuffle of the change batch
+    changed_keys = latest.select(*keys)
     kept = base.join(changed_keys, keys, "left_anti").select(*keys, *payloads)
     return kept.unionByName(survivors)

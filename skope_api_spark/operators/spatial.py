@@ -128,7 +128,9 @@ def haversine_km(
         F.sin(dlat) * F.sin(dlat)
         + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
     )
-    return 2.0 * 6371.0088 * F.asin(F.sqrt(a))
+    # clamp: for antipodal points 'a' exceeds 1.0 by 1 ulp in doubles and
+    # asin(sqrt(a)) would be NaN instead of the half-circumference
+    return 2.0 * 6371.0088 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def nearest_site(
@@ -151,11 +153,14 @@ def nearest_site(
     geo cell (the ``spatial_join`` grid) and run the same argmin within
     the candidate cells.
     """
+    # a NULL-coordinate site would produce a NULL distance, which sorts
+    # FIRST in Spark's struct ordering and would hijack every argmin —
+    # malformed reference rows are data, drop them from the index
     s = sites.select(
         F.col(site_id).alias("__sid"),
         F.col(lat_col).alias("__slat"),
         F.col(lon_col).alias("__slon"),
-    )
+    ).where(F.col("__slat").isNotNull() & F.col("__slon").isNotNull())
     p = points.select(
         F.col(point_id).alias("point_id"),
         F.col(lat_col).alias("__plat"),

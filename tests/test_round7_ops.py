@@ -760,3 +760,31 @@ def test_nearest_site_assignment_and_ties(spark):
     )
     got = {r.point_id: r.site_id for r in nearest_site(pts, sites).collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_haversine_antipodal_clamped(spark):
+    from skope_api_spark.operators.spatial import haversine_km
+
+    # exactly antipodal: the 'a' term exceeds 1.0 by 1 ulp in doubles;
+    # unclamped this is asin(sqrt(>1)) = NaN instead of half circumference
+    df = spark.createDataFrame([(30.0, 10.0, -30.0, -170.0)],
+                               "a double, b double, c double, d double")
+    km = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0].km
+    assert km == pytest.approx(20015, abs=5)
+
+
+def test_nearest_site_ignores_null_coordinate_sites(spark):
+    from skope_api_spark.operators.spatial import nearest_site
+
+    sites = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, None)], "site_id int, lat double, lon double"
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.0, 1.0)], "point_id long, lat double, lon double"
+    )
+    got = nearest_site(pts, sites).collect()
+    # the malformed site must not hijack the argmin with a NULL distance
+    assert [(r.point_id, r.site_id) for r in got] == [(1, 1)]
+    assert got[0].distance_km is not None
