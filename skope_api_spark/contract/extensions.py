@@ -1368,3 +1368,106 @@ def spatial_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("site_id")
     )
+
+
+@query(
+    "graph_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       ROUND(n / SUM(n) OVER (PARTITION BY cur), 6) AS p
+FROM pairs ORDER BY cur, nxt
+""",
+)
+def graph_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences —
+    the path-analysis primitive behind "what do users do next": one
+    window pass for consecutive pairs ((ts, event_id) deterministic
+    order), one aggregation, and a per-state window normalization to
+    probabilities."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wn = W.partitionBy("cur")
+    return (
+        pairs.select(
+            "cur",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+@query(
+    "ts_rolling_correlation_events",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         SUM(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END) AS click_v,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_v
+  FROM events GROUP BY 1
+), r AS (
+  SELECT h, click_v, purchase_v,
+         CASE WHEN COUNT(*) OVER w = 24
+              THEN CORR(click_v, purchase_v) OVER w END AS c
+  FROM hourly
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(h AS TIMESTAMP) AS h,
+       ROUND(click_v, 4) AS click_v,
+       ROUND(purchase_v, 4) AS purchase_v,
+       ROUND(c, 6) AS rolling_corr
+FROM r ORDER BY h
+""",
+)
+def ts_rolling_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between the hourly click and
+    purchase value series — the co-movement signal (quant-style rolling
+    corr). One conditional-sum aggregation aligns the two series without
+    a join; corr runs in a count-guarded row window (partial windows
+    NULL, the W1 discipline)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("click_v"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0)
+        ).alias("purchase_v"),
+    )
+    w = W.orderBy("h").rowsBetween(-23, 0)
+    out = hourly.withColumn(
+        "rolling_corr",
+        F.when(
+            F.count(F.lit(1)).over(w) == 24,
+            F.corr("click_v", "purchase_v").over(w),
+        ),
+    )
+    return out.select(
+        "h",
+        F.round("click_v", 4).alias("click_v"),
+        F.round("purchase_v", 4).alias("purchase_v"),
+        F.round("rolling_corr", 6).alias("rolling_corr"),
+    ).orderBy("h")
