@@ -937,3 +937,79 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = cap_per_group(docs, group_col="source", id_col="doc_id", k=10)
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "pipeline_curation_manifest",
+    oracle=f"""
+WITH q AS (
+  -- stage 1: quality gate
+  SELECT doc_id, source, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 40
+), capped AS (
+  -- stage 2: at most 15 docs per source, md5-ranked
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY {_H.format(c="doc_id")}, doc_id) AS rk
+    FROM q) t
+  WHERE rk <= 15
+), totals AS (
+  -- stage 3: temperature rates over the CAPPED corpus
+  SELECT source, SUM(len(string_split(text, ' ')))::DOUBLE AS tot
+  FROM capped GROUP BY source
+), raw AS (
+  SELECT source, POWER(tot, 0.5 - 1.0) AS r FROM totals
+), mx AS (SELECT MAX(r) AS m FROM raw),
+fr AS (SELECT source, r / (SELECT m FROM mx) AS frac FROM raw),
+mixed AS (
+  SELECT c.doc_id, c.source, c.text
+  FROM capped c JOIN fr USING (source)
+  WHERE {_H.format(c="c.doc_id")} < fr.frac * 1000000
+), labeled AS (
+  -- stage 4: disjoint 80/10/10 split from the same hash family
+  SELECT source, len(string_split(text, ' ')) AS n_tok,
+         CASE WHEN u < 800000 THEN 'train'
+              WHEN u < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *, {_H.format(c="doc_id")} AS u FROM mixed) t
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY split, source
+ORDER BY split, source
+""",
+)
+def pipeline_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation manifest — FOUR operators composed into one
+    lazy plan: quality gate (>= 40 tokens) -> per-source cap
+    (cap_per_group, k=15) -> temperature mixing (alpha=0.5 over the
+    CAPPED corpus totals) -> deterministic 80/10/10 hash split — then
+    the per-(split, source) doc/token manifest a training run consumes.
+    The oracle replays the identical md5 threshold chain stage by
+    stage; because every stage keys off the same id hash family, the
+    composition stays reproducible end to end."""
+    from skope_api_spark.operators.sampling import (
+        cap_per_group,
+        hash_split,
+        temperature_mixing,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.where(F.size(F.split("text", " ")) >= 40)
+    capped = cap_per_group(q, group_col="source", id_col="doc_id", k=15)
+    mixed = temperature_mixing(capped, alpha=0.5).drop("__frac")
+    labeled = hash_split(
+        mixed, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        labeled.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .orderBy("split", "source")
+    )
