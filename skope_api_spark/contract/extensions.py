@@ -1471,3 +1471,53 @@ def ts_rolling_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("purchase_v", 4).alias("purchase_v"),
         F.round("rolling_corr", 6).alias("rolling_corr"),
     ).orderBy("h")
+
+
+@query(
+    "graph_khop_distances",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src,
+           LEAD(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL AND src <> dst
+), seeds AS (
+  SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0
+), bfs AS (
+  SELECT node, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.d < 3
+)
+SELECT node AS part_node, CAST(MIN(d) AS INT) AS dist
+FROM bfs GROUP BY node
+ORDER BY dist, part_node
+""",
+)
+def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS over the part co-purchase graph: shortest
+    hop-distance (<= 3) from a deterministic seed set (src % 97 = 0).
+
+    The oracle is the SEMANTIC spec — a recursive CTE that enumerates
+    path prefixes and takes MIN(dist); the Spark side is the frontier
+    BFS in operators/graph.py:khop_distances, whose per-iteration cost
+    is one frontier-sized join + anti-join (the scale plan: frontiers
+    shrink, path enumeration explodes). This is the one registry shape
+    a recursive CTE expresses that Spark SQL has no native form for."""
+    from skope_api_spark.operators.graph import khop_distances, transition_edges
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = transition_edges(
+        li,
+        group_col="l_orderkey",
+        order_col="l_linenumber",
+        node_col="l_partkey",
+    )
+    seeds = edges.where(F.col("src") % 97 == 0).select(
+        F.col("src").alias("node")
+    )
+    out = khop_distances(edges, seeds, max_hops=3)
+    return out.select(
+        F.col("node").alias("part_node"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("dist", "part_node")

@@ -112,6 +112,59 @@ def pagerank(
     return ranks
 
 
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int,
+) -> DataFrame:
+    """Multi-source BFS: shortest hop-distance (≤ ``max_hops``) from any
+    seed node, over a directed edge list.
+
+    The standard frontier-based distributed BFS (Pregel's canonical
+    example; no proprietary lineage):
+
+    - ``frontier`` holds exactly the nodes first reached at distance d;
+      each iteration is ONE equi-join of the frontier onto ``edges`` (on
+      the src key — co-partitioned with the previous iteration's join
+      under AQE), one distinct, and one left-anti against the visited set.
+    - the frontier SHRINKS as the reachable set saturates, so later
+      iterations join ever-smaller sets — the opposite of the quadratic
+      growth a path-enumeration (recursive-CTE) evaluation pays. The
+      oracle for the contract query is exactly that recursive CTE, which
+      is fine at test scale and is the semantic spec, not the scale plan.
+    - ``visited`` is re-referenced by every later round, so each round is
+      ``localCheckpoint``-ed (eager, same pattern as ``duplicate_clusters``)
+      to keep the plan linear in ``max_hops`` instead of exponential.
+
+    ``seeds`` must be a 1-column ``node`` DataFrame. Returns
+    ``(node, dist)`` for every node within ``max_hops`` of a seed; seed
+    nodes report dist 0 even when absent from the edge list.
+    """
+    visited = (
+        seeds.select("node").distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_hops + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if not fresh.take(1):
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node")
+    return visited
+
+
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge list: (u, v) with u < v, distinct,
     self-loops dropped — the normalization triangle counting needs."""

@@ -1,0 +1,69 @@
+"""Multi-source k-hop BFS (operators/graph.py:khop_distances)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.graph import khop_distances
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_khop_path_graph_distances(spark):
+    # 0 -> 1 -> 2 -> 3 -> 4; seed {0}, 3 hops: node 4 unreachable
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    out = khop_distances(e, _seeds(spark, [0]), max_hops=3)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_khop_shortest_wins_over_longer_path(spark):
+    # two routes to node 3: 0->3 (1 hop) and 0->1->2->3 (3 hops)
+    e = _edges(spark, [(0, 3), (0, 1), (1, 2), (2, 3)])
+    out = khop_distances(e, _seeds(spark, [0]), max_hops=3)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got[3] == 1
+
+
+def test_khop_multi_source_min_over_seeds(spark):
+    # seeds {0, 4}; node 2 is 2 hops from 0 but 1 hop from 4
+    e = _edges(spark, [(0, 1), (1, 2), (4, 2)])
+    out = khop_distances(e, _seeds(spark, [0, 4]), max_hops=3)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 2: 1}
+
+
+def test_khop_isolated_seed_and_early_stop(spark):
+    # seed 99 has no out-edges: reported at dist 0, loop stops early
+    e = _edges(spark, [(0, 1)])
+    out = khop_distances(e, _seeds(spark, [99]), max_hops=5)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {99: 0}
+
+
+def test_khop_directedness(spark):
+    # edge 1 -> 0 does NOT make 1 reachable from 0
+    e = _edges(spark, [(1, 0)])
+    out = khop_distances(e, _seeds(spark, [0]), max_hops=2)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0}
+
+
+def test_khop_cycle_terminates(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    out = khop_distances(e, _seeds(spark, [0]), max_hops=10)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_khop_duplicate_seed_rows_collapse(spark):
+    e = _edges(spark, [(0, 1)])
+    seeds = _seeds(spark, [0, 0, 0])
+    out = khop_distances(e, seeds, max_hops=1)
+    assert out.groupBy("node").count().where(F.col("count") > 1).count() == 0
