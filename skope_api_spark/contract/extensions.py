@@ -1521,3 +1521,80 @@ def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_node"), F.col("dist").cast("int").alias("dist")
     ).orderBy("dist", "part_node")
+
+
+@query(
+    "hist_equi_width_price",
+    oracle="""
+SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+            WHEN l_extendedprice >= 105000.0 THEN 22
+            ELSE CAST(FLOOR((l_extendedprice - 900.0)
+                            / ((105000.0 - 900.0) / 21)) AS BIGINT) + 1
+       END AS bucket,
+       ROUND(900.0 + (CASE WHEN l_extendedprice < 900.0 THEN 0
+            WHEN l_extendedprice >= 105000.0 THEN 22
+            ELSE CAST(FLOOR((l_extendedprice - 900.0)
+                            / ((105000.0 - 900.0) / 21)) AS BIGINT) + 1
+       END - 1) * ((105000.0 - 900.0) / 21), 4) AS lo,
+       ROUND(900.0 + CASE WHEN l_extendedprice < 900.0 THEN 0
+            WHEN l_extendedprice >= 105000.0 THEN 22
+            ELSE CAST(FLOOR((l_extendedprice - 900.0)
+                            / ((105000.0 - 900.0) / 21)) AS BIGINT) + 1
+       END * ((105000.0 - 900.0) / 21), 4) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def hist_equi_width_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice over a fixed profiled
+    domain [900, 105000) in 21 bins (operators/quality.py:
+    equi_width_histogram — ONE width_bucket aggregation with map-side
+    combine; DuckDB has no width_bucket, so the oracle spells out the
+    identical floor arithmetic, verified bucket-exact at sf0.01 and
+    sf0.1)."""
+    from skope_api_spark.operators.quality import equi_width_histogram
+
+    li = load(spark, sf_dir, "lineitem")
+    out = equi_width_histogram(
+        li, "l_extendedprice", lo=900.0, hi=105000.0, buckets=21
+    )
+    return out.select(
+        "bucket",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        "n",
+    ).orderBy("bucket")
+
+
+_DECILE_BOUNDS_SQL = ", ".join(
+    f"ROUND(quantile_cont(l_extendedprice, {i / 10}), 2)" for i in range(1, 10)
+)
+
+
+@query(
+    "hist_equi_depth_price",
+    oracle=f"""
+WITH b AS (
+  SELECT [{_DECILE_BOUNDS_SQL}] AS bounds FROM lineitem
+)
+SELECT 1 + len(list_filter(b.bounds, x -> l_extendedprice > x)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem CROSS JOIN b
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def hist_equi_depth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of l_extendedprice: exact-percentile
+    boundaries (2-dp-rounded so the interpolated doubles are stable
+    cross-engine) broadcast as one scalar row, then an in-scan aggregate
+    fold bins each value — no ntile, no global sort funnel
+    (operators/quality.py:equi_depth_histogram; swap approx_percentile
+    into the boundary aggregate at extreme scale, same plan shape)."""
+    from skope_api_spark.operators.quality import equi_depth_histogram
+
+    li = load(spark, sf_dir, "lineitem")
+    out = equi_depth_histogram(li, "l_extendedprice", buckets=10)
+    return out.orderBy("bucket")

@@ -56,3 +56,80 @@ def constraint_report(
         ).alias("c")
     )
     return report.select("c.constraint", "c.observed", "c.passed")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int,
+) -> DataFrame:
+    """Equi-width histogram over fixed, caller-supplied bounds.
+
+    Returns (bucket, lo double, hi double, n) — bucket 0 is the underflow
+    bin and bucket+1 the overflow bin (width_bucket semantics); empty
+    buckets are absent. ONE aggregation with map-side combine; fixed
+    bounds (rather than a data-driven min/max subquery) keep the bin
+    edges reproducible across engines and across incremental refreshes —
+    pass the profiled domain, not the observed extremes.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    width = (hi - lo) / buckets
+    b = F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(buckets))
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).alias("lo"),
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    buckets: int,
+    boundary_decimals: int = 2,
+) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram: counts between exact
+    percentile boundaries.
+
+    Boundaries come from ONE exact-percentile aggregation (broadcast as a
+    1-row scalar; swap in approx_percentile at extreme scale — the plan
+    shape is identical), rounded to ``boundary_decimals`` so the
+    interpolated doubles are stable cross-engine, then each row is binned
+    with an in-scan aggregate fold over the boundary array — no sort, no
+    ntile, no global ordering funnel. Returns (bucket 1..buckets, n):
+    bucket b holds rows in (q_{b-1}, q_b] except bucket 1, which is
+    [min, q_1].
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.where(F.col(col).isNotNull()).agg(
+        F.array(
+            *[
+                F.round(F.percentile(F.col(col), F.lit(q)), boundary_decimals)
+                for q in qs
+            ]
+        ).alias("__bounds")
+    )
+    binned = df.where(F.col(col).isNotNull()).crossJoin(F.broadcast(bounds))
+    bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+    )
+    return binned.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,82 @@
+"""Histogram operators (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.quality import (
+    equi_depth_histogram,
+    equi_width_histogram,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rows = [(float(v),) for v in range(100)]  # 0..99
+    return spark.createDataFrame(rows, "x double")
+
+
+def test_equi_width_counts_and_edges(spark, values):
+    out = {
+        r["bucket"]: r["n"]
+        for r in equi_width_histogram(
+            values, "x", lo=0.0, hi=100.0, buckets=10
+        ).collect()
+    }
+    assert out == {b: 10 for b in range(1, 11)}
+
+
+def test_equi_width_under_over_flow(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (50.0,), (150.0,), (100.0,)], "x double"
+    )
+    out = {
+        r["bucket"]: r["n"]
+        for r in equi_width_histogram(
+            df, "x", lo=0.0, hi=100.0, buckets=4
+        ).collect()
+    }
+    # hi itself is overflow (right-open domain)
+    assert out == {0: 1, 3: 1, 5: 2}
+
+
+def test_equi_width_ignores_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (None,)], "x double")
+    out = equi_width_histogram(df, "x", lo=0.0, hi=10.0, buckets=2)
+    assert out.agg(F.sum("n")).first()[0] == 1
+
+
+def test_equi_width_validation(values):
+    with pytest.raises(ValueError, match="buckets"):
+        equi_width_histogram(values, "x", lo=0.0, hi=1.0, buckets=0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        equi_width_histogram(values, "x", lo=2.0, hi=1.0, buckets=3)
+
+
+def test_equi_depth_balanced(spark, values):
+    out = {
+        r["bucket"]: r["n"]
+        for r in equi_depth_histogram(values, "x", buckets=4).collect()
+    }
+    assert sum(out.values()) == 100
+    assert set(out) == {1, 2, 3, 4}
+    assert all(20 <= n <= 30 for n in out.values())
+
+
+def test_equi_depth_skewed_mass_on_one_value(spark):
+    # 90% of the mass on a single value: duplicated boundaries collapse
+    # every tied row into the same (lowest-qualifying) bucket
+    rows = [(1.0,)] * 90 + [(float(v),) for v in range(2, 12)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {
+        r["bucket"]: r["n"]
+        for r in equi_depth_histogram(df, "x", buckets=4).collect()
+    }
+    assert sum(out.values()) == 100
+    assert out[1] == 90  # all ties land together — no row split
+
+
+def test_equi_depth_validation(values):
+    with pytest.raises(ValueError, match="buckets"):
+        equi_depth_histogram(values, "x", buckets=1)
