@@ -651,3 +651,41 @@ def ts_level_shift_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("after_mean", 4).alias("after_mean"),
         "is_shift",
     ).orderBy("mon")
+
+
+@query(
+    "session_top_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), paths AS (
+  SELECT user_id, sid,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent session journeys: sessionize (same 30-min gap
+    rule as sessionize_events), rebuild each session's ordered event-type
+    path via array_sort(collect_list(struct)) — the deterministic form of
+    an ordered STRING_AGG — and TakeOrdered the path histogram
+    (operators/funnel.py:session_paths)."""
+    from skope_api_spark.operators.funnel import session_paths
+
+    return session_paths(_events(spark, sf_dir), top_k=20)

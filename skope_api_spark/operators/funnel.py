@@ -110,3 +110,72 @@ def cohort_retention(
         .groupBy("cohort", "period_n")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    gap: str = "30 minutes",
+    top_k: int = 20,
+    max_path_events: int | None = None,
+) -> DataFrame:
+    """Top-k most frequent session paths (the "user journey" report).
+
+    Sessionizes with the shared gap rule (operators/windows.py:
+    sessionize — one window pass), reconstructs each session's ordered
+    event-type sequence with ``array_sort(collect_list(struct(...)))``
+    (collect_list order is NOT deterministic in a distributed shuffle;
+    the sort key is the total order ``order_cols``), joins it to a
+    ``'>'``-delimited path string, and counts paths. Returns
+    (path, n_sessions) as TakeOrderedAndProject top-k, count-desc with a
+    lexicographic tie-break.
+
+    Per-session state is bounded by session length (the operator's
+    inherent cost); ``max_path_events`` truncates pathological sessions
+    (bot traffic) with an explicit ``...`` suffix marker rather than
+    silently dropping them.
+    """
+    from skope_api_spark.operators.windows import sessionize
+
+    sess = sessionize(
+        events,
+        ts_col=ts_col,
+        order_by=tuple(order_cols),
+        partition_by=(user_col,),
+        gap=gap,
+        out_col="__sid",
+    )
+    key = F.struct(*[F.col(c) for c in order_cols], F.col(type_col))
+    seq = (
+        sess.groupBy(user_col, "__sid")
+        .agg(F.array_sort(F.collect_list(key)).alias("__seq"))
+        .select(
+            F.transform("__seq", lambda s: s[type_col]).alias("__types")
+        )
+    )
+    if max_path_events is not None:
+        if max_path_events < 1:
+            raise ValueError("max_path_events must be >= 1")
+        truncated = F.size("__types") > max_path_events
+        seq = seq.select(
+            F.when(
+                truncated,
+                F.concat(
+                    F.slice("__types", 1, max_path_events),
+                    F.array(F.lit("...")),
+                ),
+            )
+            .otherwise(F.col("__types"))
+            .alias("__types")
+        )
+    paths = seq.select(F.array_join("__types", ">").alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )
