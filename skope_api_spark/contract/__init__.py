@@ -20,6 +20,7 @@ def _load_all() -> None:
         scalars2,
         similarity,
         skope,
+        stats,
         text,
         windows,
     )

@@ -1,0 +1,207 @@
+"""Inference statistics as single-pass aggregations: grouped OLS fits and
+hash-deterministic bootstrap resampling.
+
+Scale shapes (the point of each design):
+
+- **grouped OLS** — a simple linear regression per group is six algebraic
+  sums (n, Σx, Σy, Σxy, Σx², Σy²); ONE hash aggregate with map-side
+  combine, closed-form slope/intercept/R² in the projection. No per-group
+  solver, no second pass.
+- **multi-feature OLS** — the normal-equations sufficient statistics
+  (XᵀX, Xᵀy) are (k²+k) numbers independent of corpus size, accumulated
+  exactly like ``linalg.covariance`` and solved once on the driver; the
+  fitted coefficients broadcast back as literals for residual scoring.
+- **bootstrap** — B subsample replicates are B *conditional aggregates in
+  one scan*: replicate b keeps a row iff the shared ``md5_long`` uniform
+  of (id, b) clears the subsample threshold, so membership is
+  deterministic, engine-independent (DuckDB replays the identical md5
+  chain), and requires no RNG state, no shuffle, and no data duplication
+  — the classic "m out of n without replacement" bootstrap, whose
+  replicate spread estimates the sampling variability of the full-sample
+  statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skope_api_spark.operators.dedup import md5_long
+
+_HASH_MOD = 1_000_000
+
+
+def grouped_ols(
+    df: DataFrame,
+    *,
+    y: str,
+    x: str,
+    by: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """Per-group simple linear regression y = slope·x + intercept.
+
+    Returns group cols + (n, slope, intercept, r2); slope/intercept/r2
+    are NULL for degenerate groups (var(x) == 0 or n == 0; r2 also NULL
+    when var(y) == 0). Population-moment (regr_*-compatible) formulas.
+    """
+    if not by:
+        raise ValueError("by must name at least one group column")
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    both = xc.isNotNull() & yc.isNotNull()
+    agg = df.groupBy(*by).agg(
+        F.count(F.when(both, 1)).alias("n"),
+        F.sum(F.when(both, xc)).alias("__sx"),
+        F.sum(F.when(both, yc)).alias("__sy"),
+        F.sum(F.when(both, xc * yc)).alias("__sxy"),
+        F.sum(F.when(both, xc * xc)).alias("__sxx"),
+        F.sum(F.when(both, yc * yc)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    ssx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    ssy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    sxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when(ssx != 0, sxy / ssx)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = F.when((ssx != 0) & (ssy != 0), (sxy * sxy) / (ssx * ssy))
+    return agg.select(
+        *by,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def ols_fit(
+    df: DataFrame,
+    *,
+    y: str,
+    features: list[str] | tuple[str, ...],
+    intercept: bool = True,
+):
+    """Multi-feature OLS via distributed normal equations.
+
+    Accumulates XᵀX and Xᵀy in ONE aggregation (k²+k scalars), solves on
+    the driver with ``numpy.linalg.solve``. Returns a numpy coefficient
+    vector ordered [intercept?, *features]. Rank-deficient designs raise.
+    """
+    import numpy as np
+
+    if not features:
+        raise ValueError("features must be non-empty")
+    cols = [F.lit(1.0).alias("__c")] if intercept else []
+    cols += [F.col(f).cast("double") for f in features]
+    yc = F.col(y).cast("double")
+    k = len(features) + (1 if intercept else 0)
+    terms = []
+    names = []
+    xs = cols
+    for i in range(k):
+        for j in range(i, k):
+            names.append(f"__xtx_{i}_{j}")
+            terms.append(F.sum(xs[i] * xs[j]).alias(names[-1]))
+    for i in range(k):
+        names.append(f"__xty_{i}")
+        terms.append(F.sum(xs[i] * yc).alias(names[-1]))
+    row = df.agg(*terms).first()
+    XtX = np.zeros((k, k))
+    Xty = np.zeros(k)
+    for i in range(k):
+        for j in range(i, k):
+            XtX[i, j] = XtX[j, i] = row[f"__xtx_{i}_{j}"]
+        Xty[i] = row[f"__xty_{i}"]
+    if np.linalg.matrix_rank(XtX) < k:
+        raise ValueError("design matrix is rank-deficient")
+    return np.linalg.solve(XtX, Xty)
+
+
+def bootstrap_replicate_means(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    replicates: int = 32,
+    frac: float = 0.5,
+    value_decimals: int | None = None,
+) -> DataFrame:
+    """B hash-deterministic subsample replicates of mean(value) in ONE
+    scan: (replicate, n_rows, mean) — replicate b keeps a row iff
+    ``md5_long(id || ':' || b) % 1e6 < frac·1e6`` (the engine's shared
+    sampling hash; the DuckDB oracle replays it verbatim).
+
+    ``value_decimals``: for fixed-point money columns, pass the scale
+    (e.g. 2) and each replicate mean is computed as an EXACT
+    decimal(18, scale) sum followed by one double division — bit-identical
+    across engines per the registry money-sum rule, where a plain double
+    avg over ~10⁴ big values carries ~1e-5 accumulation-order noise.
+    """
+    if not 1 <= replicates <= 1024:
+        raise ValueError("replicates must be in [1, 1024]")
+    if not 0.0 < frac < 1.0:
+        raise ValueError("frac must be in (0, 1)")
+    threshold = int(frac * _HASH_MOD)
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for b in range(replicates):
+        member = (
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{b}"))
+            )
+            % _HASH_MOD
+            < threshold
+        )
+        aggs.append(F.count(F.when(member, 1)).alias(f"__n_{b}"))
+        if value_decimals is not None:
+            dec = F.col(value_col).cast(f"decimal(18,{value_decimals})")
+            aggs.append(
+                (
+                    F.sum(F.when(member, dec)).cast("double")
+                    / F.count(F.when(member, 1))
+                ).alias(f"__m_{b}")
+            )
+        else:
+            aggs.append(F.avg(F.when(member, v)).alias(f"__m_{b}"))
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("replicate"),
+                F.col(f"__n_{b}").alias("n_rows"),
+                F.col(f"__m_{b}").alias("mean"),
+            )
+            for b in range(replicates)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.replicate", "r.n_rows", "r.mean"
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    replicates: int = 32,
+    frac: float = 0.5,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile bootstrap CI for mean(value): one corpus scan for the
+    replicates plus one B-row reduce. Returns a single row
+    (point_estimate, ci_lo, ci_hi, n_replicates)."""
+    reps = bootstrap_replicate_means(
+        df,
+        value_col=value_col,
+        id_col=id_col,
+        replicates=replicates,
+        frac=frac,
+    )
+    point = df.agg(
+        F.avg(F.col(value_col).cast("double")).alias("point_estimate")
+    )
+    ci = reps.agg(
+        F.percentile(F.col("mean"), F.lit(alpha / 2)).alias("ci_lo"),
+        F.percentile(F.col("mean"), F.lit(1 - alpha / 2)).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci))

@@ -1,0 +1,142 @@
+"""Inference statistics (operators/stats.py): OLS vs numpy, bootstrap
+determinism and CI sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from skope_api_spark.operators.stats import (
+    bootstrap_ci,
+    bootstrap_replicate_means,
+    grouped_ols,
+    ols_fit,
+)
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 10, 300)
+    y = 3.0 * x + 2.0 + rng.normal(0, 0.5, 300)
+    df = spark.createDataFrame(
+        [(i, "g", float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))],
+        "id long, g string, x double, y double",
+    )
+    return x, y, df
+
+
+def test_grouped_ols_matches_numpy(xy):
+    x, y, df = xy
+    row = grouped_ols(df, y="y", x="x", by=["g"]).first()
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n"] == 300
+    assert abs(row["slope"] - slope) < 1e-9
+    assert abs(row["intercept"] - intercept) < 1e-9
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(row["r2"] - r * r) < 1e-9
+
+
+def test_grouped_ols_degenerate_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 1.0, 7.0), ("b", 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in grouped_ols(df, y="y", x="x", by=["g"]).collect()}
+    assert rows["a"]["slope"] is None  # var(x) == 0
+    assert rows["b"]["slope"] is None  # single point
+
+
+def test_grouped_ols_ignores_null_pairs(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", None, 9.0), ("a", 3.0, None)],
+        "g string, x double, y double",
+    )
+    row = grouped_ols(df, y="y", x="x", by=["g"]).first()
+    assert row["n"] == 2
+    assert abs(row["slope"] - 1.0) < 1e-12
+
+
+def test_grouped_ols_requires_group(xy):
+    _, _, df = xy
+    with pytest.raises(ValueError, match="group column"):
+        grouped_ols(df, y="y", x="x", by=[])
+
+
+def test_ols_fit_matches_lstsq(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 3))
+    beta = np.array([1.5, -2.0, 0.5])
+    y = X @ beta + 4.0 + rng.normal(0, 0.1, 200)
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), float(c), float(t))
+            for (a, b, c), t in zip(X, y)
+        ],
+        "f1 double, f2 double, f3 double, y double",
+    )
+    coef = ols_fit(df, y="y", features=["f1", "f2", "f3"])
+    ref = np.linalg.lstsq(
+        np.column_stack([np.ones(len(y)), X]), y, rcond=None
+    )[0]
+    assert np.abs(coef - ref).max() < 1e-8
+
+
+def test_ols_fit_rank_deficient_raises(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 7.0), (3.0, 6.0, 9.0)],
+        "f1 double, f2 double, y double",  # f2 = 2*f1
+    )
+    with pytest.raises(ValueError, match="rank-deficient"):
+        ols_fit(df, y="y", features=["f1", "f2"])
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rng = np.random.default_rng(5)
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.normal(100, 10, 500))],
+        "id long, v double",
+    )
+
+
+def test_bootstrap_replicates_deterministic(values):
+    a = bootstrap_replicate_means(
+        values, value_col="v", id_col="id", replicates=8
+    ).collect()
+    b = bootstrap_replicate_means(
+        values, value_col="v", id_col="id", replicates=8
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bootstrap_replicates_distinct_samples(values):
+    rows = bootstrap_replicate_means(
+        values, value_col="v", id_col="id", replicates=8
+    ).collect()
+    assert len(rows) == 8
+    # half-subsamples hover around n/2 and differ between replicates
+    assert all(200 <= r["n_rows"] <= 300 for r in rows)
+    assert len({r["mean"] for r in rows}) > 1
+
+
+def test_bootstrap_validation(values):
+    with pytest.raises(ValueError, match="replicates"):
+        bootstrap_replicate_means(
+            values, value_col="v", id_col="id", replicates=0
+        )
+    with pytest.raises(ValueError, match="frac"):
+        bootstrap_replicate_means(
+            values, value_col="v", id_col="id", frac=1.5
+        )
+
+
+def test_bootstrap_ci_brackets_truth(values):
+    row = bootstrap_ci(
+        values, value_col="v", id_col="id", replicates=32
+    ).first()
+    assert row["n_replicates"] == 32
+    assert row["ci_lo"] <= row["point_estimate"] <= row["ci_hi"]
+    # population mean 100, sd 10, n 500: CI of half-subsample means is
+    # roughly ±1.2 — generous bounds guard regressions, not the theory
+    assert 97 < row["ci_lo"] < row["ci_hi"] < 103
