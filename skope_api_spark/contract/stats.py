@@ -90,3 +90,73 @@ def stats_bootstrap_means_totalprice(
         value_decimals=2,
     )
     return out.orderBy("replicate")
+
+
+@query(
+    "ts_holt_forecast_daily_users",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+), series AS (
+  SELECT user_id, LIST(v ORDER BY day) AS vals
+  FROM daily GROUP BY user_id
+), fitted AS (
+  SELECT user_id, len(vals) AS n_points,
+         list_reduce(
+           [[CAST(x AS DOUBLE), 0.0] FOR x IN vals],
+           (acc, e) -> [
+             0.4 * e[1] + 0.6 * (acc[1] + acc[2]),
+             0.2 * ((0.4 * e[1] + 0.6 * (acc[1] + acc[2])) - acc[1])
+               + 0.8 * acc[2]
+           ]
+         ) AS acc
+  FROM series
+)
+SELECT user_id, CAST(n_points AS INT) AS n_points,
+       ROUND(acc[1], 6) AS level,
+       ROUND(acc[2], 6) AS trend,
+       ROUND(acc[1] + 1.0 * acc[2], 6) AS forecast_1,
+       ROUND(acc[1] + 2.0 * acc[2], 6) AS forecast_2
+FROM fitted
+ORDER BY user_id
+""",
+)
+def ts_holt_forecast_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear smoothing over each user's daily event-value series
+    (alpha 0.4, beta 0.2, 2-step forecast) — the sequential recurrence a
+    window cannot express, run as a JVM-side F.aggregate fold
+    (operators/forecast.py). Series values are exact decimal(18,2) daily
+    sums cast to double once, so the fold inputs are bit-identical
+    cross-engine and the oracle is DuckDB's list_reduce replay of the
+    same lambda (identical IEEE evaluation order; 6-dp rounding is
+    belt-and-braces only)."""
+    from skope_api_spark.operators.forecast import holt_forecast
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    out = holt_forecast(
+        daily,
+        key_cols=("user_id",),
+        order_col="day",
+        value_col="v",
+        alpha=0.4,
+        beta=0.2,
+        horizon=2,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_points").cast("int").alias("n_points"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_1", 6).alias("forecast_1"),
+        F.round("forecast_2", 6).alias("forecast_2"),
+    ).orderBy("user_id")
