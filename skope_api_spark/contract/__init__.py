@@ -37,7 +37,18 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # SKOPE datacube core (S/P/J/A/W rows of SURVEY §2)
     "skope_point_extraction",
     "skope_zonal_mean",
-    "skope_zonal_median_monthly",
+    # r07 session-3 rotation: four r06-driver-VERIFIED, family-redundant
+    # entries cede their slots to this session's new flagships, so the
+    # round's driver gate verifies four first-timers while every family
+    # keeps a gated representative (zonal: mean/summary/polygon; windows:
+    # w1/w3/w4; similarity: cosine/lsh/ivf/bucketed/recall; text:
+    # quality/tfidf/chunk/c4/bm25/linear). Ceded queries stay covered by
+    # the full check_correctness replay:
+    #   skope_zonal_median_monthly  -> graph_khop_distances
+    #   w2_trailing_moving_average  -> ts_holt_forecast_daily_users
+    #   sim_semantic_dedup          -> sim_embedding_covariance
+    #   text_langid_token_profile   -> stats_bootstrap_means_totalprice
+    "graph_khop_distances",
     "skope_bbox_zonal_area",
     # r07 gate rotation (VERDICT r06 item 6): five redundant skope_*/w4
     # variants and two same-family asof/sim slots cede their positions to
@@ -76,7 +87,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skope_multi_series_fanout",
     # W1-W4 window core + window extensions
     "w1_centered_moving_average",
-    "w2_trailing_moving_average",
+    "ts_holt_forecast_daily_users",
     "w3_rolling_zscore",
     "w4_fixed_interval_zscore",
     "q21_waiting_supplier",
@@ -87,7 +98,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # lag_lead_deltas, running_cumulative_sum) ceded to the round's
     # flagship pipeline operators; the battery stays regression-covered
     # by the full check_correctness replay
-    "sim_semantic_dedup",
+    "sim_embedding_covariance",
     "dedup_minhash_cross_corpus",
     "text_chunk_documents",
     "layout_zorder_events",
@@ -102,7 +113,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # token counting stays regression-covered by the full replay)
     "text_quality_stats",
     "spatial_join_points_polygons",
-    "text_langid_token_profile",
+    "stats_bootstrap_means_totalprice",
     "text_tfidf_top_terms",
     "join_bloom_pruned_revenue",
     "mm_binary_stats",

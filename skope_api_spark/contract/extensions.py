@@ -1598,3 +1598,77 @@ def hist_equi_depth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     out = equi_depth_histogram(li, "l_extendedprice", buckets=10)
     return out.orderBy("bucket")
+
+
+@query(
+    "hh_misra_gries_report",
+    oracle="""
+WITH items AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot_' || (l_orderkey % 2)
+              ELSE 'cold_' || l_orderkey END AS item
+  FROM lineitem
+), exact AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count FROM items GROUP BY item
+)
+SELECT item, exact_count,
+       TRUE AS present_ok,
+       TRUE AS bound_ok
+FROM exact
+ORDER BY exact_count DESC, item
+LIMIT 10
+""",
+)
+def hh_misra_gries_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters with a realized-accuracy
+    contract (operators/heavyhitters.py). Domain: a hot-head/long-tail
+    key over lineitem (two ~n/6 hot items + ~40k singleton-ish cold
+    items — the open-domain regime where pre-shuffle summary compression
+    matters; 64 counters, threshold n/65).
+
+    The MG estimates themselves depend on the batch layout, so the
+    contract hashes what theory makes PARTITIONING-INDEPENDENT: for the
+    top-10 items by exact count, ``present_ok`` (every item above the
+    n/(m+1) undercount threshold survived, vacuous below it) and
+    ``bound_ok`` (0 <= exact - est <= n/(m+1), checked in exact integer
+    arithmetic). Same realized-bound pattern as
+    ``quantile_approx_accuracy``."""
+    from skope_api_spark.operators.heavyhitters import mg_estimates
+
+    m = 64
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.concat(F.lit("hot_"), (F.col("l_orderkey") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("l_orderkey").cast("string")))
+        .alias("item")
+    )
+    exact = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    est = mg_estimates(items, "item", counters=m).withColumnRenamed(
+        "est_count", "__est"
+    )
+    n = items.agg(F.count(F.lit(1)).alias("__n"))
+    joined = (
+        exact.join(est, "item", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "exact_count",
+            (
+                (F.col("exact_count") * (m + 1) <= F.col("__n"))
+                | (F.coalesce("__est", F.lit(0)) > 0)
+            ).alias("present_ok"),
+            (
+                (F.coalesce("__est", F.lit(0)) <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.coalesce("__est", F.lit(0)))
+                    * (m + 1)
+                    <= F.col("__n")
+                )
+            ).alias("bound_ok"),
+        )
+    )
+    return joined.orderBy(F.desc("exact_count"), "item").limit(10)
