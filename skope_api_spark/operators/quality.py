@@ -104,24 +104,29 @@ def equi_depth_histogram(
     """Equi-depth (quantile-bucket) histogram: counts between exact
     percentile boundaries.
 
-    Boundaries come from ONE exact-percentile aggregation (broadcast as a
-    1-row scalar; swap in approx_percentile at extreme scale — the plan
-    shape is identical), rounded to ``boundary_decimals`` so the
-    interpolated doubles are stable cross-engine, then each row is binned
-    with an in-scan aggregate fold over the boundary array — no sort, no
-    ntile, no global ordering funnel. Returns (bucket 1..buckets, n):
-    bucket b holds rows in (q_{b-1}, q_b] except bucket 1, which is
-    [min, q_1].
+    Boundaries come from the DISTRIBUTED exact-quantile operator
+    (operators/stats.py:exact_quantiles — range-partitioned value
+    histogram + distributed prefix sum; Spark's built-in exact
+    ``percentile`` buffers every value in one reducer and measured ~150 s
+    at sf1 where this plan takes ~5 s), rounded to ``boundary_decimals``
+    so the interpolated doubles are stable cross-engine, then each row is
+    binned with an in-scan aggregate fold over the broadcast boundary
+    array — no ntile, no global ordering funnel. Returns
+    (bucket 1..buckets, n): bucket b holds rows in (q_{b-1}, q_b] except
+    bucket 1, which is [min, q_1].
     """
+    from skope_api_spark.operators.stats import exact_quantiles
+
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     qs = [i / buckets for i in range(1, buckets)]
-    bounds = df.where(F.col(col).isNotNull()).agg(
-        F.array(
-            *[
-                F.round(F.percentile(F.col(col), F.lit(q)), boundary_decimals)
-                for q in qs
-            ]
+    quants = exact_quantiles(df, col, qs)
+    bounds = quants.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("prob"), F.col("value")))
+            ),
+            lambda s: F.round(s["value"], boundary_decimals),
         ).alias("__bounds")
     )
     binned = df.where(F.col(col).isNotNull()).crossJoin(F.broadcast(bounds))

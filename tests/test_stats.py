@@ -140,3 +140,61 @@ def test_bootstrap_ci_brackets_truth(values):
     # population mean 100, sd 10, n 500: CI of half-subsample means is
     # roughly ±1.2 — generous bounds guard regressions, not the theory
     assert 97 < row["ci_lo"] < row["ci_hi"] < 103
+
+
+def test_exact_quantiles_match_builtin_percentile(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.uniform(0, 1000, 2000), 2)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(df, "x", probs, partitions=8).collect()
+    }
+    ref = df.agg(
+        *[F.percentile("x", F.lit(p)).alias(str(p)) for p in probs]
+    ).first()
+    for p in probs:
+        assert abs(got[p] - ref[str(p)]) < 1e-9, p
+
+
+def test_exact_quantiles_duplicates_and_edges(spark):
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    # heavy ties: rank intervals span values
+    df = spark.createDataFrame(
+        [(1.0,)] * 50 + [(2.0,)] * 30 + [(3.0,)] * 20, "x double"
+    )
+    got = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.9, 1.0]).collect()
+    }
+    assert got[0.0] == 1.0 and got[1.0] == 3.0
+    assert got[0.25] == 1.0  # rank 24.75 inside the 1.0 run
+    assert got[0.5] == 1.5   # rank 49.5 straddles the last 1.0 / first 2.0
+    assert got[0.9] == 3.0   # rank 89.1 inside the 3.0 run
+
+
+def test_exact_quantiles_interpolates_between_values(spark):
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    got = exact_quantiles(df, "x", [0.5]).first()
+    assert abs(got["value"] - 5.0) < 1e-12
+
+
+def test_exact_quantiles_ignores_nulls_and_validates(spark):
+    import pytest as _pytest
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    got = exact_quantiles(df, "x", [1.0]).first()
+    assert got["value"] == 3.0
+    with _pytest.raises(ValueError, match="probs"):
+        exact_quantiles(df, "x", [])
+    with _pytest.raises(ValueError, match="probs"):
+        exact_quantiles(df, "x", [1.5])
