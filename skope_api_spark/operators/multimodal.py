@@ -10,7 +10,9 @@ Every stage exposes its kernel as an INJECTABLE parameter (``decoder=`` /
 is a one-line swap at the call site with zero changes to the Spark
 plumbing (the same seam pattern as ``sources/geotiff.py``'s ``reader=``).
 
-Defaults in this environment (no image/audio libraries installed):
+Defaults in this environment (no image/audio libraries installed;
+real pure-stdlib decoders now cover PNG/JPEG/GIF images in png.py/
+jpeg.py/gif.py and WAV/PCM audio in wav.py):
 
 - ``decode_image_metadata`` — REAL pure-Python header parsing
   (PNG IHDR / GIF screen descriptor / JPEG SOFn walk).
