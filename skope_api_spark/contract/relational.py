@@ -1593,3 +1593,41 @@ def q20_part_supplier_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_suppkey")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "grouping_sets_order_mix",
+    oracle="""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+    AS gid,
+  ROUND(SUM(o_totalprice), 2) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def grouping_sets_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the grouping shape ROLLUP/CUBE can't
+    express (disjoint single-column sets + grand total, no pair set).
+    grouping_id disambiguates real NULL keys from subtotal rows; Spark
+    evaluates this as one Expand + single aggregation, same as its
+    rollup/cube plans."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return orders.sparkSession.sql("""
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS BIGINT) AS gid,
+          ROUND(SUM(o_totalprice), 2) AS total,
+          COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
+    """)
