@@ -160,3 +160,53 @@ def ts_holt_forecast_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast_1", 6).alias("forecast_1"),
         F.round("forecast_2", 6).alias("forecast_2"),
     ).orderBy("user_id")
+
+
+@query(
+    "stats_robust_price_summary",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.5)  AS med,
+         quantile_cont(l_extendedprice, 0.75)
+           - quantile_cont(l_extendedprice, 0.25) AS iqr,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+  FROM lineitem
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_extendedprice >= q.lo
+                        AND l_extendedprice <= q.hi
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           / COUNT(CASE WHEN l_extendedprice >= q.lo
+                         AND l_extendedprice <= q.hi THEN 1 END)
+           AS trimmed_mean
+  FROM lineitem CROSS JOIN q
+), d AS (
+  SELECT quantile_cont(ABS(l_extendedprice - q.med), 0.5) AS mad
+  FROM lineitem CROSS JOIN q
+)
+SELECT t.n, ROUND(q.med, 4) AS median, ROUND(d.mad, 4) AS mad,
+       ROUND(q.iqr, 4) AS iqr, ROUND(t.trimmed_mean, 4) AS trimmed_mean
+FROM q CROSS JOIN t CROSS JOIN d
+""",
+)
+def stats_robust_price_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale profile of l_extendedprice: exact median,
+    MAD, IQR (distributed exact_quantiles — no single-reducer buffer),
+    and the 5%-trimmed mean (2-dp-rounded trim bounds so the trimmed SET
+    is engine-identical, then an exact decimal sum per the money rule).
+    operators/stats.py:robust_summary."""
+    from skope_api_spark.operators.stats import robust_summary
+
+    li = load(spark, sf_dir, "lineitem")
+    out = robust_summary(
+        li, "l_extendedprice", trim=0.05, boundary_decimals=2,
+        value_decimals=2,
+    )
+    return out.select(
+        "n",
+        F.round("median", 4).alias("median"),
+        F.round("mad", 4).alias("mad"),
+        F.round("iqr", 4).alias("iqr"),
+        F.round("trimmed_mean", 4).alias("trimmed_mean"),
+    )

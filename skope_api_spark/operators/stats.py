@@ -307,3 +307,78 @@ def exact_quantiles(
             * (F.col("__vhi") - F.col("__vlo"))
         ).alias("value"),
     )
+
+
+def robust_summary(
+    df: DataFrame,
+    col: str,
+    *,
+    trim: float = 0.05,
+    partitions: int | None = None,
+    boundary_decimals: int | None = None,
+    value_decimals: int | None = None,
+) -> DataFrame:
+    """Robust location/scale summary: median, MAD, IQR, trimmed mean.
+
+    Composition of the distributed ``exact_quantiles`` (no single-reducer
+    value buffer anywhere):
+
+    1. one quantile pass -> median, q1, q3, and the [trim, 1-trim]
+       bounds, broadcast as a 1-row scalar;
+    2. one conditional-aggregate scan -> trimmed mean (rows inside the
+       trim bounds) and n;
+    3. one more quantile pass over |x - median| -> MAD (median absolute
+       deviation, the robust sigma: sigma ~ 1.4826 * MAD for normal data).
+
+    Returns a single row (n, median, mad, iqr, trimmed_mean).
+
+    ``boundary_decimals``: round the trim bounds before filtering —
+    interpolated quantile doubles can differ across engines in the last
+    ulp, and an unrounded bound lets a single boundary row flip trimmed
+    membership; rounded bounds make the trimmed SET identical (same
+    rationale as equi_depth_histogram's boundary rounding).
+    ``value_decimals``: as in bootstrap_replicate_means — exact
+    decimal-sum trimmed mean for fixed-point columns.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    v = F.col(col).cast("double")
+    qs = exact_quantiles(
+        df, col, [0.25, 0.5, 0.75, trim, 1.0 - trim], partitions=partitions
+    )
+    bounds = qs.groupBy().pivot("prob").agg(F.first("value"))
+    lo_c, hi_c = str(float(trim)), str(float(1.0 - trim))
+    lo_raw, hi_raw = F.col(f"`{lo_c}`"), F.col(f"`{hi_c}`")
+    if boundary_decimals is not None:
+        lo_raw = F.round(lo_raw, boundary_decimals)
+        hi_raw = F.round(hi_raw, boundary_decimals)
+    scalars = bounds.select(
+        F.col("`0.5`").alias("__med"),
+        (F.col("`0.75`") - F.col("`0.25`")).alias("__iqr"),
+        lo_raw.alias("__lo"),
+        hi_raw.alias("__hi"),
+    )
+    with_scalars = df.where(v.isNotNull()).crossJoin(F.broadcast(scalars))
+    inside = (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    if value_decimals is not None:
+        dec = F.col(col).cast(f"decimal(18,{value_decimals})")
+        tmean = F.sum(F.when(inside, dec)).cast("double") / F.count(
+            F.when(inside, 1)
+        )
+    else:
+        tmean = F.avg(F.when(inside, v))
+    trimmed = with_scalars.agg(
+        F.count(F.lit(1)).alias("n"),
+        tmean.alias("trimmed_mean"),
+        F.first("__med").alias("median"),
+        F.first("__iqr").alias("iqr"),
+    )
+    dev = df.where(v.isNotNull()).crossJoin(F.broadcast(scalars)).select(
+        F.abs(v - F.col("__med")).alias("__dev")
+    )
+    mad = exact_quantiles(dev, "__dev", [0.5], partitions=partitions).select(
+        F.col("value").alias("mad")
+    )
+    return trimmed.crossJoin(F.broadcast(mad)).select(
+        "n", "median", "mad", "iqr", "trimmed_mean"
+    )

@@ -198,3 +198,48 @@ def test_exact_quantiles_ignores_nulls_and_validates(spark):
         exact_quantiles(df, "x", [])
     with _pytest.raises(ValueError, match="probs"):
         exact_quantiles(df, "x", [1.5])
+
+
+def test_robust_summary_matches_numpy(spark):
+    import numpy as np
+    from skope_api_spark.operators.stats import robust_summary
+
+    rng = np.random.default_rng(13)
+    vals = np.round(rng.normal(50, 5, 1000), 3)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    row = robust_summary(df, "x", trim=0.1).first()
+    assert row["n"] == 1000
+    assert abs(row["median"] - np.quantile(vals, 0.5)) < 1e-9
+    assert abs(
+        row["iqr"] - (np.quantile(vals, 0.75) - np.quantile(vals, 0.25))
+    ) < 1e-9
+    assert abs(
+        row["mad"] - np.quantile(np.abs(vals - np.quantile(vals, 0.5)), 0.5)
+    ) < 1e-9
+    lo, hi = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
+    ref = vals[(vals >= lo) & (vals <= hi)].mean()
+    assert abs(row["trimmed_mean"] - ref) < 1e-9
+
+
+def test_robust_summary_outlier_resistant(spark):
+    from skope_api_spark.operators.stats import robust_summary
+
+    base = [float(v) for v in range(100)]
+    df_clean = spark.createDataFrame([(v,) for v in base], "x double")
+    df_dirty = spark.createDataFrame(
+        [(v,) for v in base + [1e9]], "x double"
+    )
+    clean = robust_summary(df_clean, "x").first()
+    dirty = robust_summary(df_dirty, "x").first()
+    # median/MAD barely move under a 1e9 outlier
+    assert abs(clean["median"] - dirty["median"]) <= 1.0
+    assert abs(clean["mad"] - dirty["mad"]) <= 1.0
+
+
+def test_robust_summary_trim_validation(spark):
+    from skope_api_spark.operators.stats import robust_summary
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="trim"):
+        robust_summary(df, "x", trim=0.5)
