@@ -46,8 +46,14 @@ def _dim(df: DataFrame, col: str) -> int:
 
 
 def _explode_partials(df: DataFrame, col: str) -> DataFrame:
-    """(i, j, sum_xy, sum_x, n) upper-triangle sufficient statistics via
-    pure built-in explode + hash aggregate."""
+    """(i, j, sum_xy, sum_xi, sum_xj, n) upper-triangle sufficient
+    statistics via pure built-in explode + ONE hash aggregate.
+
+    The marginal sums ride along in the SAME (i, j) groups, so covariance
+    derives in the projection with no join-back — referencing the
+    aggregate from multiple branches would recompute the corpus scan
+    (the first cut of this operator planned 4 scans; this one plans 1).
+    """
     x = F.transform(F.col(col), lambda v: v.cast("double"))
     pos = df.select(x.alias("__x")).select(
         F.posexplode("__x").alias("i", "__xi"), F.col("__x")
@@ -64,14 +70,12 @@ def _explode_partials(df: DataFrame, col: str) -> DataFrame:
         (F.col("i") + F.col("__joff")).alias("j"),
         (F.col("__xi") * F.col("__xj")).alias("__xy"),
         "__xi",
+        "__xj",
     )
     return pairs.groupBy("i", "j").agg(
         F.sum("__xy").alias("sum_xy"),
-        # Σx_i restricted to the diagonal term (j == i) so each marginal
-        # sum is accumulated exactly once; re-joined in covariance()
-        F.sum(F.when(F.col("j") == F.col("i"), F.col("__xi"))).alias(
-            "__diag_sum_x"
-        ),
+        F.sum("__xi").alias("__sx_i"),
+        F.sum("__xj").alias("__sx_j"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -103,6 +107,10 @@ def _gram_partials(df: DataFrame, col: str, d: int) -> DataFrame:
     partials = df.select(col).mapInPandas(
         gram, schema="partial array<double>, sum_x array<double>, n long"
     )
+    # one d²-array row per batch; checkpoint so the three consumers below
+    # (triangle reduce, marginals, n) share ONE corpus pass instead of
+    # re-running the BLAS stage per branch
+    partials = partials.localCheckpoint(eager=True)
     flat = partials.select(
         F.posexplode("partial").alias("t", "val"),
         F.col("sum_x"),
@@ -141,29 +149,13 @@ def covariance(
     """
     if strategy == "explode":
         parts = _explode_partials(df, col)
-        diag = parts.where(F.col("i") == F.col("j")).select(
-            F.col("i").alias("__k"),
-            F.col("__diag_sum_x").alias("__sx"),
-        )
-        n1 = parts.agg(F.max("n").alias("__n"))
-        joined = (
-            parts.join(
-                F.broadcast(diag.withColumnRenamed("__k", "i").withColumnRenamed("__sx", "__sx_i")),
-                "i",
-            )
-            .join(
-                F.broadcast(diag.withColumnRenamed("__k", "j").withColumnRenamed("__sx", "__sx_j")),
-                "j",
-            )
-            .crossJoin(F.broadcast(n1))
-        )
-        return joined.select(
+        return parts.select(
             "i",
             "j",
             (
-                F.col("sum_xy") / F.col("__n")
-                - (F.col("__sx_i") / F.col("__n"))
-                * (F.col("__sx_j") / F.col("__n"))
+                F.col("sum_xy") / F.col("n")
+                - (F.col("__sx_i") / F.col("n"))
+                * (F.col("__sx_j") / F.col("n"))
             ).alias("cov"),
         )
     if strategy == "gram":
