@@ -336,3 +336,95 @@ def funnel_batch_stages(events: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- online Holt smoothing (per-key level/trend state) ------------------------
+#
+# The streaming twin of operators/forecast.py:holt_forecast. State is two
+# doubles + a count per key; each arriving observation advances the
+# recurrence and emits the refreshed (level, trend, one-step forecast) —
+# the live-forecast dashboard shape. Chopping the stream into micro-batches
+# cannot change results (the recurrence is sequential per key and state
+# carries across batches); the parity test proves the final state equals
+# the JVM F.aggregate fold bit-for-bit, a genuine two-implementation check.
+#
+# Ordering contract: within a key, observations must arrive time-ordered
+# across micro-batches (each batch is sorted here; cross-batch disorder is
+# the caller's watermark/replay discipline — same contract as _track).
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("order_key", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_points", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_1", DoubleType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+HOLT_ALPHA = 0.4
+HOLT_BETA = 0.2
+
+
+def _holt_track(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    n, level, trend = state.get if state.exists else (0, 0.0, 0.0)
+    out: list[dict] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("order_key")
+        for _, row in pdf.iterrows():
+            v = float(row["value"])
+            if n == 0:
+                level, trend = v, 0.0
+            else:
+                new_level = HOLT_ALPHA * v + (1.0 - HOLT_ALPHA) * (
+                    level + trend
+                )
+                trend = (
+                    HOLT_BETA * (new_level - level)
+                    + (1.0 - HOLT_BETA) * trend
+                )
+                level = new_level
+            n += 1
+            out.append(
+                {
+                    "user_id": user_id,
+                    "order_key": int(row["order_key"]),
+                    "value": v,
+                    "n_points": n,
+                    "level": level,
+                    "trend": trend,
+                    "forecast_1": level + trend,
+                }
+            )
+    state.update((n, level, trend))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in HOLT_OUTPUT_SCHEMA.fields]
+    )
+
+
+def holt_stream(observations: DataFrame) -> DataFrame:
+    """Streaming per-key Holt smoothing: input (user_id, order_key,
+    value); emits every observation with its refreshed level/trend and
+    one-step forecast."""
+    return (
+        observations.select("user_id", "order_key", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_track,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

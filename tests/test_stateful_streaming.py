@@ -223,3 +223,102 @@ class TestStreamingFunnel:
         # the new stage-2 advance (the equal-ts view was rejected against
         # the RESTORED last_ts; no duplicate stage-1 emission)
         assert run("funnel_mb2") == {(7, 1), (7, 2)}
+
+
+class TestStreamingHolt:
+    def _obs_file(self, path, rows):
+        import pandas as pd
+
+        pd.DataFrame(
+            rows, columns=["user_id", "order_key", "value"]
+        ).to_parquet(path)
+
+    def test_final_state_matches_jvm_fold_across_batches(
+        self, spark, tmp_path
+    ):
+        """Two availableNow runs over a growing landing dir with a shared
+        checkpoint: the Python recurrence (streaming, state across
+        batches) must land on the SAME final (level, trend) as the JVM
+        F.aggregate fold in operators/forecast.py — bit-for-bit, two
+        independent implementations of the recurrence."""
+        from skope_api_spark.operators.forecast import holt_forecast
+        from skope_api_spark.streaming import stateful as sf
+
+        land = tmp_path / "land"
+        land.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        rows1 = [(1, k, float(10 + 2 * k + (k % 3))) for k in range(5)]
+        rows2 = [(1, k, float(10 + 2 * k + (k % 3))) for k in range(5, 9)]
+        self._obs_file(land / "a.parquet", rows1)
+
+        out_dir = str(tmp_path / "out")
+
+        def run():
+            # parquet sink: the memory sink refuses checkpoint RECOVERY,
+            # which this cross-batch test exercises
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, order_key long, value double"
+                ).parquet(str(land))
+            )
+            q = (
+                sf.holt_stream(stream)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        self._obs_file(land / "b.parquet", rows2)
+        run()
+        got = sorted(
+            spark.read.parquet(out_dir).collect(),
+            key=lambda r: r.order_key,
+        )
+        assert [r.order_key for r in got] == list(range(9))
+        final = got[-1]
+        assert final.n_points == 9
+
+        batch = spark.createDataFrame(
+            rows1 + rows2, "user_id long, order_key long, value double"
+        )
+        ref = holt_forecast(
+            batch,
+            key_cols=("user_id",),
+            order_col="order_key",
+            value_col="value",
+            alpha=sf.HOLT_ALPHA,
+            beta=sf.HOLT_BETA,
+            horizon=1,
+        ).first()
+        # bit-for-bit: same IEEE recurrence, Python vs JVM codegen
+        assert final.level == ref["level"]
+        assert final.trend == ref["trend"]
+        assert final.forecast_1 == ref["forecast_1"]
+
+    def test_first_observation_initializes_state(self, spark, tmp_path):
+        from skope_api_spark.streaming import stateful as sf
+
+        land = tmp_path / "land2"
+        land.mkdir()
+        self._obs_file(land / "a.parquet", [(7, 0, 42.0)])
+        stream = spark.readStream.schema(
+            "user_id long, order_key long, value double"
+        ).parquet(str(land))
+        q = (
+            sf.holt_stream(stream)
+            .writeStream.format("memory")
+            .queryName("holt_init")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        row = spark.sql("SELECT * FROM holt_init").first()
+        assert row.level == 42.0 and row.trend == 0.0
+        assert row.forecast_1 == 42.0
