@@ -97,3 +97,39 @@ def test_pca_project_float_input(spark):
     df = spark.createDataFrame(rows, "id long, embedding array<float>")
     out = pca_project(df, k=1).select("pca").collect()
     assert all(len(r["pca"]) == 1 for r in out)
+
+
+def test_pca_projection_preserves_neighbors(spark):
+    """Composition contract: PCA to the true signal dimensionality keeps
+    cosine top-k neighbors — the whitening step ANN pipelines put before
+    bucketing. Data: 3 well-separated clusters embedded in 16 dims with
+    small isotropic noise; k=4 components must keep every point's top-5
+    neighbor set dominated by its own cluster."""
+    import numpy as np
+
+    from skope_api_spark.operators.linalg import pca_project
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(3, 16)) * 5
+    X = np.vstack(
+        [c + rng.normal(scale=0.3, size=(20, 16)) for c in centers]
+    )
+    labels = np.repeat([0, 1, 2], 20)
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "id long, embedding array<double>",
+    )
+    rows = pca_project(df, k=4).select("id", "pca").collect()
+    P = np.array([r["pca"] for r in sorted(rows, key=lambda r: r["id"])])
+
+    def top5_same_cluster(M):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ Mn.T
+        np.fill_diagonal(sims, -2)
+        hits = 0
+        for i in range(len(M)):
+            nn = np.argsort(sims[i])[::-1][:5]
+            hits += int(np.sum(labels[nn] == labels[i]) >= 4)
+        return hits / len(M)
+
+    assert top5_same_cluster(P) >= 0.95
