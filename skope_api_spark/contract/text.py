@@ -1013,3 +1013,75 @@ def pipeline_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+def _bpe_iteration(prev: str, k: int) -> str:
+    """One unrolled BPE merge step (mirrors operators/bpe.py: weighted
+    bigram counts -> argmax (pc desc, pair asc) -> boundary-safe
+    double-space replace -> collapse)."""
+    return f"""p{k} AS MATERIALIZED (
+  SELECT p[1] || ' ' || p[2] AS pair, SUM(cnt) AS pc
+  FROM {prev}, UNNEST(list_zip(string_split(r, ' '),
+                               list_slice(string_split(r, ' '), 2, 100000)))
+       AS t(p)
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1
+), b{k} AS MATERIALIZED (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b,
+         pc
+  FROM p{k} ORDER BY pc DESC, pair LIMIT 1
+), it{k} AS MATERIALIZED (
+  SELECT TRIM(REPLACE(
+           REPLACE(' ' || REPLACE(r, ' ', '  ') || ' ',
+                   ' ' || (SELECT a FROM b{k}) || '  '
+                       || (SELECT b FROM b{k}) || ' ',
+                   ' ' || (SELECT a FROM b{k})
+                       || (SELECT b FROM b{k}) || ' '),
+           '  ', ' ')) AS r, cnt
+  FROM {prev}
+)"""
+
+
+_BPE_K = 6
+
+_BPE_ORACLE = (
+    """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM words WHERE w <> '' GROUP BY w
+), it0 AS MATERIALIZED (
+  SELECT array_to_string([c FOR c IN string_split_regex(w, '')], ' ')
+           || ' </w>' AS r, cnt
+  FROM vocab
+), """
+    + ",\n".join(_bpe_iteration(f"it{k - 1}", k) for k in range(1, _BPE_K + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {k} AS step, a AS merge_left, b AS merge_right,
+       a || b AS merged, CAST(pc AS BIGINT) AS pair_count FROM b{k}"""
+        for k in range(1, _BPE_K + 1)
+    )
+    + "\nORDER BY step"
+)
+
+
+@query("text_bpe_train_merges", oracle=_BPE_ORACLE)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 6 merge rules
+    learned from the documents corpus (operators/bpe.py — trains on the
+    word-frequency table, corpus touched ONCE; per step one vocab-table
+    aggregate + one driver-side argmax + one boundary-safe literal
+    replace). The oracle unrolls the same 6 iterations as chained CTEs,
+    byte-identical replace semantics."""
+    from skope_api_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    out = bpe_train(docs, merges=_BPE_K)
+    return out.select(
+        "step",
+        F.col("left").alias("merge_left"),
+        F.col("right").alias("merge_right"),
+        "merged",
+        "pair_count",
+    ).orderBy("step")

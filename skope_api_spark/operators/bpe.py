@@ -1,0 +1,117 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training.
+
+The tokenizer-training leg of the LLM data pipeline (Sennrich et al.
+2016, public). The scale-relevant observation — the one HuggingFace
+tokenizers exploit too — is that BPE never needs the corpus after the
+first pass: it trains on the WORD-FREQUENCY table (distinct words ×
+counts), which is orders of magnitude smaller than the corpus and
+shrinks-in-rows as merges proceed. Plan shape per merge step:
+
+1. adjacent-pair counts: explode each word's symbol bigrams weighted by
+   word count — one groupBy over the vocab table with map-side combine;
+2. argmax pair (count desc, pair asc — the deterministic tie-break) —
+   ONE driver-side scalar per step, the merge decision itself;
+3. apply the merge to every word representation with a literal,
+   token-boundary-safe string replace (see below), localCheckpoint to
+   keep lineage linear in the number of merges.
+
+K merges = K passes over the vocab table, never the corpus. The corpus
+is touched exactly once (the word count).
+
+Token-boundary-safe replace: symbol reprs are space-joined ("e r </w>").
+A naive REPLACE of "r s" would also match inside "er s". Doubling the
+separators and space-padding ("␣e␣␣r␣␣</w>␣") makes the pattern
+"␣a␣␣b␣" boundary-anchored AND leaves a shared single space between
+back-to-back matches, so consecutive occurrences all merge in one
+left-to-right pass — byte-identical semantics in Spark's ``F.replace``
+and DuckDB's ``REPLACE``, which the contract query's unrolled-CTE oracle
+replays verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) from a whitespace-tokenized corpus — the single
+    corpus-sized pass of BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_reprs(vocab: DataFrame) -> DataFrame:
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    return vocab.select(
+        F.concat(
+            F.array_join(chars, " "), F.lit(f" {END_OF_WORD}")
+        ).alias("r"),
+        "cnt",
+    )
+
+
+def _pair_counts(reprs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("r"), " ")
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with NULL; concat_ws drops NULLs, so
+    # the tail element is the bare last token — filter to true bigrams
+    bigrams = F.filter(pairs, lambda p: F.size(F.split(p, " ")) == 2)
+    return (
+        reprs.select(F.explode(bigrams).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+def _apply_merge(reprs: DataFrame, a: str, b: str) -> DataFrame:
+    doubled = F.concat(
+        F.lit(" "), F.replace(F.col("r"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    merged = F.replace(
+        doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+    )
+    collapsed = F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+    return reprs.select(collapsed.alias("r"), "cnt")
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``merges`` BPE merge rules; returns the merge table
+    (step 1.., left, right, merged, pair_count) — the artifact a
+    tokenizer consumes. Deterministic: ties break lexicographically."""
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    spark = docs.sparkSession
+    reprs = _initial_reprs(word_frequency_table(docs, text_col))
+    reprs = reprs.localCheckpoint(eager=True)
+    rules = []
+    for step in range(1, merges + 1):
+        best = (
+            _pair_counts(reprs)
+            .orderBy(F.desc("pc"), "pair")
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        a, b = best["pair"].split(" ")
+        rules.append((step, a, b, a + b, int(best["pc"])))
+        reprs = _apply_merge(reprs, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, pair_count long"
+    )
