@@ -1085,3 +1085,79 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_count",
     ).orderBy("step")
+
+
+def _bpe_apply_sql(expr: str, k: int) -> str:
+    return (
+        "TRIM(REPLACE(REPLACE(' ' || REPLACE(" + expr + ", ' ', '  ') || ' ', "
+        f"' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ', "
+        f"' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' '), "
+        "'  ', ' '))"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    enc = "r"
+    for k in range(1, _BPE_K + 1):
+        enc = _bpe_apply_sql(enc, k)
+    return (
+        """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM words WHERE w <> '' GROUP BY w
+), it0 AS MATERIALIZED (
+  SELECT array_to_string([c FOR c IN string_split_regex(w, '')], ' ')
+           || ' </w>' AS r, cnt
+  FROM vocab
+), """
+        + ",\n".join(
+            _bpe_iteration(f"it{k - 1}", k) for k in range(1, _BPE_K + 1)
+        )
+        + f""",
+docs_repr AS MATERIALIZED (
+  SELECT lang,
+         array_to_string(
+           [array_to_string([c FOR c IN string_split_regex(w, '')], ' ')
+              || ' </w>'
+            FOR w IN string_split(text, ' ') IF w <> ''], ' ') AS r
+  FROM documents
+), enc AS MATERIALIZED (
+  SELECT lang, {enc} AS e FROM docs_repr
+), syms AS (
+  SELECT lang, unnest(string_split(e, ' ')) AS sym FROM enc
+)
+SELECT e.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(e.e, ' '))) AS BIGINT) AS total_symbols,
+       (SELECT CAST(COUNT(DISTINCT s.sym) AS BIGINT) FROM syms s
+         WHERE s.lang = e.lang) AS n_distinct_symbols
+FROM enc e
+GROUP BY e.lang
+ORDER BY e.lang
+"""
+    )
+
+
+@query("text_bpe_encode_profile", oracle=_bpe_encode_oracle())
+def text_bpe_encode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize round trip: the 6 learned merge rules applied
+    to the WHOLE corpus (operators/bpe.py:bpe_encode — one chained
+    literal-replace scan expression, zero shuffle, zero Python), profiled
+    per language: docs, total BPE symbols, distinct symbol inventory.
+    The oracle re-derives the same rules and applies the same replace
+    chain in SQL."""
+    from skope_api_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    rules = bpe_train(docs, merges=_BPE_K).collect()
+    enc = bpe_encode(docs, rules)
+    syms = enc.select("lang", F.explode("bpe_tokens").alias("sym"))
+    dist = syms.groupBy("lang").agg(
+        F.countDistinct("sym").alias("n_distinct_symbols")
+    )
+    prof = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("bpe_tokens")).alias("total_symbols"),
+    )
+    return prof.join(dist, "lang").orderBy("lang")

@@ -115,3 +115,54 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+def doc_repr(text_col) -> "F.Column":
+    """Whole-document symbol representation: every word char-spaced with
+    the </w> marker, words concatenated. Cross-word false merges are
+    impossible by construction — every word ends in a </w>-bearing
+    symbol, and no trained rule's LEFT symbol contains </w> (nothing
+    follows </w> inside a word), so rule patterns never straddle a
+    boundary."""
+    words = F.filter(F.split(text_col, " "), lambda w: w != "")
+    per_word = F.transform(
+        words,
+        lambda w: F.concat(
+            F.array_join(F.filter(F.split(w, ""), lambda c: c != ""), " "),
+            F.lit(f" {END_OF_WORD}"),
+        ),
+    )
+    return F.array_join(per_word, " ")
+
+
+def bpe_encode(
+    df: DataFrame,
+    rules,
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply trained merge rules to a corpus: appends ``out_col`` as an
+    array of BPE symbols. ``rules`` is the (ordered) merge table from
+    ``bpe_train`` — rows or (left, right) tuples.
+
+    The entire encode is ONE chained in-scan string expression (K literal
+    replaces, whole-stage codegen, zero shuffle, zero Python) — the
+    trained rules ride along as broadcast literals. This is the shape
+    that matters at 100 TB: tokenization cost is pure map-side CPU.
+    """
+    def left_right(r):
+        try:
+            return r["left"], r["right"]
+        except (TypeError, KeyError):  # plain (left, right) tuple
+            return r[0], r[1]
+
+    expr = doc_repr(F.col(text_col))
+    for r in rules:
+        a, b = left_right(r)
+        doubled = F.concat(
+            F.lit(" "), F.replace(expr, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        merged = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        expr = F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+    return df.withColumn(out_col, F.split(expr, " "))

@@ -95,3 +95,26 @@ def test_bpe_validation_and_exhaustion(spark):
     # 'a b </w>' exhausts after 2 merges; asking for 10 stops early
     rules = bpe_train(df, merges=10).collect()
     assert len(rules) == 2
+
+
+def test_bpe_encode_roundtrip(spark, corpus):
+    from skope_api_spark.operators.bpe import bpe_encode
+
+    texts, df = corpus
+    rules = bpe_train(df, merges=8).collect()
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, rules).collect()}
+    # reconstructing the text from symbols must be lossless
+    for i, t in enumerate(texts):
+        joined = "".join(enc[i]).replace("</w>", " ").strip()
+        assert joined == t
+    # merged symbols actually appear (compression happened)
+    merged = {r["merged"] for r in rules}
+    assert any(s in merged for s in enc[0])
+
+
+def test_bpe_encode_accepts_tuples(spark):
+    from skope_api_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(0, "lo lo")], "doc_id long, text string")
+    out = bpe_encode(df, [("l", "o"), ("lo", "</w>")]).first()
+    assert out["bpe_tokens"] == ["lo</w>", "lo</w>"]
