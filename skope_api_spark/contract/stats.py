@@ -210,3 +210,41 @@ def stats_robust_price_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("iqr", 4).alias("iqr"),
         F.round("trimmed_mean", 4).alias("trimmed_mean"),
     )
+
+
+@query(
+    "stats_auc_chars_vs_lang",
+    oracle="""
+WITH hist AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS np,
+         COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS nn
+  FROM documents
+  GROUP BY 1
+), c AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM hist
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       (CAST(SUM(np * below) AS DOUBLE) + CAST(SUM(np * nn) AS DOUBLE) / 2.0)
+         / CAST(SUM(np) * SUM(nn) AS DOUBLE) AS auc
+FROM c
+""",
+)
+def stats_auc_chars_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of document length predicting lang='en' —
+    Mann-Whitney pair counting over the distinct-score histogram
+    (operators/stats.py:binary_auc; the prefix sum is the shared
+    range-partitioned distributed form, no global-order window, no row
+    sort). All counts exact integers; the single final division is
+    bit-identical cross-engine — no rounding in the contract."""
+    from skope_api_spark.operators.stats import binary_auc
+
+    docs = load(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return binary_auc(docs, score_col="n_chars", label_col="is_en")

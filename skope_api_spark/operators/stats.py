@@ -209,6 +209,55 @@ def bootstrap_ci(
     return point.crossJoin(F.broadcast(ci))
 
 
+def _range_prefix_sum(
+    hist: DataFrame,
+    order_col: str,
+    count_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum over a (histogram) table: appends ``__cum``
+    = cumulative sum of ``count_col`` for rows with ``order_col`` <=
+    current (inclusive), without a single-partition global window —
+    range-partition by the order key, cumulative-sum within each sorted
+    partition, add broadcast per-partition offsets. ``order_col`` values
+    must be distinct (a groupBy histogram guarantees this)."""
+    from pyspark.sql import Window as W
+
+    spark = hist.sparkSession
+    nparts = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    tagged = hist.repartitionByRange(nparts, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # per-partition totals are nparts rows: the single-partition window
+    # below runs over that tiny table, not the data
+    offs = (
+        tagged.groupBy("__pid")
+        .agg(F.sum(count_col).alias("__pc"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__pc").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    wv = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("__chi", F.sum(count_col).over(wv))
+        .join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+        .withColumn("__cum", F.col("__off") + F.col("__chi"))
+        .drop("__pid", "__off", "__chi")
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
@@ -237,8 +286,6 @@ def exact_quantiles(
     Returns (prob double, value double), one row per requested prob.
     NULLs are excluded (percentile semantics). Raises on empty input.
     """
-    from pyspark.sql import Window as W
-
     probs = [float(p) for p in probs]
     if not probs:
         raise ValueError("probs must be non-empty")
@@ -248,42 +295,13 @@ def exact_quantiles(
     v = F.col(col).cast("double")
     vals = df.where(v.isNotNull()).select(v.alias("v"))
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    nparts = partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    ranked = _range_prefix_sum(counts, "v", "c", partitions)
+    cum = ranked.select(
+        "v",
+        (F.col("__cum") - F.col("c")).alias("lo"),
+        F.col("__cum").alias("hi"),
     )
-    tagged = counts.repartitionByRange(nparts, "v").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    # per-partition totals are nparts rows: the single-partition window
-    # below is over that tiny table, not the data
-    offs = (
-        tagged.groupBy("pid")
-        .agg(F.sum("c").alias("pc"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("pc").over(
-                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-    )
-    wv = (
-        W.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    cum = (
-        tagged.withColumn("chi", F.sum("c").over(wv))
-        .join(F.broadcast(offs.select("pid", "off")), "pid")
-        .select(
-            "v",
-            (F.col("off") + F.col("chi") - F.col("c")).alias("lo"),
-            (F.col("off") + F.col("chi")).alias("hi"),
-        )
-    )
-    total = offs.agg(F.sum("pc").alias("n"))
+    total = ranked.agg(F.sum("c").alias("n"))
     targets = (
         spark.createDataFrame([(p,) for p in probs], "prob double")
         .crossJoin(F.broadcast(total))
@@ -381,4 +399,54 @@ def robust_summary(
     )
     return trimmed.crossJoin(F.broadcast(mad)).select(
         "n", "median", "mad", "iqr", "trimmed_mean"
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a boolean label, fully
+    distributed — the Mann-Whitney pair-counting form over the SCORE
+    HISTOGRAM, never a global sort of rows:
+
+    1. group by distinct score -> (n_pos, n_neg) per score (map-side
+       combine collapses the corpus);
+    2. the shared range-partitioned distributed prefix sum over the
+       distinct-score histogram -> negatives strictly below each score;
+    3. AUC = [Σ_s n_pos(s)·cum_neg(<s) + ½·n_pos(s)·n_neg(s)] /
+       (N_pos·N_neg) — ties contribute half, the standard definition.
+
+    All counts are exact integers; the single final division makes the
+    result bit-identical across engines. Returns one row
+    (n_pos, n_neg, auc); auc is NULL when either class is empty.
+    """
+    lab = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    hist = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.count(F.when(lab, 1)).alias("__np"),
+            F.count(F.when(~lab, 1)).alias("__nn"),
+        )
+    )
+    contrib = _range_prefix_sum(hist, "__s", "__nn").select(
+        "__np",
+        "__nn",
+        (F.col("__cum") - F.col("__nn")).alias("__below"),
+    )
+    return contrib.agg(
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+        F.when(
+            (F.sum("__np") > 0) & (F.sum("__nn") > 0),
+            (
+                F.sum(F.col("__np") * F.col("__below")).cast("double")
+                + F.sum(F.col("__np") * F.col("__nn")).cast("double") / 2.0
+            )
+            / (F.sum("__np") * F.sum("__nn")).cast("double"),
+        ).alias("auc"),
     )

@@ -243,3 +243,52 @@ def test_robust_summary_trim_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="trim"):
         robust_summary(df, "x", trim=0.5)
+
+
+def test_binary_auc_matches_sklearn_formula(spark):
+    import numpy as np
+    from skope_api_spark.operators.stats import binary_auc
+
+    rng = np.random.default_rng(17)
+    pos = rng.normal(1.0, 1.0, 120)
+    neg = rng.normal(0.0, 1.0, 200)
+    rows = [(float(v), True) for v in pos] + [(float(v), False) for v in neg]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = binary_auc(df, score_col="s", label_col="y").first()
+    # reference: Mann-Whitney U via rank sums with average-rank ties
+    scores = np.array([r[0] for r in rows])
+    labels = np.array([r[1] for r in rows])
+    order = np.argsort(scores, kind="stable")
+    s_sorted, l_sorted = scores[order], labels[order]
+    ranks = np.empty(len(scores))
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j < len(s_sorted) and s_sorted[j] == s_sorted[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0  # average rank, 1-based
+        i = j
+    rank_sum_pos = ranks[l_sorted].sum()
+    n_pos, n_neg = labels.sum(), (~labels).sum()
+    auc_ref = (rank_sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got["n_pos"] == 120 and got["n_neg"] == 200
+    assert abs(got["auc"] - auc_ref) < 1e-12
+
+
+def test_binary_auc_ties_and_degenerate(spark):
+    from skope_api_spark.operators.stats import binary_auc
+
+    # all scores identical: AUC must be exactly 0.5 (pure tie mass)
+    df = spark.createDataFrame(
+        [(1.0, True)] * 3 + [(1.0, False)] * 5, "s double, y boolean"
+    )
+    assert binary_auc(df, score_col="s", label_col="y").first()["auc"] == 0.5
+    # perfect separation: AUC 1.0
+    df2 = spark.createDataFrame(
+        [(2.0, True), (3.0, True), (0.0, False), (1.0, False)],
+        "s double, y boolean",
+    )
+    assert binary_auc(df2, score_col="s", label_col="y").first()["auc"] == 1.0
+    # single-class: NULL
+    df3 = spark.createDataFrame([(1.0, True)], "s double, y boolean")
+    assert binary_auc(df3, score_col="s", label_col="y").first()["auc"] is None
