@@ -248,3 +248,35 @@ def stats_auc_chars_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", (F.col("lang") == "en").alias("is_en")
     )
     return binary_auc(docs, score_col="n_chars", label_col="is_en")
+
+
+@query(
+    "ts_value_percentiles_by_type",
+    oracle="""
+SELECT event_type, CAST(0.05 AS DOUBLE) AS prob,
+       ROUND(quantile_cont(value, 0.05), 6) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.5 AS DOUBLE), ROUND(quantile_cont(value, 0.5), 6)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.95 AS DOUBLE), ROUND(quantile_cont(value, 0.95), 6)
+FROM events GROUP BY event_type
+ORDER BY event_type, prob
+""",
+)
+def ts_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles — "p95 per service" — via the
+    distributed (group, value)-histogram order-statistics plan
+    (operators/stats.py:grouped_quantiles): one giant group range-splits
+    across partitions instead of pinning one reducer the way
+    groupBy().percentile() does."""
+    from skope_api_spark.operators.stats import grouped_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    out = grouped_quantiles(
+        ev, "value", [0.05, 0.5, 0.95], by=["event_type"]
+    )
+    return out.select(
+        "event_type", "prob", F.round("value", 6).alias("value")
+    ).orderBy("event_type", "prob")

@@ -214,45 +214,57 @@ def _range_prefix_sum(
     order_col: str,
     count_col: str,
     partitions: int | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """Distributed prefix sum over a (histogram) table: appends ``__cum``
-    = cumulative sum of ``count_col`` for rows with ``order_col`` <=
-    current (inclusive), without a single-partition global window —
-    range-partition by the order key, cumulative-sum within each sorted
-    partition, add broadcast per-partition offsets. ``order_col`` values
-    must be distinct (a groupBy histogram guarantees this)."""
+    """Distributed (optionally per-group) prefix sum over a histogram
+    table: appends ``__cum`` = cumulative sum of ``count_col`` for rows
+    with ``order_col`` <= current (inclusive) within each ``by`` group,
+    without a single-partition global window — range-partition by
+    (*by, order_col), cumulative-sum within each sorted partition, add
+    per-(partition, group) offsets. A single giant group still splits
+    across range partitions, so no task ever owns a whole group.
+    (*by, order_col) combinations must be distinct (a groupBy histogram
+    guarantees this)."""
     from pyspark.sql import Window as W
 
     spark = hist.sparkSession
+    by = list(by)
     nparts = partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    tagged = hist.repartitionByRange(nparts, order_col).withColumn(
+    tagged = hist.repartitionByRange(nparts, *by, order_col).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # per-partition totals are nparts rows: the single-partition window
-    # below runs over that tiny table, not the data
+    # per-(partition, group) totals: nparts x |groups-per-partition| rows
+    # — skinny; the offset window runs per group over at most nparts rows
     offs = (
-        tagged.groupBy("__pid")
+        tagged.groupBy("__pid", *by)
         .agg(F.sum(count_col).alias("__pc"))
         .withColumn(
             "__off",
             F.coalesce(
                 F.sum("__pc").over(
-                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                    W.partitionBy(*by)
+                    .orderBy("__pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
     )
     wv = (
-        W.partitionBy("__pid")
+        W.partitionBy("__pid", *by)
         .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    offs_sel = offs.select("__pid", *by, "__off")
+    # grouped offsets can be wide (parts x groups): let AQE pick the join
+    # strategy; the ungrouped table is nparts rows and always broadcasts
+    if not by:
+        offs_sel = F.broadcast(offs_sel)
     return (
         tagged.withColumn("__chi", F.sum(count_col).over(wv))
-        .join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+        .join(offs_sel, ["__pid", *by])
         .withColumn("__cum", F.col("__off") + F.col("__chi"))
         .drop("__pid", "__off", "__chi")
     )
@@ -295,6 +307,10 @@ def exact_quantiles(
     v = F.col(col).cast("double")
     vals = df.where(v.isNotNull()).select(v.alias("v"))
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    # the histogram is consumed by three branches (rank intervals, total,
+    # and the two bracket joins); checkpoint it so the corpus is scanned
+    # exactly once
+    counts = counts.localCheckpoint(eager=True)
     ranked = _range_prefix_sum(counts, "v", "c", partitions)
     cum = ranked.select(
         "v",
@@ -449,4 +465,75 @@ def binary_auc(
             )
             / (F.sum("__np") * F.sum("__nn")).cast("double"),
         ).alias("auc"),
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    *,
+    by: Sequence[str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-group exact quantiles (percentile_cont semantics) with the
+    same distributed order-statistics plan as ``exact_quantiles`` — the
+    per-group twin of "p95 latency per service". Unlike a plain
+    ``groupBy().agg(percentile(...))``, which buffers each group's every
+    value in one reducer, the (group, value) histogram range-partitions
+    across the cluster, so one giant group cannot pin a task.
+
+    Returns (*by, prob, value). NULL scores are excluded; groups are
+    whatever appears in the data.
+    """
+    probs = [float(p) for p in probs]
+    by = list(by)
+    if not by:
+        raise ValueError("by must name at least one group column")
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("probs must lie in [0, 1]")
+    spark = df.sparkSession
+    v = F.col(col).cast("double")
+    vals = df.where(v.isNotNull()).select(*by, v.alias("v"))
+    counts = vals.groupBy(*by, "v").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint(eager=True)  # one corpus scan total
+    ranked = _range_prefix_sum(counts, "v", "c", partitions, by=by)
+    cum = ranked.select(
+        *by,
+        "v",
+        (F.col("__cum") - F.col("c")).alias("lo"),
+        F.col("__cum").alias("hi"),
+    )
+    totals = counts.groupBy(*by).agg(F.sum("c").alias("n"))
+    probs_df = spark.createDataFrame([(p,) for p in probs], "prob double")
+    targets = (
+        totals.crossJoin(F.broadcast(probs_df))
+        .withColumn("h", F.col("prob") * (F.col("n") - 1).cast("double"))
+        .withColumn("fl", F.floor("h").cast("long"))
+        .withColumn("cl", F.ceil("h").cast("long"))
+    )
+    lower = (
+        cum.alias("c")
+        .join(targets.alias("t"), on=by)
+        .where((F.col("c.lo") <= F.col("t.fl")) & (F.col("t.fl") < F.col("c.hi")))
+        .select(*by, "t.prob", "t.h", "t.fl", F.col("c.v").alias("__vlo"))
+    )
+    upper = (
+        cum.alias("c2")
+        .join(targets.select(*by, "prob", "cl").alias("t2"), on=by)
+        .where(
+            (F.col("c2.lo") <= F.col("t2.cl")) & (F.col("t2.cl") < F.col("c2.hi"))
+        )
+        .select(*by, "t2.prob", F.col("c2.v").alias("__vhi"))
+    )
+    return lower.join(upper, [*by, "prob"]).select(
+        *by,
+        "prob",
+        (
+            F.col("__vlo")
+            + (F.col("h") - F.col("fl").cast("double"))
+            * (F.col("__vhi") - F.col("__vlo"))
+        ).alias("value"),
     )

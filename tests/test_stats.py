@@ -292,3 +292,37 @@ def test_binary_auc_ties_and_degenerate(spark):
     # single-class: NULL
     df3 = spark.createDataFrame([(1.0, True)], "s double, y boolean")
     assert binary_auc(df3, score_col="s", label_col="y").first()["auc"] is None
+
+
+def test_grouped_quantiles_match_per_group_percentile(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from skope_api_spark.operators.stats import grouped_quantiles
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g, (mu, n) in enumerate([(10, 400), (50, 300), (90, 150)]):
+        rows += [(f"g{g}", float(v)) for v in np.round(rng.normal(mu, 5, n), 2)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.05, 0.5, 0.95]
+    got = {
+        (r["g"], r["prob"]): r["value"]
+        for r in grouped_quantiles(df, "x", probs, by=["g"], partitions=8).collect()
+    }
+    ref = df.groupBy("g").agg(
+        *[F.percentile("x", F.lit(p)).alias(str(p)) for p in probs]
+    )
+    for r in ref.collect():
+        for p in probs:
+            assert abs(got[(r["g"], p)] - r[str(p)]) < 1e-9
+    assert len(got) == 9
+
+
+def test_grouped_quantiles_validation(spark):
+    from skope_api_spark.operators.stats import grouped_quantiles
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="by"):
+        grouped_quantiles(df, "x", [0.5], by=[])
+    with pytest.raises(ValueError, match="probs"):
+        grouped_quantiles(df, "x", [], by=["g"])
