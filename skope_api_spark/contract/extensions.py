@@ -1672,3 +1672,50 @@ def hh_misra_gries_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.orderBy(F.desc("exact_count"), "item").limit(10)
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+ic AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.n_pairs,
+       CAST(ca.n_item AS BIGINT) AS n_a,
+       CAST(cb.n_item AS BIGINT) AS n_b,
+       CAST(p.n_pairs AS DOUBLE) / nb.n AS support,
+       CAST(p.n_pairs AS DOUBLE) / ca.n_item AS confidence_a_b,
+       CAST(p.n_pairs * nb.n AS DOUBLE)
+         / CAST(ca.n_item * cb.n_item AS DOUBLE) AS lift
+FROM pairs p
+JOIN ic ca ON ca.item = p.item_a
+JOIN ic cb ON cb.item = p.item_b
+CROSS JOIN nb
+ORDER BY lift DESC, item_a, item_b
+LIMIT 20
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order/part co-purchases:
+    top-20 part pairs by lift with pair-count >= 3
+    (operators/basket.py — basket-key-co-located self-join, skinny count
+    joins, broadcast basket total; support/confidence/lift are single
+    divisions of exact integers, bit-identical cross-engine)."""
+    from skope_api_spark.operators.basket import association_rules
+
+    li = load(spark, sf_dir, "lineitem")
+    return association_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_count=3,
+        top_k=20,
+    )
