@@ -1719,3 +1719,70 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_pair_count=3,
         top_k=20,
     )
+
+
+_RFM_CUST = """
+  SELECT o_custkey AS customer,
+         MAX(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+"""
+
+
+def _rfm_thresholds(col: str) -> str:
+    return (
+        f"SELECT [ROUND(quantile_cont({col}, 0.25), 6), "
+        f"ROUND(quantile_cont({col}, 0.5), 6), "
+        f"ROUND(quantile_cont({col}, 0.75), 6)] AS t FROM cust"
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+WITH cust AS MATERIALIZED ({_RFM_CUST}),
+tr AS ({_rfm_thresholds('recency_days')}),
+tf AS ({_rfm_thresholds('frequency')}),
+tm AS ({_rfm_thresholds('monetary')}),
+scored AS (
+  SELECT c.*,
+    1 + len(list_filter(tr.t, x -> c.recency_days > x)) AS r_score,
+    1 + len(list_filter(tf.t, x -> c.frequency > x)) AS f_score,
+    1 + len(list_filter(tm.t, x -> c.monetary > x)) AS m_score
+  FROM cust c CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
+)
+SELECT r_score || '' || f_score || '' || m_score AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(CAST(monetary AS DECIMAL(18,2))), 2) AS total_monetary
+FROM scored
+GROUP BY 1
+ORDER BY n_customers DESC, segment
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the customer base: quartile scores over
+    recency/frequency/monetary (operators/funnel.py:rfm_segments — one
+    per-customer aggregation, distributed-quantile thresholds broadcast,
+    in-scan score fold), rolled up to segment sizes and exact-decimal
+    segment revenue."""
+    from skope_api_spark.operators.funnel import rfm_segments
+
+    orders = load(spark, sf_dir, "orders")
+    seg = rfm_segments(
+        orders,
+        customer_col="o_custkey",
+        date_col="o_orderdate",
+        amount_col="o_totalprice",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(18,2)")), 2
+            ).alias("total_monetary"),
+        )
+        .orderBy(F.desc("n_customers"), "segment")
+    )

@@ -179,3 +179,80 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(top_k)
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    customer_col: str,
+    date_col: str,
+    amount_col: str,
+    amount_decimals: int = 2,
+    boundary_decimals: int = 6,
+) -> DataFrame:
+    """RFM segmentation: per-customer Recency / Frequency / Monetary
+    quartile scores (1 = lowest quartile of each metric, 4 = highest).
+
+    Plan: ONE aggregation to the per-customer (recency, frequency,
+    monetary) table — recency as epoch-day of the last order, monetary as
+    an exact decimal sum per the money rule — then quartile thresholds
+    from the distributed ``exact_quantiles`` (broadcast, rounded to
+    ``boundary_decimals`` so the score assignment is engine-identical),
+    and an in-scan fold assigns each score. Customer-table-sized work
+    after the first aggregation; no ntile, no global sort.
+
+    Returns (customer, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment) where segment is "RFM" digits.
+    """
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    per_cust = orders.groupBy(
+        F.col(customer_col).alias("customer")
+    ).agg(
+        F.max(F.unix_date(F.to_date(date_col))).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast(f"decimal(18,{amount_decimals})"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    per_cust = per_cust.localCheckpoint(eager=True)  # 3 quantile passes + scoring
+
+    def thresholds(col):
+        qs = exact_quantiles(per_cust, col, [0.25, 0.5, 0.75])
+        return qs.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("prob"), F.col("value")))
+                ),
+                lambda s: F.round(s["value"], boundary_decimals),
+            ).alias(f"__t_{col}")
+        )
+
+    scored = (
+        per_cust.crossJoin(F.broadcast(thresholds("recency_days")))
+        .crossJoin(F.broadcast(thresholds("frequency")))
+        .crossJoin(F.broadcast(thresholds("monetary")))
+    )
+
+    def score(col):
+        return F.aggregate(
+            F.col(f"__t_{col}"),
+            F.lit(1),
+            lambda acc, t: acc
+            + F.when(F.col(col) > t, 1).otherwise(0),
+        )
+
+    return scored.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+        F.concat(
+            score("recency_days").cast("string"),
+            score("frequency").cast("string"),
+            score("monetary").cast("string"),
+        ).alias("segment"),
+    )

@@ -74,3 +74,58 @@ def test_validation(spark):
         association_rules(
             df, basket_col="basket", item_col="item", min_pair_count=0
         )
+
+
+class TestRFM:
+    def _orders(self, spark):
+        from datetime import datetime
+
+        rows = []
+        # customer 1: recent, frequent, big spender -> 444
+        for d in range(1, 9):
+            rows.append((1, datetime(2024, 3, d), 1000.0))
+        # customer 2: one old small order -> 111
+        rows.append((2, datetime(2023, 1, 1), 10.0))
+        # customers 3..6 in between
+        for c, (m, n, amt) in enumerate(
+            [(6, 2, 100.0), (9, 3, 200.0), (12, 4, 300.0), (2, 5, 400.0)],
+            start=3,
+        ):
+            for d in range(1, n + 1):
+                rows.append((c, datetime(2023, m, d), amt))
+        return spark.createDataFrame(
+            rows, "cust long, dt timestamp, amount double"
+        )
+
+    def test_scores_monotone_with_metrics(self, spark):
+        from skope_api_spark.operators.funnel import rfm_segments
+
+        out = {
+            r["customer"]: r
+            for r in rfm_segments(
+                self._orders(spark),
+                customer_col="cust",
+                date_col="dt",
+                amount_col="amount",
+            ).collect()
+        }
+        assert out[1]["segment"] == "444"
+        assert out[2]["segment"] == "111"
+        # every score is a valid quartile
+        for r in out.values():
+            for s in ("r_score", "f_score", "m_score"):
+                assert 1 <= r[s] <= 4
+
+    def test_monetary_is_exact_decimal_sum(self, spark):
+        from skope_api_spark.operators.funnel import rfm_segments
+
+        out = {
+            r["customer"]: r["monetary"]
+            for r in rfm_segments(
+                self._orders(spark),
+                customer_col="cust",
+                date_col="dt",
+                amount_col="amount",
+            ).collect()
+        }
+        assert out[1] == 8000.0 and out[2] == 10.0
