@@ -1786,3 +1786,37 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_customers"), "segment")
     )
+
+
+@query(
+    "json_variant_battery",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: semi-structured payloads parsed once into
+    the binary variant encoding (parse_json), typed extraction via
+    variant_get in the aggregation — the engine-native successor to
+    repeated get_json_object string parsing. Oracle reads the same
+    payloads through DuckDB's JSON extraction."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("__v")
+    )
+    k = F.variant_get("__v", "$.k", "int")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

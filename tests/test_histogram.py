@@ -80,3 +80,33 @@ def test_equi_depth_skewed_mass_on_one_value(spark):
 def test_equi_depth_validation(values):
     with pytest.raises(ValueError, match="buckets"):
         equi_depth_histogram(values, "x", buckets=1)
+
+
+def test_observed_metrics_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.quality import observed_metrics
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    obs_df, obs = observed_metrics(
+        df,
+        [
+            ("n", F.count(F.lit(1))),
+            ("n_null", F.count(F.when(F.col("v").isNull(), 1))),
+            ("max_v", F.max("v")),
+        ],
+    )
+    out = str(tmp_path / "obs_out")
+    obs_df.write.parquet(out)  # the metrics piggyback on the write scan
+    got = obs.get
+    assert got["n"] == 100 and got["n_null"] == 0 and got["max_v"] == 198.0
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_observed_metrics_validation(spark):
+    import pytest as _pytest
+
+    from skope_api_spark.operators.quality import observed_metrics
+
+    with _pytest.raises(ValueError, match="metrics"):
+        observed_metrics(spark.range(1), [])
