@@ -458,3 +458,38 @@ def quantile_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "q", F.col("n").cast("long").alias("n"), within.alias("within_bound")
     ).orderBy("q")
+
+
+@query(
+    "string_collation_battery",
+    oracle="""
+WITH mangled AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type) ELSE p_type END AS s
+  FROM part
+)
+SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_sensitive,
+       CAST(COUNT(DISTINCT LOWER(s)) AS BIGINT) AS n_distinct_ci,
+       CAST(COUNT(CASE WHEN LOWER(s) = 'standard anodized tin' THEN 1 END)
+            AS BIGINT) AS n_match_ci
+FROM mangled
+""",
+)
+def string_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive DISTINCT and equality through
+    ``collate(s, 'UTF8_LCASE')`` — comparison semantics live in the
+    ENGINE (usable in joins/groupBys without lower() rewrites and without
+    losing the original casing). The oracle expresses the same semantics
+    through LOWER(), the engine-neutral spelling; the case-sensitive
+    distinct count pins that the mangling actually produced mixed case."""
+    part = load(spark, sf_dir, "part")
+    s = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.col("p_type"))
+    ci = F.collate(s, "UTF8_LCASE")
+    return part.agg(
+        F.countDistinct(s).alias("n_distinct_sensitive"),
+        F.countDistinct(ci).alias("n_distinct_ci"),
+        F.count(
+            F.when(ci == F.lit("standard anodized tin"), 1)
+        ).alias("n_match_ci"),
+    )

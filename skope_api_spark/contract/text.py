@@ -1161,3 +1161,48 @@ def text_bpe_encode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("bpe_tokens")).alias("total_symbols"),
     )
     return prof.join(dist, "lang").orderBy("lang")
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text AS t
+  FROM documents
+), norm AS (
+  SELECT doc_id, t, nfc_normalize(t) AS n FROM raw
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS raw_chars,
+       CAST(SUM(len(n)) AS BIGINT) AS norm_chars,
+       CAST(COUNT(CASE WHEN n LIKE 'Café naïve %' THEN 1 END) AS BIGINT)
+         AS n_precomposed
+FROM norm
+""",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.py:normalize_text,
+    Arrow-batched pandas str.normalize): a deterministic decomposed
+    prefix (combining acute + diaeresis) is injected onto every doc, and
+    the contract proves normalization composed it — 2 chars shorter per
+    doc, every row matching the precomposed literal. Oracle = DuckDB's
+    utf8proc nfc_normalize: two independent Unicode implementations
+    agreeing character-for-character."""
+    from skope_api_spark.operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Café naïve "), F.col("text")
+        ).alias("t"),
+    )
+    out = normalize_text(docs, "t", form="NFC", out_col="n")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("t")).alias("raw_chars"),
+        F.sum(F.length("n")).alias("norm_chars"),
+        F.count(
+            F.when(F.col("n").startswith("Caf\u00e9 na\u00efve "), 1)
+        ).alias("n_precomposed"),
+    )

@@ -723,3 +723,42 @@ def char_entropy(
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
         ).alias("entropy"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a text column.
+
+    Mojibake and combining-character variants defeat exact dedup and
+    fingerprinting ('Café' composed vs decomposed hash differently), so
+    normalization belongs at the head of every text pipeline. The JVM
+    exposes no normalizer expression, so this is an Arrow-batched
+    ``mapInPandas`` stage — pandas ``str.normalize`` is vectorized
+    C-level ICU-equivalent work, and only (id-free) projected columns
+    flow through Python; everything downstream stays in-scan.
+    """
+    import pandas as pd  # noqa: F401
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # a fresh StructType: .add() mutates the DataFrame's cached schema
+    # object, which breaks mapInPandas's own column resolution
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            pdf[out_col] = pdf[text_col].str.normalize(form)
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)

@@ -307,3 +307,54 @@ class TestLineFilter:
                 .collect()
             )
             assert [r.line for r in rows] == want, delim
+
+
+class TestNormalizeText:
+    def test_nfc_composes(self, spark):
+        from skope_api_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "Café"), (2, "Café"), (3, "plain")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text_norm"]
+            for r in normalize_text(df, "text").collect()
+        }
+        assert out[1] == out[2] == "Caf\u00e9"
+        assert out[3] == "plain"
+
+    def test_nfkc_folds_compatibility(self, spark):
+        from skope_api_spark.operators.text import normalize_text
+
+        # ligature fi (U+FB01) folds to 'fi' under NFKC, survives NFC
+        df = spark.createDataFrame([(1, "ﬁsh")], "doc_id long, text string")
+        nfkc = normalize_text(df, "text", form="NFKC").first()["text_norm"]
+        nfc = normalize_text(df, "text", form="NFC").first()["text_norm"]
+        assert nfkc == "fish" and nfc == "ﬁsh"
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from skope_api_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="form"):
+            normalize_text(df, "text", form="NFX")
+        with _pytest.raises(ValueError, match="already exists"):
+            normalize_text(df, "text", out_col="text")
+
+    def test_dedup_motivation_hashes_align(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "Café"), (2, "Café")], "doc_id long, text string"
+        )
+        out = normalize_text(df, "text")
+        n_distinct = out.agg(
+            F.countDistinct("text").alias("raw"),
+            F.countDistinct("text_norm").alias("norm"),
+        ).first()
+        assert n_distinct["raw"] == 2 and n_distinct["norm"] == 1
