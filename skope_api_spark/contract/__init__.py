@@ -99,8 +99,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # flagship pipeline operators; the battery stays regression-covered
     # by the full check_correctness replay
     "sim_embedding_covariance",
-    "dedup_minhash_cross_corpus",
-    "text_chunk_documents",
+    # r07 session-3b rotation: two more r06-driver-verified family
+    # redundants cede to the session's hardest new flagships (both
+    # families keep >=4 gated representatives):
+    #   dedup_minhash_cross_corpus -> text_bpe_train_merges
+    #   text_chunk_documents       -> stats_auc_chars_vs_lang
+    "text_bpe_train_merges",
+    "stats_auc_chars_vs_lang",
     "layout_zorder_events",
     # r06: sessionize_native_session_window's and text_bottomk_fingerprint's
     # slots ceded to the round's flagships (C4 line filter, bloom-pruned
