@@ -280,3 +280,111 @@ def ts_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "prob", F.round("value", 6).alias("value")
     ).orderBy("event_type", "prob")
+
+
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n       ".join(
+        f"ROUND(corr(v, v_{k}), 6) AS acf_{k}" for k in _ACF_LAGS
+    )
+    lag_defs = ",\n         ".join(
+        f"LAG(v, {k}) OVER (ORDER BY day) AS v_{k}" for k in _ACF_LAGS
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT v,
+         {lag_defs}
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       {lag_cols}
+FROM lagged
+"""
+
+
+@query("ts_autocorrelation_daily_revenue", oracle=_acf_oracle())
+def ts_autocorrelation_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1/2/3/7 — the
+    seasonality screen run before fitting any forecaster. One daily
+    rollup (exact decimal sums so the series is bit-identical
+    cross-engine), one window pass producing all lags, Pearson corr per
+    lag in a single aggregation. The lag-7 spike is the weekly cycle
+    test."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "v", *[F.lag("v", k).over(w).alias(f"v_{k}") for k in _ACF_LAGS]
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        *[
+            F.round(F.corr("v", f"v_{k}"), 6).alias(f"acf_{k}")
+            for k in _ACF_LAGS
+        ],
+    )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+), counts AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+), tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT c.d AS first_digit, c.n AS n_values,
+       ROUND(CAST(c.n AS DOUBLE) / tot.t, 6) AS observed_freq,
+       ROUND(ln(1.0 + 1.0 / c.d) / ln(10.0), 6) AS benford_freq
+FROM counts c CROSS JOIN tot
+ORDER BY first_digit
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen (note: TPC-H-style uniform synthetic prices do
+    NOT follow Benford; the report makes that visible, which is the
+    point of running the audit on generated data). One scan, exact
+    integer counts, broadcast total."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .groupBy(d.alias("first_digit"))
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    tot = counts.agg(F.sum("n_values").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n_values",
+            F.round(
+                F.col("n_values").cast("double") / F.col("__t"), 6
+            ).alias("observed_freq"),
+            F.round(
+                F.log(F.lit(1.0) + 1.0 / F.col("first_digit"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("benford_freq"),
+        )
+        .orderBy("first_digit")
+    )
