@@ -388,3 +388,78 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@query(
+    "stats_gini_order_revenue",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS i
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(v), 2) AS total,
+       ROUND(2.0 * SUM(i * v) / (COUNT(*) * SUM(v))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM s
+""",
+)
+def stats_gini_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of order revenue — inequality measured
+    WITHOUT sorting rows (operators/stats.py:gini_coefficient): tied-run
+    rank sums over the distinct-value histogram with the shared
+    distributed prefix sum. The oracle is the textbook ROW_NUMBER
+    rank-sum form; tie order does not affect the sum because tied
+    positions carry equal values."""
+    from skope_api_spark.operators.stats import gini_coefficient
+
+    orders = load(spark, sf_dir, "orders")
+    out = gini_coefficient(orders, "o_totalprice")
+    return out.select(
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+@query(
+    "stats_ks_price_by_segment",
+    oracle="""
+WITH j AS (
+  SELECT o_totalprice AS v, (c_mktsegment = 'BUILDING') AS g
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), h AS (
+  SELECT v, COUNT(CASE WHEN g THEN 1 END) AS ca,
+         COUNT(CASE WHEN NOT g THEN 1 END) AS cb
+  FROM j GROUP BY v
+), c AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM h
+), t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS DOUBLE)
+         / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+FROM c CROSS JOIN t
+GROUP BY t.na, t.nb
+""",
+)
+def stats_ks_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic: does the BUILDING segment's order
+    price distribution differ from everyone else's?
+    (operators/stats.py:ks_two_sample — two distributed prefix sums over
+    one value histogram, sup computed in exact cross-multiplied integers,
+    one final division = bit-identical; null hypothesis on this synthetic
+    data is near-identity, so D is tiny — the CONTRACT is the exactness,
+    not the significance)."""
+    from skope_api_spark.operators.stats import ks_two_sample
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_totalprice", (F.col("c_mktsegment") == "BUILDING").alias("g")
+    )
+    return ks_two_sample(j, value_col="o_totalprice", group_col="g")

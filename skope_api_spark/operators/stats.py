@@ -537,3 +537,114 @@ def grouped_quantiles(
             * (F.col("__vhi") - F.col("__vlo"))
         ).alias("value"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    col: str,
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative quantity — the standard
+    inequality measure (revenue concentration, token-share skew).
+
+    Rank-sum formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x ascending,
+    evaluated WITHOUT sorting rows: on the distinct-value histogram a
+    tied run of count c occupying positions (lo+1 .. lo+c) contributes
+    v·(c·lo + c(c+1)/2) to Σ i·xᵢ, and ``lo`` comes from the shared
+    range-partitioned prefix sum. Everything stays exact
+    integer-times-value arithmetic until one final division.
+
+    Returns one row (n, total, gini); gini is NULL for empty input or
+    zero total.
+    """
+    v = F.col(col).cast("double")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked = _range_prefix_sum(hist, "__v", "__c", partitions)
+    lo = F.col("__cum") - F.col("__c")
+    rank_term = F.col("__v") * (
+        F.col("__c").cast("double") * lo.cast("double")
+        + (F.col("__c") * (F.col("__c") + 1)).cast("double") / 2.0
+    )
+    agg = ranked.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__v") * F.col("__c")).alias("total"),
+        F.sum(rank_term).alias("__rs"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "total",
+        F.when(
+            (F.col("n") > 0) & (F.col("total") != 0),
+            2.0 * F.col("__rs") / (n * F.col("total"))
+            - (n + 1.0) / n,
+        ).alias("gini"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic
+    D = sup |CDF_a(x) − CDF_b(x)|, distributed.
+
+    ``group_col`` is a boolean column/expression splitting rows into
+    sample A (true) and B (false). Both empirical CDFs are step
+    functions that only change at data values, so D is the max over the
+    distinct-value histogram of |cum_a/n_a − cum_b/n_b| — two prefix
+    sums over one histogram, one max. The comparison is made in exact
+    cross-multiplied integers (|cum_a·n_b − cum_b·n_a|) so the argmax is
+    tie-stable; only the reported D divides.
+
+    Returns (n_a, n_b, ks_d); NULL D when either sample is empty.
+    """
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    v = F.col(value_col).cast("double")
+    hist = (
+        df.where(v.isNotNull() & g.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count(F.when(g, 1)).alias("__ca"),
+            F.count(F.when(~g, 1)).alias("__cb"),
+        )
+    )
+    hist = hist.localCheckpoint(eager=True)  # two prefix passes share one scan
+    ra = _range_prefix_sum(hist, "__v", "__ca", partitions).select(
+        "__v", F.col("__cum").alias("__cum_a")
+    )
+    rb = _range_prefix_sum(hist, "__v", "__cb", partitions).select(
+        "__v", F.col("__cum").alias("__cum_b")
+    )
+    totals = hist.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    joined = (
+        ra.join(rb, "__v")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__na",
+            "__nb",
+            F.abs(
+                F.col("__cum_a") * F.col("__nb")
+                - F.col("__cum_b") * F.col("__na")
+            ).alias("__num"),
+        )
+    )
+    return joined.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.when(
+            (F.max("__na") > 0) & (F.max("__nb") > 0),
+            F.max("__num").cast("double")
+            / (F.max("__na") * F.max("__nb")).cast("double"),
+        ).alias("ks_d"),
+    )

@@ -326,3 +326,58 @@ def test_grouped_quantiles_validation(spark):
         grouped_quantiles(df, "x", [0.5], by=[])
     with pytest.raises(ValueError, match="probs"):
         grouped_quantiles(df, "x", [], by=["g"])
+
+
+def test_gini_known_distributions(spark):
+    from skope_api_spark.operators.stats import gini_coefficient
+
+    # perfectly equal: gini 0
+    eq = spark.createDataFrame([(10.0,)] * 50, "x double")
+    assert abs(gini_coefficient(eq, "x").first()["gini"]) < 1e-12
+    # one person owns everything among n=10: gini = (n-1)/n = 0.9
+    conc = spark.createDataFrame(
+        [(0.0,)] * 9 + [(100.0,)], "x double"
+    )
+    assert abs(gini_coefficient(conc, "x").first()["gini"] - 0.9) < 1e-12
+
+
+def test_gini_matches_sorted_formula(spark):
+    import numpy as np
+    from skope_api_spark.operators.stats import gini_coefficient
+
+    rng = np.random.default_rng(31)
+    vals = np.round(rng.lognormal(3, 1, 500), 2)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = gini_coefficient(df, "x").first()["gini"]
+    x = np.sort(vals)
+    i = np.arange(1, len(x) + 1)
+    ref = 2 * np.sum(i * x) / (len(x) * x.sum()) - (len(x) + 1) / len(x)
+    assert abs(got - ref) < 1e-10
+
+
+def test_ks_identical_and_disjoint(spark):
+    from skope_api_spark.operators.stats import ks_two_sample
+
+    # identical samples: D == 0
+    rows = [(float(v), True) for v in range(20)]
+    rows += [(float(v), False) for v in range(20)]
+    same = spark.createDataFrame(rows, "v double, g boolean")
+    assert ks_two_sample(same, value_col="v", group_col="g").first()["ks_d"] == 0.0
+    # disjoint supports: D == 1
+    rows = [(float(v), True) for v in range(10)]
+    rows += [(float(v + 100), False) for v in range(10)]
+    dis = spark.createDataFrame(rows, "v double, g boolean")
+    out = ks_two_sample(dis, value_col="v", group_col="g").first()
+    assert out["ks_d"] == 1.0 and out["n_a"] == out["n_b"] == 10
+
+
+def test_ks_hand_computed(spark):
+    from skope_api_spark.operators.stats import ks_two_sample
+
+    # A = {1,2,3}, B = {2,3,4}: CDFs diverge most at v=1 -> D = 1/3
+    rows = [(1.0, True), (2.0, True), (3.0, True),
+            (2.0, False), (3.0, False), (4.0, False)]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    assert abs(
+        ks_two_sample(df, value_col="v", group_col="g").first()["ks_d"] - 1 / 3
+    ) < 1e-12
