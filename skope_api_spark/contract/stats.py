@@ -463,3 +463,50 @@ def stats_ks_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", (F.col("c_mktsegment") == "BUILDING").alias("g")
     )
     return ks_two_sample(j, value_col="o_totalprice", group_col="g")
+
+
+@query(
+    "stats_contingency_type_hour",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS a, EXTRACT(hour FROM ts) AS b,
+         COUNT(*) AS n_ab
+  FROM events GROUP BY 1, 2
+), ma AS (SELECT a, SUM(n_ab) AS n_a FROM cells GROUP BY a),
+mb AS (SELECT b, SUM(n_ab) AS n_b FROM cells GROUP BY b),
+tot AS (SELECT SUM(n_ab) AS n, COUNT(DISTINCT a) AS ra,
+               COUNT(DISTINCT b) AS rb FROM cells)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM((c.n_ab / CAST(tot.n AS DOUBLE))
+             * ln(CAST(c.n_ab * tot.n AS DOUBLE)
+                  / CAST(ma.n_a * mb.n_b AS DOUBLE))), 6) AS mi_nats,
+       ROUND(tot.n * (SUM(CAST(c.n_ab * c.n_ab AS DOUBLE)
+             / CAST(ma.n_a * mb.n_b AS DOUBLE)) - 1.0), 4) AS chi2,
+       ROUND(SQRT(tot.n * (SUM(CAST(c.n_ab * c.n_ab AS DOUBLE)
+             / CAST(ma.n_a * mb.n_b AS DOUBLE)) - 1.0)
+             / (tot.n * GREATEST(LEAST(tot.ra, tot.rb) - 1, 1))), 6)
+         AS cramers_v
+FROM cells c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+GROUP BY tot.n, tot.ra, tot.rb
+""",
+)
+def stats_contingency_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-dependence screen: MI / chi-square / Cramér's V
+    between event_type and hour-of-day from one contingency aggregation
+    (operators/stats.py:contingency_stats — checkpointed cells, marginals
+    derived without a second corpus scan). Near-independence on the
+    synthetic stream, which the near-zero V reports honestly."""
+    from skope_api_spark.operators.stats import contingency_stats
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    out = contingency_stats(ev, col_a="event_type", col_b="hr")
+    return out.select(
+        "n",
+        "n_cells",
+        F.round("mi_nats", 6).alias("mi_nats"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )

@@ -648,3 +648,78 @@ def ks_two_sample(
             / (F.max("__na") * F.max("__nb")).cast("double"),
         ).alias("ks_d"),
     )
+
+
+def contingency_stats(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Dependence measures between two categorical columns from ONE
+    contingency aggregation: mutual information (nats), chi-square
+    statistic, and Cramér's V — the feature-relevance screens run before
+    keeping a categorical signal in a training set.
+
+    The corpus collapses to the (a, b) contingency table with map-side
+    combine; marginals and totals derive from the checkpointed table
+    (cells × 2 skinny aggregations, no second corpus scan); each measure
+    is a sum over cells in the projection. Returns one row
+    (n, n_cells, mi_nats, chi2, cramers_v).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n_ab"))
+    )
+    cells = cells.localCheckpoint(eager=True)
+    ma = cells.groupBy("__a").agg(F.sum("__n_ab").alias("__n_a"))
+    mb = cells.groupBy("__b").agg(F.sum("__n_ab").alias("__n_b"))
+    tot = cells.agg(
+        F.sum("__n_ab").alias("__n"),
+        F.countDistinct("__a").alias("__ra"),
+        F.countDistinct("__b").alias("__rb"),
+    )
+    joined = (
+        cells.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("__n").cast("double")
+    p_ab = F.col("__n_ab") / n
+    mi_term = p_ab * F.log(
+        (F.col("__n_ab") * F.col("__n")).cast("double")
+        / (F.col("__n_a") * F.col("__n_b")).cast("double")
+    )
+    # chi2 = n * (sum over OBSERVED cells of n_ab^2/(n_a*n_b) - 1): the
+    # zero cells a groupBy can never emit contribute exactly their
+    # expected count, and this identity absorbs them — summing
+    # (obs-exp)^2/exp over observed cells alone would undercount sparse
+    # tables
+    chi_term = (F.col("__n_ab") * F.col("__n_ab")).cast("double") / (
+        F.col("__n_a") * F.col("__n_b")
+    ).cast("double")
+    out = joined.agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("mi_nats"),
+        (F.max("__n").cast("double") * (F.sum(chi_term) - 1.0)).alias(
+            "chi2"
+        ),
+        F.max("__ra").alias("__ra"),
+        F.max("__rb").alias("__rb"),
+    )
+    denom = (
+        F.col("n")
+        * F.greatest(
+            F.least(F.col("__ra"), F.col("__rb")) - 1, F.lit(1)
+        )
+    ).cast("double")
+    return out.select(
+        "n",
+        "n_cells",
+        "mi_nats",
+        "chi2",
+        F.sqrt(F.col("chi2") / denom).alias("cramers_v"),
+    )

@@ -381,3 +381,38 @@ def test_ks_hand_computed(spark):
     assert abs(
         ks_two_sample(df, value_col="v", group_col="g").first()["ks_d"] - 1 / 3
     ) < 1e-12
+
+
+def test_contingency_independent_columns(spark):
+    from skope_api_spark.operators.stats import contingency_stats
+
+    # perfectly independent uniform 2x2 -> MI 0, chi2 0, V 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = contingency_stats(df, col_a="a", col_b="b").first()
+    assert out["n"] == 100 and out["n_cells"] == 4
+    assert abs(out["mi_nats"]) < 1e-12
+    assert abs(out["chi2"]) < 1e-9
+    assert abs(out["cramers_v"]) < 1e-6
+
+
+def test_contingency_perfect_dependence(spark):
+    import math
+
+    from skope_api_spark.operators.stats import contingency_stats
+
+    # b == a: MI = H(a) = ln 2 for a uniform binary column; V = 1
+    rows = [("x", "x")] * 30 + [("y", "y")] * 30
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = contingency_stats(df, col_a="a", col_b="b").first()
+    assert abs(out["mi_nats"] - math.log(2)) < 1e-12
+    assert abs(out["cramers_v"] - 1.0) < 1e-12
+
+
+def test_contingency_ignores_nulls(spark):
+    from skope_api_spark.operators.stats import contingency_stats
+
+    df = spark.createDataFrame(
+        [("x", "u"), (None, "u"), ("x", None)], "a string, b string"
+    )
+    assert contingency_stats(df, col_a="a", col_b="b").first()["n"] == 1
