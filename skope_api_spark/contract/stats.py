@@ -510,3 +510,58 @@ def stats_contingency_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 4).alias("chi2"),
         F.round("cramers_v", 6).alias("cramers_v"),
     )
+
+
+@query(
+    "stats_welch_ttest_segment",
+    oracle="""
+WITH j AS (
+  SELECT o_totalprice AS v, (c_mktsegment = 'BUILDING') AS g
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), m AS (
+  SELECT COUNT(CASE WHEN g THEN 1 END) AS na,
+         COUNT(CASE WHEN NOT g THEN 1 END) AS nb,
+         SUM(CASE WHEN g THEN v END) AS sa,
+         SUM(CASE WHEN NOT g THEN v END) AS sb,
+         SUM(CASE WHEN g THEN v * v END) AS qa,
+         SUM(CASE WHEN NOT g THEN v * v END) AS qb
+  FROM j
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(sa / na, 4) AS mean_a,
+       ROUND(sb / nb, 4) AS mean_b,
+       ROUND((sa / na - sb / nb)
+         / SQRT(((qa - na * (sa/na) * (sa/na)) / (na - 1)) / na
+              + ((qb - nb * (sb/nb) * (sb/nb)) / (nb - 1)) / nb), 4)
+         AS t_stat,
+       ROUND(POW(((qa - na*(sa/na)*(sa/na))/(na-1))/na
+               + ((qb - nb*(sb/nb)*(sb/nb))/(nb-1))/nb, 2)
+         / (POW(((qa - na*(sa/na)*(sa/na))/(na-1))/na, 2)/(na-1)
+          + POW(((qb - nb*(sb/nb)*(sb/nb))/(nb-1))/nb, 2)/(nb-1)), 2)
+         AS dof
+FROM m
+""",
+)
+def stats_welch_ttest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test: BUILDING-segment order totals vs the rest —
+    moments-only hypothesis test (operators/stats.py:welch_ttest, one
+    aggregation), rounded at 4/2 dp against the naive-variance
+    cancellation noise both engines share. The null is true here by
+    construction, so |t| is small — the contract checks the arithmetic,
+    not significance."""
+    from skope_api_spark.operators.stats import welch_ttest
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_totalprice", (F.col("c_mktsegment") == "BUILDING").alias("g")
+    )
+    out = welch_ttest(j, value_col="o_totalprice", group_col="g")
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("t_stat", 4).alias("t_stat"),
+        F.round("dof", 2).alias("dof"),
+    )

@@ -723,3 +723,50 @@ def contingency_stats(
         "chi2",
         F.sqrt(F.col("chi2") / denom).alias("cramers_v"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two samples — ONE
+    aggregation of six moments (n, Σx, Σx² per side), t statistic and
+    Welch-Satterthwaite degrees of freedom in the projection. The
+    always-cheap companion to ``ks_two_sample`` (which needs the value
+    histogram; this needs only moments).
+
+    Returns one row (n_a, n_b, mean_a, mean_b, t_stat, dof); t/dof NULL
+    when either sample has < 2 values or both variances are 0.
+    """
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & g.isNotNull()
+    agg = df.agg(
+        F.count(F.when(ok & g, 1)).alias("n_a"),
+        F.count(F.when(ok & ~g, 1)).alias("n_b"),
+        F.sum(F.when(ok & g, v)).alias("__sa"),
+        F.sum(F.when(ok & ~g, v)).alias("__sb"),
+        F.sum(F.when(ok & g, v * v)).alias("__qa"),
+        F.sum(F.when(ok & ~g, v * v)).alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a, mean_b = F.col("__sa") / na, F.col("__sb") / nb
+    # unbiased sample variances (ddof=1)
+    var_a = (F.col("__qa") - na * mean_a * mean_a) / (na - 1)
+    var_b = (F.col("__qb") - nb * mean_b * mean_b) / (nb - 1)
+    se2 = var_a / na + var_b / nb
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (var_a / na) ** 2 / (na - 1) + (var_b / nb) ** 2 / (nb - 1)
+    )
+    valid = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.when(valid & (se2 > 0), t).alias("t_stat"),
+        F.when(valid & (se2 > 0), dof).alias("dof"),
+    )

@@ -416,3 +416,36 @@ def test_contingency_ignores_nulls(spark):
         [("x", "u"), (None, "u"), ("x", None)], "a string, b string"
     )
     assert contingency_stats(df, col_a="a", col_b="b").first()["n"] == 1
+
+
+def test_welch_ttest_known_shift(spark):
+    import numpy as np
+    from skope_api_spark.operators.stats import welch_ttest
+
+    rng = np.random.default_rng(41)
+    a = rng.normal(10, 2, 200)
+    b = rng.normal(12, 3, 150)
+    rows = [(float(v), True) for v in a] + [(float(v), False) for v in b]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    got = welch_ttest(df, value_col="v", group_col="g").first()
+    # reference Welch computation in numpy
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof_ref = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert got["n_a"] == 200 and got["n_b"] == 150
+    assert abs(got["t_stat"] - t_ref) < 1e-8
+    assert abs(got["dof"] - dof_ref) < 1e-6
+    assert got["t_stat"] < -4  # the shift is real and negative
+
+
+def test_welch_ttest_degenerate(spark):
+    from skope_api_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, False)], "v double, g boolean"
+    )
+    got = welch_ttest(df, value_col="v", group_col="g").first()
+    assert got["t_stat"] is None and got["dof"] is None
