@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 def mg_partials(df: DataFrame, col: str, *, counters: int) -> DataFrame:
     """Per-batch Misra-Gries summaries: (item, partial_count), at most
-    ``counters`` rows per Arrow batch."""
+    ``counters`` rows per Arrow batch. Items are canonicalized to
+    strings (the open-domain regime this targets is string-keyed; cast
+    back at the edge if a typed item is needed)."""
     import pandas as pd
 
     if counters < 1:

@@ -145,7 +145,10 @@ def covariance(
     """Population covariance matrix of an ``array<float|double>`` column.
 
     Returns the upper triangle as ``(i, j, cov)`` with 0-based ``i <= j``
-    — d(d+1)/2 rows total, independent of corpus size.
+    — d(d+1)/2 rows total, independent of corpus size. Rows with a NULL
+    embedding are excluded (posexplode emits nothing for them), matching
+    null-skipping aggregate semantics; ragged dimensions are the
+    caller's contract to prevent.
     """
     if strategy == "explode":
         parts = _explode_partials(df, col)

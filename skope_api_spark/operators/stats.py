@@ -296,7 +296,9 @@ def exact_quantiles(
        histogram) and interpolates.
 
     Returns (prob double, value double), one row per requested prob.
-    NULLs are excluded (percentile semantics). Raises on empty input.
+    NULLs are excluded (percentile semantics); an empty (or all-NULL)
+    input yields an EMPTY result, not NULL rows — guard upstream if a
+    row-per-prob contract is required.
     """
     probs = [float(p) for p in probs]
     if not probs:
