@@ -90,10 +90,13 @@ def _gram_partials(df: DataFrame, col: str, d: int) -> DataFrame:
 
     def gram(batches):
         for pdf in batches:
-            if not len(pdf):
+            # NULL embeddings are skipped — the same null-skipping
+            # semantics the explode strategy gets from posexplode
+            vals = pdf[col].dropna()
+            if not len(vals):
                 continue
             X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[col]]
+                [np.asarray(v, dtype=np.float64) for v in vals]
             )
             G = X.T @ X
             yield pd.DataFrame(

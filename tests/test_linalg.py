@@ -133,3 +133,17 @@ def test_pca_projection_preserves_neighbors(spark):
         return hits / len(M)
 
     assert top5_same_cluster(P) >= 0.95
+
+
+def test_covariance_null_rows_skipped_both_strategies(spark):
+    import numpy as np
+
+    from skope_api_spark.operators.linalg import covariance
+
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0]), (3, None)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    X = np.array([[1.0, 2.0], [3.0, 4.0]])
+    ref = np.cov(X.T, bias=True)
+    for strat in ("explode", "gram"):
+        got = _to_matrix(covariance(df, strategy=strat).collect(), 2)
+        assert np.abs(got - ref).max() < 1e-12, strat
