@@ -62,7 +62,10 @@ def holt_forecast(
     if horizon < 0:
         raise ValueError("horizon must be >= 0")
     a, b = F.lit(float(alpha)), F.lit(float(beta))
-    series = df.groupBy(*key_cols).agg(
+    # NULL observations are dropped BEFORE the fold: a NULL inside the
+    # recurrence would poison level/trend for the rest of the series
+    clean = df.where(F.col(value_col).isNotNull())
+    series = clean.groupBy(*key_cols).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(

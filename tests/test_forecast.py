@@ -90,3 +90,14 @@ def test_holt_validation(spark):
         holt_forecast(
             df, key_cols=("k",), order_col="t", value_col="v", horizon=-1
         )
+
+
+def test_holt_null_values_dropped(spark):
+    rows = [("a", 0, 10.0), ("a", 1, None), ("a", 2, 12.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    row = holt_forecast(
+        df, key_cols=("k",), order_col="t", value_col="v", horizon=1
+    ).first()
+    level, trend = _holt_ref([10.0, 12.0], 0.5, 0.3)
+    assert row["n_points"] == 2
+    assert abs(row["level"] - level) < 1e-12
