@@ -1820,3 +1820,79 @@ def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "net_ip_block_enrichment",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ip'), 1, 15))
+           ::BIGINT % 4294967296 AS ip
+  FROM events
+), blocks AS (
+  SELECT n_nationkey AS block_id, n_name AS block_name,
+         CAST(n_nationkey AS BIGINT) * 134217728 AS ip_lo,
+         CAST(n_nationkey AS BIGINT) * 134217728
+           + CAST(134217728 / POW(2, n_nationkey % 3) AS BIGINT) - 1 AS ip_hi
+  FROM nation
+)
+SELECT b.block_id, b.block_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(i.ip) AS BIGINT) AS min_ip,
+       CAST(MAX(i.ip) AS BIGINT) AS max_ip
+FROM ips i JOIN blocks b ON i.ip BETWEEN b.ip_lo AND b.ip_hi
+GROUP BY b.block_id, b.block_name
+ORDER BY b.block_id
+""",
+)
+def net_ip_block_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-to-block enrichment (the CIDR / geo-IP log join): synthetic
+    32-bit IPs from the shared md5_long chain, variable-width blocks
+    (/5-equivalent down to /7-equivalent so widths differ 4x) derived
+    from nation. Spark side is operators/rangejoin.py:point_in_range_join
+    — bucket equi-join with capped block explode, never the BNLJ a bare
+    BETWEEN join plans; the oracle is that bare theta join, fine at
+    25-block scale."""
+    from skope_api_spark.operators.dedup import md5_long
+    from skope_api_spark.operators.rangejoin import point_in_range_join
+
+    ev = load(spark, sf_dir, "events")
+    ips = ev.select(
+        "event_id",
+        (
+            md5_long(F.concat(F.col("event_id").cast("string"), F.lit(":ip")))
+            % F.lit(4294967296)
+        ).alias("ip"),
+    )
+    nation = load(spark, sf_dir, "nation")
+    blocks = nation.select(
+        F.col("n_nationkey").alias("block_id"),
+        F.col("n_name").alias("block_name"),
+        (F.col("n_nationkey").cast("long") * 134217728).alias("ip_lo"),
+        (
+            F.col("n_nationkey").cast("long") * 134217728
+            + F.floor(
+                134217728 / F.pow(2, F.col("n_nationkey") % 3)
+            ).cast("long")
+            - 1
+        ).alias("ip_hi"),
+    )
+    joined = point_in_range_join(
+        ips,
+        blocks,
+        point_col="ip",
+        range_start="ip_lo",
+        range_end="ip_hi",
+        bucket_width=1 << 24,
+        max_buckets_per_range=4,
+    )
+    return (
+        joined.groupBy("block_id", "block_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ip").alias("min_ip"),
+            F.max("ip").alias("max_ip"),
+        )
+        .orderBy("block_id")
+    )

@@ -129,3 +129,59 @@ def interval_overlap_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     return l_bucketed.join(r_bucketed, cond).drop("__lb", "__rb")
+
+
+def point_in_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    *,
+    point_col: str,
+    range_start: str,
+    range_end: str,
+    bucket_width: int,
+    max_buckets_per_range: int | None = None,
+) -> DataFrame:
+    """Point-in-interval equi-join over LONG domains — the CIDR/IP
+    enrichment, ID-block lookup, and genomic-interval shape.
+
+    Each point lands in exactly ONE bucket (no dedup needed, unlike the
+    interval-overlap join); each range explodes to its covered buckets
+    (two-level explode under ``max_buckets_per_range`` so a /8 CIDR
+    block cannot produce an unbounded array next to /24s). The join is a
+    plain bucket equi-join (hash, never BNLJ) with the exact
+    ``start <= p <= end`` residual. CLOSED ranges.
+
+    Returns all point columns + all range columns for matching pairs
+    (inner join; anti-join the result against points for the unmatched
+    side). Column names must be disjoint.
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    overlap = set(points.columns) & set(ranges.columns)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+    p = F.col(point_col).cast("long")
+    pb = points.withColumn("__pb", F.floor(p / bucket_width).cast("long"))
+    b0 = F.floor(F.col(range_start).cast("long") / bucket_width).cast("long")
+    b1 = F.floor(F.col(range_end).cast("long") / bucket_width).cast("long")
+    if max_buckets_per_range is None:
+        rb = ranges.withColumn("__rb", F.explode(F.sequence(b0, b1)))
+    else:
+        cap = int(max_buckets_per_range)
+        if cap < 1:
+            raise ValueError("max_buckets_per_range must be >= 1")
+        sub = ranges.withColumn(
+            "__sub",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.floor((b1 - b0) / cap))
+            ),
+        )
+        s0 = b0 + F.col("__sub") * cap
+        s1 = F.least(s0 + (cap - 1), b1)
+        rb = sub.withColumn("__rb", F.explode(F.sequence(s0, s1))).drop(
+            "__sub"
+        )
+    joined = pb.join(rb, pb["__pb"] == rb["__rb"]).where(
+        (F.col(range_start) <= p) & (p <= F.col(range_end))
+    )
+    return joined.drop("__pb", "__rb")

@@ -266,3 +266,68 @@ class TestRandomizedSplitParity:
         ]
         assert len(got) == len(set(got))
         assert sorted(got) == naive
+
+
+class TestPointInRange:
+    def test_membership_and_boundaries(self, spark):
+        from skope_api_spark.operators.rangejoin import point_in_range_join
+
+        pts = spark.createDataFrame(
+            [(1, 5), (2, 10), (3, 20), (4, 99)], "pid long, p long"
+        )
+        rng = spark.createDataFrame(
+            [(100, 5, 10), (200, 15, 30)], "rid long, lo long, hi long"
+        )
+        out = point_in_range_join(
+            pts, rng, point_col="p", range_start="lo", range_end="hi",
+            bucket_width=8,
+        )
+        got = {(r["pid"], r["rid"]) for r in out.collect()}
+        # closed ranges: both 5 and 10 belong to [5, 10]; 99 matches none
+        assert got == {(1, 100), (2, 100), (3, 200)}
+
+    def test_cap_equivalent_and_long_range(self, spark):
+        from skope_api_spark.operators.rangejoin import point_in_range_join
+
+        pts = spark.createDataFrame(
+            [(i, i * 37) for i in range(50)], "pid long, p long"
+        )
+        rng = spark.createDataFrame(
+            [(1, 0, 1000), (2, 900, 905)], "rid long, lo long, hi long"
+        )
+        kw = dict(point_col="p", range_start="lo", range_end="hi",
+                  bucket_width=16)
+        a = {(r["pid"], r["rid"]) for r in point_in_range_join(pts, rng, **kw).collect()}
+        b = {
+            (r["pid"], r["rid"])
+            for r in point_in_range_join(
+                pts, rng, max_buckets_per_range=3, **kw
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_no_duplicate_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.rangejoin import point_in_range_join
+
+        pts = spark.createDataFrame([(1, 50)], "pid long, p long")
+        rng = spark.createDataFrame([(9, 0, 100)], "rid long, lo long, hi long")
+        out = point_in_range_join(
+            pts, rng, point_col="p", range_start="lo", range_end="hi",
+            bucket_width=4, max_buckets_per_range=2,
+        )
+        assert out.count() == 1  # range covers many buckets; point in ONE
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from skope_api_spark.operators.rangejoin import point_in_range_join
+
+        pts = spark.createDataFrame([(1, 1)], "pid long, p long")
+        rng = spark.createDataFrame([(1, 0, 2)], "pid long, lo long, hi long")
+        with _pytest.raises(ValueError, match="overlapping"):
+            point_in_range_join(
+                pts, rng, point_col="p", range_start="lo", range_end="hi",
+                bucket_width=4,
+            )
