@@ -1896,3 +1896,35 @@ def net_ip_block_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_id")
     )
+
+
+@query(
+    "dq_k_anonymity_customers",
+    oracle="""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS k_min,
+       CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(COUNT(CASE WHEN sz < 5 THEN 1 END) AS BIGINT)
+         AS n_classes_below_k,
+       MIN(sz) >= 5 AS anonymous
+FROM classes
+""",
+)
+def dq_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table on the
+    (mktsegment, nationkey) quasi-identifier pair — the privacy gate run
+    before sharing any row-level extract
+    (operators/quality.py:k_anonymity_report, two map-side-combinable
+    aggregations)."""
+    from skope_api_spark.operators.quality import k_anonymity_report
+
+    cust = load(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust, ["c_mktsegment", "c_nationkey"], k=5
+    )

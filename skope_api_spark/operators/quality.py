@@ -163,3 +163,38 @@ def observed_metrics(
     obs = Observation()
     named = [expr.alias(name) for name, expr in metrics]
     return df.observe(obs, *named), obs
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every row
+    should be indistinguishable from at least k-1 others on those
+    columns, or the release re-identifies people.
+
+    Two aggregations, both map-side combinable: equivalence-class sizes
+    (groupBy the quasi-identifiers), then the class-size profile. NULL
+    identifier values form their own class (standard treatment). Returns
+    one row (n_rows, n_classes, k_min, n_rows_below_k, n_classes_below_k,
+    anonymous boolean).
+    """
+    if not quasi_identifiers:
+        raise ValueError("quasi_identifiers must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("__size")
+    )
+    return classes.agg(
+        F.sum("__size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__size").alias("k_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("__size") < k, F.col("__size"))), F.lit(0)
+        ).alias("n_rows_below_k"),
+        F.count(F.when(F.col("__size") < k, 1)).alias("n_classes_below_k"),
+        (F.min("__size") >= k).alias("anonymous"),
+    )

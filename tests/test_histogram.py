@@ -110,3 +110,29 @@ def test_observed_metrics_validation(spark):
 
     with _pytest.raises(ValueError, match="metrics"):
         observed_metrics(spark.range(1), [])
+
+
+def test_k_anonymity_report(spark):
+    from skope_api_spark.operators.quality import k_anonymity_report
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 7
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    out = k_anonymity_report(df, ["seg", "nat"], k=5).first()
+    assert out["n_rows"] == 14 and out["n_classes"] == 3
+    assert out["k_min"] == 2
+    assert out["n_rows_below_k"] == 2 and out["n_classes_below_k"] == 1
+    assert out["anonymous"] is False
+    ok = k_anonymity_report(df, ["seg"], k=5).first()
+    assert ok["anonymous"] is True  # classes a=7, b=7
+
+
+def test_k_anonymity_validation(spark):
+    import pytest as _pytest
+
+    from skope_api_spark.operators.quality import k_anonymity_report
+
+    df = spark.createDataFrame([("a",)], "seg string")
+    with _pytest.raises(ValueError, match="quasi"):
+        k_anonymity_report(df, [])
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["seg"], k=1)
