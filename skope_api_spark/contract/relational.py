@@ -1631,3 +1631,102 @@ def grouping_sets_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderstatus NULLS FIRST,
                  o_orderpriority NULLS FIRST
     """)
+
+
+@query(
+    "ts_mom_yoy_revenue_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month, ROUND(rev, 2) AS revenue,
+       ROUND(rev / LAG(rev, 1) OVER (ORDER BY month) - 1.0, 6) AS mom_growth,
+       ROUND(rev / LAG(rev, 12) OVER (ORDER BY month) - 1.0, 6) AS yoy_growth
+FROM monthly
+ORDER BY month
+""",
+)
+def ts_mom_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the everyday BI report: monthly
+    revenue (exact decimal sums, so the series is bit-identical
+    cross-engine) with month-over-month and year-over-year growth from
+    one lag window pass. Single-series ORDER BY window over ~80 monthly
+    rows — the aggregation already collapsed the corpus, so the
+    single-partition window is over the report, not the data."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = W.orderBy("m")
+    return monthly.select(
+        F.to_date("m").alias("month"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.lag("rev", 1).over(w) - 1.0, 6).alias(
+            "mom_growth"
+        ),
+        F.round(F.col("rev") / F.lag("rev", 12).over(w) - 1.0, 6).alias(
+            "yoy_growth"
+        ),
+    ).orderBy("month")
+
+
+@query(
+    "topn_parts_per_brand",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS part_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+), ranked AS (
+  SELECT p_brand, l_partkey, part_rev,
+         DENSE_RANK() OVER (PARTITION BY p_brand
+                            ORDER BY part_rev DESC, l_partkey) AS rk
+  FROM rev
+)
+SELECT p_brand, CAST(rk AS INT) AS rk, l_partkey,
+       CAST(part_rev AS DOUBLE) AS part_rev
+FROM ranked WHERE rk <= 3
+ORDER BY p_brand, rk, l_partkey
+""",
+)
+def topn_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within every brand — THE top-N-per-group
+    shape (window rank + filter; revenue as exact decimal sums with an
+    id tie-break so ranks are total). The per-brand window distributes on
+    the brand key; no global sort."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "part_rev"
+            )
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(
+        F.desc("part_rev"), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            F.col("rk").cast("int").alias("rk"),
+            "l_partkey",
+            F.col("part_rev").cast("double").alias("part_rev"),
+        )
+        .orderBy("p_brand", "rk", "l_partkey")
+    )
