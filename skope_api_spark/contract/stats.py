@@ -565,3 +565,38 @@ def stats_welch_ttest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t_stat", 4).alias("t_stat"),
         F.round("dof", 2).alias("dof"),
     )
+
+
+@query(
+    "feature_rank_normalize_price",
+    oracle="""
+WITH h AS (
+  SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+), r AS (
+  SELECT v, (SUM(c) OVER (ORDER BY v) - c / 2.0)
+            / (SELECT SUM(c) FROM h) AS rn
+  FROM h
+)
+SELECT ROUND(rn, 8) AS rank_norm, CAST(h.c AS BIGINT) AS n_rows
+FROM h JOIN r USING (v)
+ORDER BY rank_norm
+LIMIT 100
+""",
+)
+def feature_rank_normalize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (quantile) normalization of l_extendedprice — the monotone
+    outlier-immune feature transform (operators/stats.py:rank_normalize,
+    distributed prefix sum over the value histogram, mid-rank ties).
+    Reported as the lowest 100 normalized values with their
+    multiplicities; mid-ranks are exact (integer - c/2)/n rationals, so
+    8-dp rounding carries no tie risk."""
+    from skope_api_spark.operators.stats import rank_normalize
+
+    li = load(spark, sf_dir, "lineitem")
+    out = rank_normalize(li, "l_extendedprice")
+    return (
+        out.groupBy(F.round("rank_norm", 8).alias("rank_norm"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("rank_norm")
+        .limit(100)
+    )

@@ -689,3 +689,61 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skope_api_spark.operators.funnel import session_paths
 
     return session_paths(_events(spark, sf_dir), top_k=20)
+
+
+@query(
+    "session_bounce_rate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM flagged
+), sizes AS (
+  SELECT user_id, sid, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+         AS n_bounces,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_session_events
+FROM sizes
+""",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate — single-event sessions over total sessions (the
+    product-analytics headline KPI), from the shared 30-min gap
+    sessionization. Ratios are single divisions of exact integers:
+    bit-identical cross-engine, no rounding."""
+    df = ops.sessionize(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        order_by=("ts", "event_id"),
+        partition_by=("user_id",),
+        gap="30 minutes",
+        out_col="sid",
+    )
+    sizes = df.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+        (
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("avg_session_events"),
+    )

@@ -772,3 +772,39 @@ def welch_ttest(
         F.when(valid & (se2 > 0), t).alias("t_stat"),
         F.when(valid & (se2 > 0), dof).alias("dof"),
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    *,
+    out_col: str = "rank_norm",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Quantile (rank) normalization: map a numeric column to (0, 1) by
+    mid-rank — the monotone, outlier-immune feature transform
+    (r_mid = (rank_lo + rank_hi) / 2 / n over the value histogram, ties
+    share one mid-rank).
+
+    No row sort: histogram + the shared distributed prefix sum give each
+    DISTINCT value its rank interval; values map through a broadcast-able
+    skinny join back onto the corpus (the histogram is |distinct| rows —
+    let AQE choose broadcast vs shuffle). NULLs stay NULL.
+    """
+    v = F.col(col).cast("double")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    hist = hist.localCheckpoint(eager=True)
+    ranked = _range_prefix_sum(hist, "__v", "__c", partitions)
+    total = hist.agg(F.sum("__c").alias("__n"))
+    mapping = ranked.crossJoin(F.broadcast(total)).select(
+        "__v",
+        (
+            (F.col("__cum").cast("double") - F.col("__c") / 2.0)
+            / F.col("__n")
+        ).alias(out_col),
+    )
+    return df.join(mapping, v.eqNullSafe(F.col("__v")), "left").drop("__v")

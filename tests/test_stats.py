@@ -449,3 +449,35 @@ def test_welch_ttest_degenerate(spark):
     )
     got = welch_ttest(df, value_col="v", group_col="g").first()
     assert got["t_stat"] is None and got["dof"] is None
+
+
+def test_rank_normalize_properties(spark):
+    import numpy as np
+    from skope_api_spark.operators.stats import rank_normalize
+
+    rng = np.random.default_rng(43)
+    vals = np.round(rng.lognormal(0, 2, 400), 3)  # heavy tail
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, x double"
+    )
+    out = rank_normalize(df, "x")
+    rows = sorted(out.collect(), key=lambda r: r["id"])
+    rn = np.array([r["rank_norm"] for r in rows])
+    # strictly inside (0, 1); monotone with the raw values; mean 1/2
+    assert rn.min() > 0 and rn.max() < 1
+    order_raw = np.argsort(vals, kind="stable")
+    assert (np.diff(rn[order_raw]) >= 0).all()
+    assert abs(rn.mean() - 0.5) < 1e-9
+
+
+def test_rank_normalize_ties_and_nulls(spark):
+    from skope_api_spark.operators.stats import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 9.0), (4, None)], "id long, x double"
+    )
+    out = {r["id"]: r["rank_norm"] for r in rank_normalize(df, "x").collect()}
+    # mid-ranks over n=3: the tied pair shares (2 - 1)/3 ... = 1/3; top is 2.5/3
+    assert out[1] == out[2] == pytest.approx(1 / 3)
+    assert out[3] == pytest.approx(2.5 / 3)
+    assert out[4] is None
