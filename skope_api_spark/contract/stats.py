@@ -600,3 +600,118 @@ def feature_rank_normalize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_norm")
         .limit(100)
     )
+
+
+_MONTHLY_IDX_SQL = """
+monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT CAST(date_diff('month', (SELECT MIN(m) FROM monthly), m) AS BIGINT)
+           AS x,
+         y
+  FROM monthly
+)"""
+
+
+def _monthly_revenue_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly exact-decimal revenue as an (x, y) series — integer month
+    index from the series minimum (both dates are month-truncated, so
+    months_between is an exact integer) and a bit-identical double y."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    m0 = monthly.agg(F.min("m").alias("m0"))
+    return monthly.crossJoin(F.broadcast(m0)).select(
+        F.months_between("m", "m0").cast("long").alias("x"), "y"
+    )
+
+
+@query(
+    "ts_mann_kendall_monthly_revenue",
+    oracle=f"""
+WITH {_MONTHLY_IDX_SQL},
+pairs AS (
+  SELECT a.y AS yi, b.y AS yj FROM idx a JOIN idx b ON b.x > a.x
+), s AS (
+  SELECT CAST(COALESCE(SUM(SIGN(yj - yi)), 0) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) / 2.0), 0.0) AS n1,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS DOUBLE)
+           AS tievar
+  FROM (SELECT COUNT(*) AS t FROM idx GROUP BY y) tt WHERE t > 1
+)
+SELECT n, s_stat, n_pairs,
+       ROUND(s_stat / SQRT((n * (n - 1) / 2.0 - n1)
+                           * (n * (n - 1) / 2.0)), 6) AS tau_b,
+       ROUND(CASE WHEN s_stat = 0 THEN 0.0
+             ELSE (s_stat - SIGN(s_stat))
+                  / SQRT((n * (n - 1) * (2.0 * n + 5) - tievar) / 18.0)
+             END, 6) AS z
+FROM s, nn, ties
+""",
+)
+def ts_mann_kendall_monthly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the monthly revenue series —
+    the nonparametric "is this KPI drifting" screen. S and the tie terms
+    are exact integers over the exact-decimal series; only the final
+    tau-b / z divisions are floats (6-dp rounded). The pair join is the
+    documented bounded broadcast over the ~80-row report
+    (operators/stats.py:mann_kendall)."""
+    from skope_api_spark.operators.stats import mann_kendall
+
+    series = _monthly_revenue_series(spark, sf_dir)
+    out = mann_kendall(series, x="x", y="y")
+    return out.select(
+        "n",
+        "s_stat",
+        "n_pairs",
+        F.round("tau_b", 6).alias("tau_b"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+@query(
+    "ts_theil_sen_monthly_revenue",
+    oracle=f"""
+WITH {_MONTHLY_IDX_SQL},
+slopes AS (
+  SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS sl
+  FROM idx a JOIN idx b ON b.x > a.x
+), m AS (SELECT MEDIAN(sl) AS slope FROM slopes),
+resid AS (SELECT y - m.slope * x AS r FROM idx, m)
+SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n,
+       ROUND(m.slope, 6) AS slope,
+       ROUND((SELECT MEDIAN(r) FROM resid), 6) AS intercept
+FROM m
+""",
+)
+def ts_theil_sen_monthly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-Sen robust trend line over monthly revenue — median pairwise
+    slope + median residual intercept, the outlier-immune cousin of
+    stats_ols_price_by_flag. Both medians are exact interpolating
+    percentiles in both engines, and the intercept residuals use the
+    UNROUNDED slope so the inputs are bit-identical before the single
+    6-dp rounding (operators/stats.py:theil_sen)."""
+    from skope_api_spark.operators.stats import theil_sen
+
+    series = _monthly_revenue_series(spark, sf_dir)
+    out = theil_sen(series, x="x", y="y")
+    return out.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )

@@ -808,3 +808,92 @@ def rank_normalize(
         ).alias(out_col),
     )
     return df.join(mapping, v.eqNullSafe(F.col("__v")), "left").drop("__v")
+
+
+def _series_pairs(series: DataFrame, x: str, y: str) -> DataFrame:
+    """All ordered pairs (i < j by ``x``) of a report-sized series.
+
+    Intentional bounded O(n²): the input is a POST-AGGREGATION series
+    (monthly revenue, daily actives — 10²-10⁴ rows after the corpus
+    collapsed), so the inequality self-join broadcasts one copy of the
+    series and plans as a bounded BroadcastNestedLoopJoin over the
+    report, never over the data. Callers that need trend tests over
+    un-aggregated corpora should aggregate first — that is the
+    statistic's own definition, not a workaround.
+    """
+    a = series.select(F.col(x).alias("__xi"), F.col(y).alias("__yi"))
+    b = series.select(F.col(x).alias("__xj"), F.col(y).alias("__yj"))
+    return F.broadcast(a).join(b, F.col("__xj") > F.col("__xi"))
+
+
+def mann_kendall(series: DataFrame, *, x: str, y: str) -> DataFrame:
+    """Mann-Kendall trend test: S = Σ_{i<j} sgn(y_j − y_i) over the
+    time-ordered series, tie-corrected Kendall tau-b, and the normal
+    approximation z with continuity correction (Kendall 1975; public
+    formulas). S and the tie terms are exact integers — the only floats
+    are the final tau/z divisions, so round once in the caller.
+
+    One pair join over the report (``_series_pairs``), one tiny tie
+    aggregation over distinct y values, and three 1-row broadcasts —
+    the corpus-sized work happened upstream in the aggregation that
+    produced the series.
+    """
+    pairs = _series_pairs(series, x, y)
+    s = pairs.agg(
+        F.sum(F.signum(F.col("__yj") - F.col("__yi")))
+        .cast("long")
+        .alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nrow = series.agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("__t")
+    ties = (
+        series.groupBy(F.col(y).alias("__yv"))
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) / 2), F.lit(0.0)).alias("__n1"),
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0.0))
+            .cast("double")
+            .alias("__tievar"),
+        )
+    )
+    joined = s.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    n0 = n * (n - 1) / 2.0
+    var_s = (n * (n - 1) * (2.0 * n + 5.0) - F.col("__tievar")) / 18.0
+    # all-tied (or n=1) series: the tau denominator is 0 — tau undefined,
+    # NULL under try_divide rather than an ANSI divide-by-zero
+    tau_b = F.try_divide(
+        F.col("s_stat"), F.sqrt((n0 - F.col("__n1")) * n0)
+    )
+    z = F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+        (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(var_s)
+    )
+    return joined.select(
+        "n", "s_stat", "n_pairs", tau_b.alias("tau_b"), z.alias("z")
+    )
+
+
+def theil_sen(series: DataFrame, *, x: str, y: str) -> DataFrame:
+    """Theil-Sen robust line fit: slope = median of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i), intercept = median of the residuals y − m·x
+    (Sen 1968). Breakdown point ~29% — the outlier-immune alternative to
+    OLS for report-sized trend lines. Same bounded pair join as
+    ``mann_kendall``; both medians are Spark's exact interpolating
+    ``median`` (DuckDB's MEDIAN matches), and the intercept reuses the
+    UNROUNDED slope so both engines see identical residuals.
+    """
+    pairs = _series_pairs(series, x, y)
+    slope = pairs.agg(
+        F.median(
+            (F.col("__yj") - F.col("__yi"))
+            / (F.col("__xj") - F.col("__xi")).cast("double")
+        ).alias("slope")
+    )
+    resid = series.crossJoin(F.broadcast(slope))
+    return resid.agg(
+        F.min("slope").alias("slope"),
+        F.median(F.col(y) - F.col("slope") * F.col(x)).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -481,3 +481,56 @@ def test_rank_normalize_ties_and_nulls(spark):
     assert out[1] == out[2] == pytest.approx(1 / 3)
     assert out[3] == pytest.approx(2.5 / 3)
     assert out[4] is None
+
+
+def test_mann_kendall_monotone_series(spark):
+    from skope_api_spark.operators.stats import mann_kendall
+
+    # strictly increasing: S = n(n-1)/2, tau_b = 1, z > 0
+    df = spark.createDataFrame(
+        [(i, float(i) * 2.0) for i in range(8)], "x long, y double"
+    )
+    r = mann_kendall(df, x="x", y="y").collect()[0]
+    assert r["n"] == 8 and r["n_pairs"] == 28
+    assert r["s_stat"] == 28
+    assert r["tau_b"] == pytest.approx(1.0)
+    # var_s = 8*7*21/18 = 65.333..., z = 27 / sqrt(65.333)
+    assert r["z"] == pytest.approx(27 / (65.0 + 1 / 3) ** 0.5)
+
+
+def test_mann_kendall_ties_and_flat(spark):
+    from skope_api_spark.operators.stats import mann_kendall
+
+    # all-equal series: S = 0, z = 0 (continuity-corrected), tau NaN-free
+    flat = spark.createDataFrame(
+        [(i, 3.0) for i in range(5)], "x long, y double"
+    )
+    r = mann_kendall(flat, x="x", y="y").collect()[0]
+    assert r["s_stat"] == 0 and r["z"] == 0.0
+    assert r["tau_b"] is None  # tau undefined when every pair is a tie
+    # hand-computed tied case: y = 1,2,2,3 -> S = 5 of 6 pairs (one tie)
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 2.0), (3, 3.0)], "x long, y double"
+    )
+    r = mann_kendall(df, x="x", y="y").collect()[0]
+    assert r["s_stat"] == 5 and r["n_pairs"] == 6
+    # tau_b = 5 / sqrt((6-1)*6)
+    assert r["tau_b"] == pytest.approx(5 / (5 * 6) ** 0.5)
+
+
+def test_theil_sen_exact_line_and_outlier(spark):
+    from skope_api_spark.operators.stats import theil_sen
+
+    # exact line: recovers slope/intercept exactly
+    line = spark.createDataFrame(
+        [(i, 3.0 * i + 7.0) for i in range(10)], "x long, y double"
+    )
+    r = theil_sen(line, x="x", y="y").collect()[0]
+    assert r["slope"] == pytest.approx(3.0) and r["intercept"] == pytest.approx(7.0)
+    # one wild outlier barely moves the median-based fit (OLS would swing)
+    pts = [(i, 2.0 * i + 1.0) for i in range(11)]
+    pts[5] = (5, 1000.0)
+    out = spark.createDataFrame(pts, "x long, y double")
+    r = theil_sen(out, x="x", y="y").collect()[0]
+    assert r["slope"] == pytest.approx(2.0, abs=0.1)
+    assert r["intercept"] == pytest.approx(1.0, abs=0.5)
