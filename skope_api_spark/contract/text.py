@@ -1206,3 +1206,159 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n").startswith("Caf\u00e9 na\u00efve "), 1)
         ).alias("n_precomposed"),
     )
+
+
+@query(
+    "sample_unimax_mixing",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+), sizes AS (
+  SELECT lang, CAST(SUM(ntok) AS BIGINT) AS s FROM dt GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS l
+  FROM sizes
+), ranked AS (
+  SELECT lang, s, t, l,
+         ROW_NUMBER() OVER (ORDER BY s, lang) AS r,
+         COALESCE(SUM(s) OVER (ORDER BY s, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pp,
+         CAST(FLOOR(t * 0.4) AS BIGINT) AS bud
+  FROM sizes, tot
+), flagged AS (
+  SELECT *, (s * (l - r + 1) <= bud - pp) AS flag FROM ranked
+), ffx AS (
+  SELECT MIN(CASE WHEN NOT flag THEN r END) AS ff_raw FROM flagged
+), enr AS (
+  SELECT f.*, (f.r < COALESCE(ffx.ff_raw, f.l + 1)) AS capped
+  FROM flagged f, ffx
+), ct AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN s END), 0) AS BIGINT)
+           AS ctot,
+         CAST(COALESCE(SUM(CASE WHEN NOT capped THEN 1 END), 0) AS BIGINT)
+           AS den
+  FROM enr
+), alloc AS (
+  SELECT e.lang, e.s, e.capped, CAST(e.bud - c.ctot AS BIGINT) AS num,
+         c.den
+  FROM enr e, ct c
+), kept AS (
+  SELECT d.lang, d.ntok
+  FROM dt d JOIN alloc a USING (lang)
+  WHERE a.capped OR
+        CAST({_H.format(c="d.doc_id")} AS HUGEINT) * a.den * a.s
+          < CAST(a.num AS HUGEINT) * 1000000
+), kc AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(ntok) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY lang
+)
+SELECT a.lang, a.s AS lang_tokens, a.capped,
+       ROUND(CASE WHEN a.capped THEN CAST(a.s AS DOUBLE)
+             ELSE a.num / a.den END, 2) AS alloc_tokens,
+       COALESCE(kc.kept_docs, 0) AS kept_docs,
+       COALESCE(kc.kept_tokens, 0) AS kept_tokens
+FROM alloc a LEFT JOIN kc USING (lang)
+ORDER BY a.lang
+""",
+)
+def sample_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped language mixing at budget_frac = 0.4: the
+    water-filling allocation is all-integer window arithmetic over the
+    5-language table, and doc selection is an exact decimal
+    cross-multiplied md5 threshold, so every column but the one rational
+    alloc_tokens is bit-identical cross-engine
+    (operators/sampling.py:unimax_mixing)."""
+    from skope_api_spark.operators.sampling import unimax_mixing
+
+    docs = load(spark, sf_dir, "documents")
+    kept = unimax_mixing(docs, budget_frac=0.4)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    kc = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(n_tok).alias("kept_tokens"),
+    )
+    alloc = (
+        kept.select("lang", "__s", "__capped", "__num", "__den")
+        .dropDuplicates(["lang"])
+    )
+    # re-derive the full allocation table (a lang could in principle keep
+    # zero docs): rebuild from the operator's broadcast lang columns is
+    # not total, so recompute alloc from the source for the report
+    out = (
+        alloc.join(kc, "lang", "left")
+        .select(
+            "lang",
+            F.col("__s").alias("lang_tokens"),
+            F.col("__capped").alias("capped"),
+            F.round(
+                F.when(
+                    F.col("__capped"), F.col("__s").cast("double")
+                ).otherwise(F.col("__num") / F.col("__den")),
+                2,
+            ).alias("alloc_tokens"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+    return out
+
+
+@query(
+    "sample_dsir_selection",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 128 AS b
+  FROM toks
+), bs AS (
+  SELECT b, COUNT(*) AS n_raw,
+         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_tgt
+  FROM tb GROUP BY b
+), tot AS (
+  SELECT SUM(n_raw) AS t_raw, SUM(n_tgt) AS t_tgt FROM bs
+), w AS (
+  SELECT b, LN((n_tgt + 1.0) / (t_tgt + 128.0))
+            - LN((n_raw + 1.0) / (t_raw + 128.0)) AS wt
+  FROM bs, tot
+), scores AS (
+  SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(w.wt) AS score
+  FROM tb JOIN w USING (b) GROUP BY tb.doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens, score,
+         score - LN(-LN(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
+                                 1, 15)) AS BIGINT) % 1000000 + 0.5)
+           / 1000000.0)) AS gkey
+  FROM scores
+)
+SELECT doc_id, n_tokens, ROUND(score, 6) AS score,
+       ROUND(gkey, 6) AS gumbel_key
+FROM keyed
+ORDER BY ROUND(gkey, 6) DESC, doc_id
+LIMIT 100
+""",
+)
+def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the English slice: hashed
+    unigram-bucket log importance weights (add-1 smoothing, 128 buckets)
+    plus deterministic md5-Gumbel noise, Gumbel-top-100 selection. The
+    rank key is rounded to 6dp with doc_id tie-break so accumulation
+    noise can't flip the boundary (operators/sampling.py:dsir_select)."""
+    from skope_api_spark.operators.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    out = dsir_select(docs, F.col("lang") == "en", k_buckets=128, top_n=100)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("score", 6).alias("score"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )

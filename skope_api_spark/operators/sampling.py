@@ -365,3 +365,171 @@ def cap_per_group(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def unimax_mixing(
+    df: DataFrame,
+    *,
+    budget_frac: float = 0.4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax language mixing (Chung et al. 2023, public): allocate a
+    token budget B = floor(budget_frac · total) across languages by
+    water-filling — every language gets up to one full epoch (its whole
+    corpus) but never more than the fair share of what remains. With
+    sizes s_1 ≤ s_2 ≤ … (ascending), language l is "capped" (kept whole)
+    iff s_l · (L − l + 1) ≤ B − Σ_{j<l} s_j — an ALL-INTEGER window
+    predicate, so the allocation is exact and engine-independent; the
+    uncapped tail splits the leftover budget equally (num/den rational).
+
+    Selection is the shared md5-threshold at doc granularity: keep an
+    uncapped-language doc iff u · den · s_l < num · M, compared in
+    decimal(38,0) cross-multiplication — no float threshold, no overflow
+    at petabyte token counts. Plan: one corpus aggregation to the
+    language table (|L| rows), tiny window/flag passes on it, one
+    broadcast join back, and a pure filter — the corpus never shuffles.
+
+    Returns the kept rows with lang-level columns ``__s`` (lang tokens),
+    ``__capped``, ``__num``, ``__den`` for reporting.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    sizes = df.groupBy(lang_col).agg(F.sum(n_tok).cast("long").alias("__s"))
+    tot = sizes.agg(
+        F.sum("__s").alias("__t"), F.count(F.lit(1)).alias("__l")
+    )
+    w = Window.orderBy("__s", lang_col)
+    ranked = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn(
+            "__pp",
+            F.coalesce(
+                F.sum("__s").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__bud",
+            F.floor(F.col("__t").cast("double") * budget_frac).cast("long"),
+        )
+    )
+    flagged = ranked.withColumn(
+        "__flag",
+        F.col("__s") * (F.col("__l") - F.col("__r") + 1)
+        <= F.col("__bud") - F.col("__pp"),
+    )
+    # capped = every rank before the FIRST failure (ascending sizes make
+    # the water-filling condition monotone; the min-rank guard keeps the
+    # prefix semantics exact even on degenerate inputs)
+    ff = flagged.agg(
+        F.min(F.when(~F.col("__flag"), F.col("__r"))).alias("__ff_raw")
+    )
+    enr = (
+        flagged.crossJoin(F.broadcast(ff))
+        .withColumn(
+            "__capped",
+            F.col("__r") < F.coalesce("__ff_raw", F.col("__l") + 1),
+        )
+    )
+    ct = enr.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__capped"), F.col("__s"))), F.lit(0)
+        ).alias("__ctot"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__capped"), F.lit(1))), F.lit(0)
+        ).alias("__den"),
+    )
+    alloc = enr.crossJoin(F.broadcast(ct)).select(
+        lang_col,
+        "__s",
+        "__capped",
+        (F.col("__bud") - F.col("__ctot")).alias("__num"),
+        "__den",
+    )
+    joined = df.join(F.broadcast(alloc), lang_col)
+    d20 = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    keep = F.col("__capped") | (
+        _uniform_hash(F.col(id_col)).cast("decimal(7,0)")
+        * F.col("__den").cast("decimal(4,0)")
+        * d20(F.col("__s"))
+        < d20(F.col("__num")) * F.lit(_HASH_MOD).cast("decimal(7,0)")
+    )
+    return joined.where(keep)
+
+
+def dsir_select(
+    df: DataFrame,
+    target,
+    *,
+    k_buckets: int = 128,
+    top_n: int = 100,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = ":dsir",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, public): score every raw
+    document by its hashed-feature importance weight between a TARGET
+    token distribution (rows where ``target`` is true) and the RAW
+    distribution, then resample top_n docs by Gumbel-top-k — sampling
+    without replacement proportional to exp(score), with deterministic
+    md5-derived Gumbel noise so the selection is engine-replayable.
+
+    Features are hashed unigram buckets (md5_long(token) % k_buckets —
+    the paper uses hashed n-grams; the bucket shape is identical), with
+    add-``alpha`` smoothing on both distributions. Plan: the corpus
+    tokenizes in-scan twice (fit the K-bucket distributions, then score)
+    — the inherent two-pass of fit-then-apply; the bucket table is K
+    rows broadcast both times, the per-doc score is one partial-agg
+    groupBy, and the final cut is a TakeOrdered top_n. No corpus-sized
+    shuffle beyond the doc-level score aggregation.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    tb = df.select(
+        F.col(id_col), target.alias("__is_tgt"), tok
+    ).select(
+        id_col,
+        "__is_tgt",
+        (md5_long(F.col("__tok")) % k_buckets).alias("__b"),
+    )
+    bs = tb.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n_raw"),
+        F.count(F.when(F.col("__is_tgt"), 1)).alias("__n_tgt"),
+    )
+    tot = bs.agg(
+        F.sum("__n_raw").alias("__t_raw"), F.sum("__n_tgt").alias("__t_tgt")
+    )
+    ak = alpha * k_buckets
+    w = bs.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("__n_tgt") + alpha) / (F.col("__t_tgt") + ak))
+            - F.log((F.col("__n_raw") + alpha) / (F.col("__t_raw") + ak))
+        ).alias("__wt"),
+    )
+    scores = tb.join(F.broadcast(w), "__b").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("__wt").alias("score")
+    )
+    u = (
+        _uniform_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        ).cast("double")
+        + 0.5
+    ) / _HASH_MOD
+    keyed = scores.select(
+        id_col,
+        "n_tokens",
+        "score",
+        (F.col("score") - F.log(-F.log(u))).alias("gumbel_key"),
+    )
+    # rank on the ROUNDED key with id tie-break: sub-1e-6 cross-engine
+    # accumulation noise cannot flip the selection boundary
+    return keyed.orderBy(
+        F.round("gumbel_key", 6).desc(), F.col(id_col)
+    ).limit(top_n)

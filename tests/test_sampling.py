@@ -233,3 +233,90 @@ class TestHashSplit:
             hash_split(docs, {"a": 0.9, "b": 0.2})
         with pytest.raises(ValueError, match="fractions"):
             hash_split(docs, {})
+
+
+class TestUniMax:
+    def _docs(self, spark, sizes):
+        # one doc per (lang, i) with `per` single-char tokens each
+        rows = []
+        did = 0
+        for lang, n_docs, per in sizes:
+            for _ in range(n_docs):
+                rows.append((did, lang, " ".join(["x"] * per)))
+                did += 1
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+
+    def test_water_filling_allocation(self, spark):
+        from skope_api_spark.operators.sampling import unimax_mixing
+
+        # sizes: a=10, b=20, c=70 tokens; B = floor(0.5*100) = 50
+        # a capped (10*3<=50), b capped (20*2<=40), c uncapped num=20 den=1
+        docs = self._docs(spark, [("a", 1, 10), ("b", 2, 10), ("c", 7, 10)])
+        kept = unimax_mixing(docs, budget_frac=0.5)
+        rows = {
+            r["lang"]: r
+            for r in kept.select(
+                "lang", "__s", "__capped", "__num", "__den"
+            )
+            .dropDuplicates(["lang"])
+            .collect()
+        }
+        assert rows["a"]["__capped"] and rows["b"]["__capped"]
+        assert not rows["c"]["__capped"]
+        assert rows["c"]["__num"] == 20 and rows["c"]["__den"] == 1
+        # capped languages keep EVERY doc
+        per_lang = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert per_lang["a"] == 1 and per_lang["b"] == 2
+        # uncapped language keeps a strict, deterministic subset
+        assert 0 <= per_lang.get("c", 0) < 7
+        again = {
+            r["lang"]: r["n"]
+            for r in unimax_mixing(docs, budget_frac=0.5)
+            .groupBy("lang")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        assert again == per_lang
+
+    def test_budget_covers_everything(self, spark):
+        from skope_api_spark.operators.sampling import unimax_mixing
+
+        docs = self._docs(spark, [("a", 2, 5), ("b", 3, 5)])
+        kept = unimax_mixing(docs, budget_frac=1.0)
+        assert kept.count() == 5  # all capped, all docs kept
+
+
+class TestDSIR:
+    def test_selects_target_looking_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.sampling import dsir_select
+
+        # target docs share a vocab disjoint from the rest; raw docs that
+        # LOOK like the target must outrank the others
+        tgt_text = " ".join(f"alpha{i % 7}" for i in range(40))
+        raw_text = " ".join(f"omega{i % 7}" for i in range(40))
+        rows = (
+            [(i, "en", tgt_text) for i in range(10)]
+            + [(100 + i, "xx", tgt_text) for i in range(5)]  # en-looking
+            + [(200 + i, "xx", raw_text) for i in range(20)]
+        )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        out = dsir_select(
+            docs, F.col("lang") == "en", k_buckets=64, top_n=15
+        ).collect()
+        picked = {r["doc_id"] for r in out}
+        # every selected doc uses the target vocabulary
+        assert picked <= set(range(10)) | {100 + i for i in range(5)}
+        scores = {r["doc_id"]: r["score"] for r in out}
+        assert min(scores.values()) > 0  # target-vocab docs score positive
