@@ -845,3 +845,48 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "i", "j", F.round("cov", 6).alias("cov")
     ).orderBy("i", "j")
+
+
+@query(
+    "sim_embedding_decontaminate",
+    oracle="""
+WITH p AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 20
+), scored AS (
+  SELECT c.vec_id, p.probe_id, list_cosine_similarity(p.pv, c.cv) AS cs
+  FROM c, p
+), best AS (
+  SELECT vec_id, probe_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cs DESC, probe_id) AS rk
+  FROM scored
+)
+SELECT vec_id, probe_id AS best_probe, ROUND(cs, 4) AS best_cos,
+       (cs >= 0.25) AS contaminated
+FROM best WHERE rk = 1
+ORDER BY vec_id
+""",
+)
+def sim_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination: every corpus vector scored
+    against the 20-vector probe (benchmark) set, flagged where the best
+    cosine clears 0.25 — the paraphrase-robust complement of the n-gram
+    decontaminator. Probe set broadcast, per-vector argmax as ONE
+    max-struct aggregation with smallest-probe tie-break
+    (operators/similarity.py:embedding_decontaminate)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.embedding_decontaminate(
+        emb.where(F.col("vec_id") >= 20),
+        emb.where(F.col("vec_id") < 20),
+        threshold=0.25,
+    )
+    return out.select(
+        "vec_id",
+        "best_probe",
+        F.round("best_cos", 4).alias("best_cos"),
+        "contaminated",
+    ).orderBy("vec_id")

@@ -1306,3 +1306,48 @@ def hard_negative_mining(
             "neighbor_label",
         )
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    best cosine against ANY benchmark/eval probe meets ``threshold`` —
+    the semantic cousin of the n-gram decontaminator
+    (text.py:decontaminate), catching paraphrased eval leakage that
+    token overlap misses.
+
+    Plan: the probe set is an eval benchmark — bounded by construction —
+    so it broadcasts into the corpus scan (BroadcastNestedLoopJoin over
+    a bounded build, same family as ``brute_force_topk``); the per-corpus
+    argmax is ONE max-struct aggregation (no window sort), keyed
+    (cosine, -probe_id) so exact ties break to the smallest probe. The
+    corpus never shuffles beyond its own id-keyed aggregation. For
+    probe sets too large to broadcast, route through the sign-random-
+    projection bucket join (``embedding_near_duplicates``) instead.
+    """
+    p = probes.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(p)).withColumn(
+        "__cs", cosine(F.col("__pv"), F.col("__cv"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("__cs").alias("cs"), (-F.col("__pid")).alias("np"))
+        ).alias("__m")
+    )
+    return best.select(
+        id_col,
+        (-F.col("__m.np")).cast("long").alias("best_probe"),
+        F.col("__m.cs").alias("best_cos"),
+        (F.col("__m.cs") >= threshold).alias("contaminated"),
+    )

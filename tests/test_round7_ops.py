@@ -788,3 +788,46 @@ def test_nearest_site_ignores_null_coordinate_sites(spark):
     # the malformed site must not hijack the argmin with a NULL distance
     assert [(r.point_id, r.site_id) for r in got] == [(1, 1)]
     assert got[0].distance_km is not None
+
+
+class TestEmbeddingDecontaminate:
+    def test_flags_exact_and_near_matches_only(self, spark):
+        from skope_api_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        e1 = [1.0, 0.0, 0.0, 0.0]
+        e2 = [0.0, 1.0, 0.0, 0.0]
+        near = [0.9, 0.1, 0.0, 0.0]
+        probes = spark.createDataFrame(
+            [(0, e1), (1, e2)], "vec_id long, embedding array<float>"
+        )
+        corpus = spark.createDataFrame(
+            [(10, e1), (11, near), (12, [0.0, 0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            r["vec_id"]: r
+            for r in embedding_decontaminate(
+                corpus, probes, threshold=0.8
+            ).collect()
+        }
+        assert out[10]["contaminated"] and out[10]["best_probe"] == 0
+        assert out[10]["best_cos"] == pytest.approx(1.0)
+        assert out[11]["contaminated"]  # paraphrase-like near match
+        assert not out[12]["contaminated"]  # orthogonal text
+
+    def test_tie_breaks_to_smallest_probe(self, spark):
+        from skope_api_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        v = [1.0, 1.0]
+        probes = spark.createDataFrame(
+            [(5, v), (3, v)], "vec_id long, embedding array<float>"
+        )
+        corpus = spark.createDataFrame(
+            [(10, v)], "vec_id long, embedding array<float>"
+        )
+        r = embedding_decontaminate(corpus, probes).collect()[0]
+        assert r["best_probe"] == 3
