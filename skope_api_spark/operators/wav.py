@@ -148,3 +148,82 @@ def decode_audio_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(batches, schema=schema)
+
+
+def wav_spectral_features(data: bytes) -> dict:
+    """Frequency-domain features from the decoded waveform via numpy's
+    real FFT (Hann-windowed, channel-mixed to mono): dominant frequency,
+    spectral centroid, bandwidth (magnitude-weighted std around the
+    centroid), and the 85% spectral rolloff. All are standard public DSP
+    definitions; resolution is rate/n_frames Hz (the full-signal FFT —
+    input size is already bounded by the decoder's MAX_SAMPLES cap)."""
+    import numpy as np
+
+    samples, rate, n_ch = decode_wav(data)
+    n = samples.shape[0]
+    base = {"sample_rate": rate, "n_channels": n_ch, "n_frames": int(n)}
+    if n < 2:
+        return {
+            **base, "dominant_hz": 0.0, "centroid_hz": 0.0,
+            "bandwidth_hz": 0.0, "rolloff_hz": 0.0,
+        }
+    mono = samples.mean(axis=1)
+    win = np.hanning(n)
+    mag = np.abs(np.fft.rfft(mono * win))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    # exclude DC from the dominant bin (windowed means can leak into it)
+    dom = float(freqs[1 + int(np.argmax(mag[1:]))]) if len(mag) > 1 else 0.0
+    total = float(mag.sum())
+    if total <= 0.0:
+        return {
+            **base, "dominant_hz": 0.0, "centroid_hz": 0.0,
+            "bandwidth_hz": 0.0, "rolloff_hz": 0.0,
+        }
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(
+        np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+    )
+    rolloff = float(freqs[int(np.searchsorted(np.cumsum(mag), 0.85 * total))])
+    return {
+        **base, "dominant_hz": dom, "centroid_hz": centroid,
+        "bandwidth_hz": bandwidth, "rolloff_hz": rolloff,
+    }
+
+
+def decode_spectral_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched spectral feature extraction — same quarantine
+    contract as ``decode_audio_features``: malformed blobs yield an
+    ``error`` row with NULL features instead of failing the job; only
+    the fixed-width feature row crosses the exchange."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, sample_rate int, n_channels int, n_frames long, "
+        "dominant_hz double, centroid_hz double, bandwidth_hz double, "
+        "rolloff_hz double, error string"
+    )
+    feature_keys = (
+        "sample_rate", "n_channels", "n_frames", "dominant_hz",
+        "centroid_hz", "bandwidth_hz", "rolloff_hz",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    f = wav_spectral_features(bytes(blob))
+                    rows.append({id_col: mid, **f, "error": None})
+                except (ValueError, struct.error) as ex:
+                    quarantined = {k: None for k in feature_keys}
+                    quarantined[id_col] = mid
+                    quarantined["error"] = str(ex)[:200]
+                    rows.append(quarantined)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema=schema)

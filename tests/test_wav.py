@@ -95,3 +95,50 @@ def test_spark_batch_features_with_quarantine(spark):
     assert out[1]["duration_s"] == pytest.approx(0.5)
     assert out[1]["zcr_hz"] == pytest.approx(880.0, rel=0.02)
     assert out[2]["error"] is not None and out[2]["duration_s"] is None
+
+
+def test_spectral_features_pure_sine():
+    from skope_api_spark.operators.wav import wav_spectral_features
+
+    f = wav_spectral_features(_sine_wav(freq=440.0, rate=8000, seconds=1.0))
+    # resolution is rate/n = 1 Hz at 1 s; Hann leakage stays within ~2 Hz
+    assert abs(f["dominant_hz"] - 440.0) <= 2.0
+    assert abs(f["centroid_hz"] - 440.0) <= 5.0
+    assert f["bandwidth_hz"] < 30.0  # energy concentrated at one tone
+    assert abs(f["rolloff_hz"] - 440.0) <= 5.0
+
+
+def test_spectral_features_two_tone_centroid_between():
+    import numpy as np
+
+    from skope_api_spark.operators.wav import wav_spectral_features
+
+    # mix 300 Hz and 900 Hz at equal amplitude by summing payloads
+    rate, seconds = 8000, 1.0
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    mix = 0.3 * np.sin(2 * np.pi * 300 * t) + 0.3 * np.sin(2 * np.pi * 900 * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((mix * 32767).astype("<i2").tobytes())
+    f = wav_spectral_features(buf.getvalue())
+    assert 550 <= f["centroid_hz"] <= 650  # midpoint of equal tones
+    assert min(abs(f["dominant_hz"] - 300.0), abs(f["dominant_hz"] - 900.0)) <= 2.0
+    assert 250 <= f["bandwidth_hz"] <= 350  # two tones 300 Hz either side
+
+
+def test_spectral_quarantine_path(spark):
+    from skope_api_spark.operators.wav import decode_spectral_features
+
+    good = _sine_wav(freq=200.0, rate=4000, seconds=0.25)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a wav"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_spectral_features(df).collect()}
+    assert rows[1]["error"] is None
+    assert abs(rows[1]["dominant_hz"] - 200.0) <= 5.0
+    assert rows[2]["error"] is not None and rows[2]["dominant_hz"] is None
