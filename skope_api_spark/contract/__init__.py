@@ -34,6 +34,17 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r07 session-4 rotation: five r06-driver-VERIFIED family redundants
+    # cede their slots to this session's new flagships; every ceded query
+    # stays covered by the full check_correctness replay and each family
+    # keeps gated representatives (similarity: cosine/lsh/bucketed/recall/
+    # sq8; text: quality/tfidf/bm25/linear/bpe; skope service: batched;
+    # joins: q9/q15/q21/spatial):
+    #   sim_ivf_topk              -> sim_embedding_decontaminate
+    #   skope_multi_series_fanout -> ts_mann_kendall_monthly_revenue
+    #   layout_zorder_events      -> sample_unimax_mixing
+    #   text_line_filter_c4       -> sample_dsir_selection
+    #   join_bloom_pruned_revenue -> ts_theil_sen_monthly_revenue
     # SKOPE datacube core (S/P/J/A/W rows of SURVEY §2)
     "skope_point_extraction",
     "skope_zonal_mean",
@@ -84,7 +95,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "scd2_merge_customers",
     "skope_polygon_zonal_stats",
     "skope_batched_multi_query",
-    "skope_multi_series_fanout",
+    "ts_mann_kendall_monthly_revenue",
     # W1-W4 window core + window extensions
     "w1_centered_moving_average",
     "ts_holt_forecast_daily_users",
@@ -106,12 +117,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   text_chunk_documents       -> stats_auc_chars_vs_lang
     "text_bpe_train_merges",
     "stats_auc_chars_vs_lang",
-    "layout_zorder_events",
+    "sample_unimax_mixing",
     # r06: sessionize_native_session_window's and text_bottomk_fingerprint's
     # slots ceded to the round's flagships (C4 line filter, bloom-pruned
     # join); both stay regression-covered by the full check_correctness
     # replay, and sessionization itself stays gated via sessionize_events
-    "text_line_filter_c4",
+    "sample_dsir_selection",
     "sessionize_events",
     # text / multimodal battery (r07 session 2: text_token_counts cedes
     # its slot to the grid spatial join — the geo-domain scale flagship;
@@ -120,7 +131,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "spatial_join_points_polygons",
     "stats_bootstrap_means_totalprice",
     "text_tfidf_top_terms",
-    "join_bloom_pruned_revenue",
+    "ts_theil_sen_monthly_revenue",
     "mm_binary_stats",
     # dedup scale paths
     "dedup_exact_documents",
@@ -131,7 +142,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # similarity / ANN
     "sim_cosine_topk",
     "sim_lsh_bucket_topk",
-    "sim_ivf_topk",
+    "sim_embedding_decontaminate",
     "sim_embedding_near_dup_bucketed",
     "q9_product_type_profit",
     "mv_incremental_rollup",
