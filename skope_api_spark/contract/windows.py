@@ -747,3 +747,36 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("double") / F.count(F.lit(1))
         ).alias("avg_session_events"),
     )
+
+
+@query(
+    "ts_rolling_distinct_users_24h",
+    oracle="""
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+), real_hours AS (SELECT DISTINCT h AS wh FROM hu),
+fanned AS (
+  SELECT hu.h + INTERVAL '1 hour' * g.k AS wh, hu.user_id
+  FROM hu CROSS JOIN generate_series(0, 23) g(k)
+)
+SELECT f.wh AS window_end,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS distinct_keys
+FROM fanned f JOIN real_hours r USING (wh)
+GROUP BY f.wh
+ORDER BY window_end
+""",
+)
+def ts_rolling_distinct_users_24h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact rolling-24h distinct active users per hour — the sliding
+    count-distinct no window frame can express. Bounded-explode rewrite:
+    dedup (hour, user) pairs, constant ×24 fan-out of the deduped pairs,
+    one count-distinct per window; cost scales with distinct activity,
+    never raw event volume (operators/windows.py:rolling_distinct_count).
+    The oracle replays the identical fan-out (generate_series), so both
+    engines count the same exact windows."""
+    events = load(spark, sf_dir, "events")
+    return ops.rolling_distinct_count(
+        events, ts_col="ts", key_col="user_id", window_buckets=24
+    ).orderBy("window_end")

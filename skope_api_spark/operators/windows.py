@@ -481,3 +481,44 @@ def level_shift_detect(
         .withColumn("after_mean", F.when(complete, F.col("after_mean")))
         .drop("__bn", "__an", "__bv", "__av")
     )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_buckets: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """EXACT sliding-window distinct count (e.g. rolling 24 h active
+    users per hour) — the aggregate ordinary windows cannot express
+    without O(window) state per row, and Spark's window functions refuse
+    outright (no DISTINCT over a frame).
+
+    Bounded-explode layout (the standard sliding-window rewrite): dedup
+    to (bucket, key) pairs — the corpus collapses to at most
+    |buckets|·|keys| skinny rows — then each pair replicates into the
+    ``window_buckets`` windows it can serve (a constant ×24 fan-out of
+    the DEDUPED pairs, not the raw events), and one count-distinct per
+    target window finishes. Windows are emitted only for buckets that
+    actually contain events. Two shuffles total (pair dedup + the
+    count-distinct), both partial-aggregatable; fan-out cost scales with
+    distinct activity, never with raw event volume.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    pairs = df.select(b.alias("__h"), F.col(key_col).alias("__k")).distinct()
+    ks = F.array(*[F.lit(i) for i in range(window_buckets)])
+    fanned = pairs.select(
+        F.explode(ks).alias("__i"), "__h", "__k"
+    ).select(
+        F.expr(f"timestampadd({bucket.upper()}, __i, __h)").alias("__wh"),
+        "__k",
+    )
+    real = pairs.select(F.col("__h").alias("__wh")).distinct()
+    return (
+        fanned.join(real, "__wh")
+        .groupBy("__wh")
+        .agg(F.countDistinct("__k").alias("distinct_keys"))
+        .select(F.col("__wh").alias("window_end"), "distinct_keys")
+    )

@@ -831,3 +831,29 @@ class TestEmbeddingDecontaminate:
         )
         r = embedding_decontaminate(corpus, probes).collect()[0]
         assert r["best_probe"] == 3
+
+
+class TestRollingDistinct:
+    def test_hand_checked_windows(self, spark):
+        from datetime import datetime
+
+        from skope_api_spark.operators.windows import rolling_distinct_count
+
+        rows = [
+            ("a", datetime(2024, 1, 1, 0, 10)),
+            ("b", datetime(2024, 1, 1, 1, 20)),
+            ("a", datetime(2024, 1, 1, 1, 30)),  # dup pair within hour
+            ("a", datetime(2024, 1, 1, 1, 45)),
+            ("c", datetime(2024, 1, 3, 5, 0)),  # outside every other window
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = {
+            r["window_end"]: r["distinct_keys"]
+            for r in rolling_distinct_count(
+                df, key_col="user_id", window_buckets=24
+            ).collect()
+        }
+        assert out[datetime(2024, 1, 1, 0, 0)] == 1  # {a}
+        assert out[datetime(2024, 1, 1, 1, 0)] == 2  # {a, b} over 2 hours
+        assert out[datetime(2024, 1, 3, 5, 0)] == 1  # {c}, others aged out
+        assert len(out) == 3  # only hours that contain events
