@@ -1928,3 +1928,62 @@ def dq_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(
         cust, ["c_mktsegment", "c_nationkey"], k=5
     )
+
+
+@query(
+    "rec_item_item_neighbors",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), ic AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pairs
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 2
+), scored AS (
+  SELECT p.item_a, p.item_b, p.n_pairs,
+         p.n_pairs / SQRT(CAST(ca.n_item * cb.n_item AS DOUBLE)) AS cosine
+  FROM pairs p
+  JOIN ic ca ON ca.item = p.item_a
+  JOIN ic cb ON cb.item = p.item_b
+), sym AS (
+  SELECT item_a AS item, item_b AS neighbor, n_pairs, cosine FROM scored
+  UNION ALL
+  SELECT item_b AS item, item_a AS neighbor, n_pairs, cosine FROM scored
+), ranked AS (
+  SELECT item, neighbor, n_pairs, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                 ORDER BY cosine DESC, neighbor) AS INT)
+           AS rk
+  FROM sym
+)
+SELECT item, rk, neighbor, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rk <= 3
+ORDER BY item, rk
+""",
+)
+def rec_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-kNN recommender neighbors: top-3 co-purchase neighbors per
+    part by binary-incidence cosine (n_pairs / sqrt(n_a·n_b)), min
+    co-occurrence 2. Ranking keys are a single exact-integer division
+    plus the neighbor-id tie-break, so the top-3 cut is deterministic
+    cross-engine (operators/basket.py:item_item_cosine)."""
+    from skope_api_spark.operators.basket import item_item_cosine
+
+    li = load(spark, sf_dir, "lineitem")
+    out = item_item_cosine(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_count=2,
+        k=3,
+    )
+    return out.select(
+        "item",
+        "rk",
+        "neighbor",
+        "n_pairs",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("item", "rk")

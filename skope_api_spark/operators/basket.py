@@ -98,3 +98,78 @@ def association_rules(
         )
     )
     return scored.orderBy(F.desc("lift"), "item_a", "item_b").limit(top_k)
+
+
+def item_item_cosine(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: cosine similarity
+    over binary basket incidence vectors — sim(a,b) = cooc(a,b) /
+    sqrt(n_a · n_b), the classic item-kNN recommender statistic
+    (Sarwar et al. 2001, public). Returns the top-k neighbors PER item
+    (both directions), deterministic tie-break (cosine desc, neighbor
+    asc).
+
+    Same scale shape as ``association_rules``: basket-co-located pair
+    self-join (cost = the operator's inherent co-occurrence output),
+    skinny item-count joins left to AQE, per-item top-k via one ranked
+    window over the pair table (|pairs| rows, already collapsed — never
+    the raw corpus). The one float per row is a single division of
+    exact integers: bit-identical cross-engine."""
+    from pyspark.sql import Window as W
+
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    items = basket_items(df, basket_col=basket_col, item_col=item_col)
+    item_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    scored = pairs.join(ca, "item_a").join(cb, "item_b").select(
+        "item_a",
+        "item_b",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+        ).alias("cosine"),
+    )
+    # symmetrize: every pair serves both items' neighbor lists
+    both = scored.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_pairs",
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_pairs",
+            "cosine",
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    return (
+        both.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("item", "rk", "neighbor", "n_pairs", "cosine")
+    )

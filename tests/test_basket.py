@@ -129,3 +129,46 @@ class TestRFM:
             ).collect()
         }
         assert out[1] == 8000.0 and out[2] == 10.0
+
+
+class TestItemItemCosine:
+    def test_hand_checked_neighbors(self, spark):
+        from skope_api_spark.operators.basket import item_item_cosine
+
+        # baskets: {A,B} x3, {A,C} x1 (+dup line), {B,C} x1
+        rows = [
+            (1, "A"), (1, "B"),
+            (2, "A"), (2, "B"),
+            (3, "A"), (3, "B"),
+            (4, "A"), (4, "C"), (4, "C"),  # duplicate line must not count
+            (5, "B"), (5, "C"),
+        ]
+        df = spark.createDataFrame(rows, "oid long, item string")
+        out = item_item_cosine(
+            df, basket_col="oid", item_col="item", min_pair_count=1, k=2
+        ).collect()
+        by = {(r["item"], r["neighbor"]): r for r in out}
+        # n_A=4, n_B=4, n_C=2; cooc(A,B)=3, cooc(A,C)=1, cooc(B,C)=1
+        assert by[("A", "B")]["cosine"] == pytest.approx(3 / 4)
+        assert by[("A", "C")]["cosine"] == pytest.approx(1 / (8**0.5))
+        assert by[("A", "B")]["rk"] == 1  # strongest neighbor first
+        # symmetric: B's list contains A at rank 1
+        assert by[("B", "A")]["rk"] == 1
+        assert by[("B", "A")]["cosine"] == pytest.approx(3 / 4)
+
+    def test_min_pair_count_filters(self, spark):
+        from skope_api_spark.operators.basket import item_item_cosine
+
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+        df = spark.createDataFrame(rows, "oid long, item string")
+        out = item_item_cosine(
+            df, basket_col="oid", item_col="item", min_pair_count=2, k=5
+        ).collect()
+        pairs = {(r["item"], r["neighbor"]) for r in out}
+        assert ("A", "B") in pairs and ("A", "C") not in pairs
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            item_item_cosine(
+                df, basket_col="oid", item_col="item", min_pair_count=0
+            )
