@@ -88,6 +88,56 @@ class SynthEventsDataSource(DataSource):
     def reader(self, schema):
         return SynthEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SynthEventsDataSource)
+
+
+# --- streaming reader (Spark 4 SimpleDataSourceStreamReader) -----------------
+#
+# The same deterministic generator exposed as a STREAM: offsets are row
+# indices, each microbatch covers [offset, offset + batch_rows), and
+# ``readBetweenOffsets`` regenerates any committed range bit-identically —
+# which is exactly the replayability contract Structured Streaming needs
+# from a source for end-to-end exactly-once (the sink side is proven in
+# tests/test_streaming.py's idempotent foreachBatch). A bounded
+# ``n_rows`` makes the stream quiesce (empty batches) so tests can drain
+# it with processAllAvailable; production sources leave it unbounded.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 7))
+        self.batch_rows = max(1, int(options.get("batch_rows", 100)))
+        n = options.get("n_rows")
+        self.n_rows = int(n) if n is not None else None
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def _gen(self, lo: int, hi: int):
+        for i in range(lo, hi):
+            h = _mix(self.seed * 1_000_003 + i)
+            yield (
+                i,
+                h % 500,
+                _EVENT_TYPES[h % len(_EVENT_TYPES)],
+                ((h >> 16) % 100_000) / 100.0,
+            )
+
+    def read(self, start):
+        lo = start["index"]
+        hi = lo + self.batch_rows
+        if self.n_rows is not None:
+            hi = min(hi, self.n_rows)
+        return iter(list(self._gen(lo, hi))), {"index": max(hi, lo)}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay of any committed range — same generator,
+        # same rows, regardless of when or where the retry runs
+        return iter(list(self._gen(start["index"], end["index"])))

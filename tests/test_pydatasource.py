@@ -56,3 +56,73 @@ def test_filters_and_aggregates_compose(spark):
 
 def test_empty_source(spark):
     assert _read(spark, n_rows=0).count() == 0
+
+
+class TestStreamReader:
+    def test_stream_matches_batch_read(self, spark, tmp_path):
+        from skope_api_spark.sources.pydatasource import register
+
+        register(spark)
+        n = 250
+        stream = (
+            spark.readStream.format("skope_synth_events")
+            .option("n_rows", n)
+            .option("batch_rows", 64)
+            .option("seed", 11)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("synth_stream_sink")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql(
+            "SELECT * FROM synth_stream_sink ORDER BY event_id"
+        ).collect()
+        want = (
+            spark.read.format("skope_synth_events")
+            .option("n_rows", n)
+            .option("seed", 11)
+            .load()
+            .orderBy("event_id")
+            .collect()
+        )
+        assert len(got) == n
+        assert got == want  # stream == batch, row for row
+
+    def test_replay_is_deterministic(self):
+        from skope_api_spark.sources.pydatasource import (
+            SynthEventsStreamReader,
+        )
+
+        r = SynthEventsStreamReader({"seed": "3", "batch_rows": "10"})
+        it1, off1 = r.read(r.initialOffset())
+        rows1 = list(it1)
+        assert off1 == {"index": 10} and len(rows1) == 10
+        # a retry of the SAME committed range regenerates identical rows
+        assert list(r.readBetweenOffsets({"index": 0}, {"index": 10})) == rows1
+        it2, off2 = r.read(off1)
+        rows2 = list(it2)
+        assert off2 == {"index": 20}
+        assert rows1[0] != rows2[0]  # batches advance
+
+    def test_bounded_stream_quiesces(self):
+        from skope_api_spark.sources.pydatasource import (
+            SynthEventsStreamReader,
+        )
+
+        r = SynthEventsStreamReader(
+            {"seed": "3", "batch_rows": "10", "n_rows": "15"}
+        )
+        it1, off1 = r.read({"index": 0})
+        it2, off2 = r.read(off1)
+        it3, off3 = r.read(off2)
+        assert len(list(it1)) == 10 and len(list(it2)) == 5
+        assert list(it3) == [] and off3 == {"index": 15}  # idle, offset stable
