@@ -1362,3 +1362,52 @@ def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.round("gumbel_key", 6).alias("gumbel_key"),
     )
+
+
+@query(
+    "text_keyness_llr",
+    oracle="""
+WITH tok AS (
+  SELECT (lang = 'en') AS f, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(CASE WHEN f THEN 1 END) AS k1,
+         COUNT(CASE WHEN NOT f THEN 1 END) AS k2
+  FROM tok GROUP BY tok
+), totals AS (SELECT SUM(k1) AS n1, SUM(k2) AS n2 FROM counts),
+g AS (
+  SELECT tok, k1, k2,
+         2.0 * (CASE WHEN k1 > 0 THEN k1 * LN(k1 / (n1 * (k1 + k2) / (n1 + n2)))
+                ELSE 0.0 END
+              + CASE WHEN k2 > 0 THEN k2 * LN(k2 / (n2 * (k1 + k2) / (n1 + n2)))
+                ELSE 0.0 END) AS g2,
+         (k1 * n2 >= k2 * n1) AS focus_leaning
+  FROM counts, totals
+  WHERE k1 + k2 >= 5
+)
+SELECT tok AS token, CAST(k1 AS BIGINT) AS n_focus,
+       CAST(k2 AS BIGINT) AS n_reference,
+       ROUND(g2, 6) AS g2,
+       ROUND(CASE WHEN focus_leaning THEN g2 ELSE -g2 END, 6) AS signed_g2
+FROM g
+ORDER BY ROUND(g2, 6) DESC, token
+LIMIT 30
+""",
+)
+def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness of the English slice vs the rest:
+    the top-30 most distinctive tokens by G², with the focus-leaning
+    sign. Counts are exact integers from ONE conditional aggregation;
+    the cut ranks on 6-dp-rounded G² with token tie-break
+    (operators/text.py:keyness_llr)."""
+    from skope_api_spark.operators.text import keyness_llr
+
+    docs = load(spark, sf_dir, "documents")
+    out = keyness_llr(docs, F.col("lang") == "en", top_k=30, min_count=5)
+    return out.select(
+        "token",
+        "n_focus",
+        "n_reference",
+        F.round("g2", 6).alias("g2"),
+        F.round("signed_g2", 6).alias("signed_g2"),
+    )

@@ -762,3 +762,63 @@ def normalize_text(
             yield pdf
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def keyness_llr(
+    df: DataFrame,
+    focus,
+    *,
+    text_col: str = "text",
+    top_k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus keyness by Dunning's log-likelihood ratio (Dunning 1993,
+    public): for every token, G² = 2·Σ O·ln(O/E) over the 2×2 table
+    (focus vs reference occurrence counts), the standard "what terms
+    distinguish this slice" statistic — more robust than raw frequency
+    ratios for rare terms. ``focus`` is a boolean Column splitting the
+    corpus (e.g. lang == 'en').
+
+    Plan: ONE tokenized conditional aggregation produces (token, k1, k2)
+    — focus/reference counts side by side, partial-aggregatable — the
+    two corpus totals are a broadcast 1-row aggregate, the G² arithmetic
+    lives in the projection (counts are exact integers; the only floats
+    are the final ln terms), and the cut is a TakeOrdered top_k keyed on
+    the 6-dp-rounded G² with token tie-break. Zero cells are handled by
+    the defining convention O·ln(O/E) = 0 when O = 0.
+    """
+    tok = df.select(
+        focus.alias("__f"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    )
+    counts = tok.groupBy("__tok").agg(
+        F.count(F.when(F.col("__f"), 1)).alias("k1"),
+        F.count(F.when(~F.col("__f"), 1)).alias("k2"),
+    )
+    totals = counts.agg(
+        F.sum("k1").alias("__n1"), F.sum("k2").alias("__n2")
+    )
+    j = counts.where(
+        (F.col("k1") + F.col("k2")) >= min_count
+    ).crossJoin(F.broadcast(totals))
+    n1, n2 = F.col("__n1").cast("double"), F.col("__n2").cast("double")
+    k1, k2 = F.col("k1").cast("double"), F.col("k2").cast("double")
+    e1 = n1 * (k1 + k2) / (n1 + n2)
+    e2 = n2 * (k1 + k2) / (n1 + n2)
+    term = lambda k, e: F.when(k > 0, k * F.log(k / e)).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    g2 = 2.0 * (term(k1, e1) + term(k2, e2))
+    # cross-multiplied leaning test: k1/n1 >= k2/n2 without divisions,
+    # so an empty slice (n = 0) cannot raise under ANSI mode
+    signed = F.when(k1 * n2 >= k2 * n1, g2).otherwise(-g2)
+    out = j.select(
+        F.col("__tok").alias("token"),
+        F.col("k1").alias("n_focus"),
+        F.col("k2").alias("n_reference"),
+        g2.alias("g2"),
+        signed.alias("signed_g2"),
+    )
+    return out.orderBy(
+        F.round("g2", 6).desc(), "token"
+    ).limit(top_k)

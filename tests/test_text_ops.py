@@ -358,3 +358,45 @@ class TestNormalizeText:
             F.countDistinct("text_norm").alias("norm"),
         ).first()
         assert n_distinct["raw"] == 2 and n_distinct["norm"] == 1
+
+
+class TestKeynessLLR:
+    def test_distinctive_terms_rank_first(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.text import keyness_llr
+
+        # focus docs overuse 'cat'; both slices share 'the'
+        rows = [(i, "en", "cat cat cat the the") for i in range(5)] + [
+            (10 + i, "de", "dog dog dog the the") for i in range(5)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        out = keyness_llr(
+            docs, F.col("lang") == "en", top_k=10, min_count=1
+        ).collect()
+        by = {r["token"]: r for r in out}
+        # balanced term: zero keyness; exclusive terms: maximal, signed
+        assert by["the"]["g2"] == pytest.approx(0.0, abs=1e-9)
+        assert by["cat"]["g2"] == pytest.approx(by["dog"]["g2"])
+        assert by["cat"]["signed_g2"] > 0 > by["dog"]["signed_g2"]
+        assert out[0]["token"] in ("cat", "dog")  # top by G2
+        assert by["cat"]["n_focus"] == 15 and by["cat"]["n_reference"] == 0
+
+    def test_min_count_filters_rare_terms(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.text import keyness_llr
+
+        docs = spark.createDataFrame(
+            [(1, "en", "rare common common common common")],
+            "doc_id long, lang string, text string",
+        )
+        toks = {
+            r["token"]
+            for r in keyness_llr(
+                docs, F.col("lang") == "en", min_count=2
+            ).collect()
+        }
+        assert "rare" not in toks and "common" in toks
