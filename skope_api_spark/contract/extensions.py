@@ -1987,3 +1987,59 @@ def rec_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round("cosine", 6).alias("cosine"),
     ).orderBy("item", "rk")
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src,
+           LEAD(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL AND src <> dst
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+), stubs AS (
+  SELECT du.deg AS da, dv.deg AS db
+  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+  UNION ALL
+  SELECT dv.deg AS da, du.deg AS db
+  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       ROUND((SELECT SUM(deg)::DOUBLE / COUNT(*) FROM deg), 6) AS avg_degree,
+       ROUND((SELECT CORR(da, db) FROM stubs), 6) AS assortativity
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — do high-degree
+    parts co-occur with other hubs? One degree aggregation + two skinny
+    joins + a single corr over symmetrized stubs; 6-dp rounding covers
+    corr accumulation-order noise
+    (operators/graph.py:degree_assortativity)."""
+    from skope_api_spark.operators.graph import (
+        degree_assortativity,
+        transition_edges,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = transition_edges(
+        li,
+        group_col="l_orderkey",
+        order_col="l_linenumber",
+        node_col="l_partkey",
+    )
+    out = degree_assortativity(edges)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        F.round("avg_degree", 6).alias("avg_degree"),
+        F.round("assortativity", 6).alias("assortativity"),
+    )

@@ -240,3 +240,69 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return nodes.join(counts, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over all directed stubs (each
+    undirected edge counted in both orientations — the standard
+    definition; Newman 2002, public). r > 0 means hubs prefer hubs.
+
+    Plan: canonicalize to distinct undirected edges, ONE degree
+    aggregation (skinny |V| table, AQE picks broadcast vs shuffle for
+    the two joins back), symmetrize by unioning the two orientations,
+    and a single corr() aggregate — no windows, no driver loops.
+    Returns one row: n_nodes, n_edges, avg_degree, assortativity.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    j = und.join(du, "u").join(dv, "v")
+    stubs = j.select(
+        F.col("du").alias("da"), F.col("dv").alias("db")
+    ).unionAll(j.select(F.col("dv").alias("da"), F.col("du").alias("db")))
+    nn = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("__sd")
+    )
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    # corr from moment sums with try_divide: F.corr raises DIVIDE_BY_ZERO
+    # under ANSI on constant-degree (regular) graphs, where r is undefined
+    m = stubs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("da").cast("double").alias("__sa"),
+        F.sum("db").cast("double").alias("__sb"),
+        F.sum(F.col("da") * F.col("db")).cast("double").alias("__sab"),
+        F.sum(F.col("da") * F.col("da")).cast("double").alias("__saa"),
+        F.sum(F.col("db") * F.col("db")).cast("double").alias("__sbb"),
+    )
+    cov = F.col("__n") * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    var_a = F.col("__n") * F.col("__saa") - F.col("__sa") * F.col("__sa")
+    var_b = F.col("__n") * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+    r = m.select(
+        F.try_divide(cov, F.sqrt(var_a * var_b)).alias("assortativity")
+    )
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "n_nodes",
+            "n_edges",
+            (F.col("__sd").cast("double") / F.col("n_nodes")).alias(
+                "avg_degree"
+            ),
+            "assortativity",
+        )
+    )

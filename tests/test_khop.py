@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from skope_api_spark.operators.graph import khop_distances
@@ -67,3 +69,36 @@ def test_khop_duplicate_seed_rows_collapse(spark):
     seeds = _seeds(spark, [0, 0, 0])
     out = khop_distances(e, seeds, max_hops=1)
     assert out.groupBy("node").count().where(F.col("count") > 1).count() == 0
+
+
+class TestAssortativity:
+    def test_star_graph_is_disassortative(self, spark):
+        from skope_api_spark.operators.graph import degree_assortativity
+
+        # star: hub 0 to leaves 1..5 — perfectly disassortative (r = -1)
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_nodes"] == 6 and r["n_edges"] == 5
+        assert r["assortativity"] == pytest.approx(-1.0)
+        assert r["avg_degree"] == pytest.approx(10 / 6)
+
+    def test_regular_cycle_has_undefined_corr(self, spark):
+        from skope_api_spark.operators.graph import degree_assortativity
+
+        # 4-cycle: every degree is 2 — corr over constant series is NULL
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_edges"] == 4 and r["assortativity"] is None
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from skope_api_spark.operators.graph import degree_assortativity
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 1), (1, 1)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_edges"] == 1 and r["n_nodes"] == 2  # loop dropped
