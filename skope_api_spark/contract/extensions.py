@@ -2043,3 +2043,64 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_degree", 6).alias("avg_degree"),
         F.round("assortativity", 6).alias("assortativity"),
     )
+
+
+_PROF_NUM = """
+SELECT '{c}' AS "column", 'completeness' AS metric,
+       COUNT({c})::DOUBLE / COUNT(*) AS value FROM orders
+UNION ALL SELECT '{c}', 'n_distinct', COUNT(DISTINCT {c})::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'min', MIN({c})::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'max', MAX({c})::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'mean',
+  SUM(CAST({c} AS {dec}))::DOUBLE / COUNT({c}) FROM orders
+"""
+
+_PROF_STR = """
+SELECT '{c}' AS "column", 'completeness' AS metric,
+       COUNT({c})::DOUBLE / COUNT(*) AS value FROM orders
+UNION ALL SELECT '{c}', 'n_distinct', COUNT(DISTINCT {c})::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'min_length', MIN(LENGTH({c}))::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'max_length', MAX(LENGTH({c}))::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'avg_length',
+  SUM(CAST(LENGTH({c}) AS DECIMAL(38,0)))::DOUBLE / COUNT({c}) FROM orders
+"""
+
+_PROF_TS = """
+SELECT '{c}' AS "column", 'completeness' AS metric,
+       COUNT({c})::DOUBLE / COUNT(*) AS value FROM orders
+UNION ALL SELECT '{c}', 'n_distinct', COUNT(DISTINCT {c})::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'min_epoch', EPOCH(MIN({c}))::DOUBLE FROM orders
+UNION ALL SELECT '{c}', 'max_epoch', EPOCH(MAX({c}))::DOUBLE FROM orders
+"""
+
+
+@query(
+    "dq_column_profile_orders",
+    oracle="SELECT \"column\", metric, ROUND(value, 6) AS value FROM (\n"
+    + "UNION ALL".join(
+        [
+            "SELECT '*' AS \"column\", 'n_rows' AS metric, "
+            "COUNT(*)::DOUBLE AS value FROM orders\n",
+            _PROF_NUM.format(c="o_orderkey", dec="DECIMAL(38,0)"),
+            _PROF_NUM.format(c="o_custkey", dec="DECIMAL(38,0)"),
+            _PROF_STR.format(c="o_orderstatus"),
+            _PROF_NUM.format(c="o_totalprice", dec="DECIMAL(18,2)"),
+            _PROF_TS.format(c="o_orderdate"),
+            _PROF_STR.format(c="o_orderpriority"),
+        ]
+    )
+    + ') ORDER BY "column", metric',
+)
+def dq_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile of orders in ONE aggregation pass —
+    completeness, exact distinct counts, typed min/max/mean (exact
+    decimal accumulation per the money-sum rule), string length stats,
+    timestamp epoch range (UTC sessions). Long-format deequ-style
+    output (operators/quality.py:column_profile)."""
+    from skope_api_spark.operators.quality import column_profile
+
+    orders = load(spark, sf_dir, "orders")
+    out = column_profile(orders, float_decimal="decimal(18,2)")
+    return out.select(
+        "column", "metric", F.round("value", 6).alias("value")
+    ).orderBy("column", "metric")

@@ -198,3 +198,94 @@ def k_anonymity_report(
         F.count(F.when(F.col("__size") < k, 1)).alias("n_classes_below_k"),
         (F.min("__size") >= k).alias("anonymous"),
     )
+
+
+_PROFILE_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+
+
+def column_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    float_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Deequ-style whole-table column profiler in ONE aggregation pass:
+    long-format (column, metric, value) rows with completeness, exact
+    distinct count, and typed summary stats — min/max/mean for numeric
+    columns, epoch min/max for timestamps, length stats for strings.
+
+    Exactness contract: means accumulate as exact decimals (integers via
+    decimal(38,0); floats via ``float_decimal``, which must match the
+    data's true scale — the registry money-sum rule) and divide once in
+    double, so every metric is deterministic cross-engine. The multiple
+    exact COUNT(DISTINCT)s expand the plan (one Expand + aggregate —
+    the documented cost of exactness; swap to approx_count_distinct for
+    a cheap single-pass profile when 2% error is acceptable). Timestamp
+    epochs use unix_timestamp, which reads the SESSION timezone — run
+    under UTC (the repo's session default) for absolute cross-engine
+    epoch parity.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    types = dict(df.dtypes)
+    unknown = [c for c in cols if c not in types]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    out_specs: list[tuple[str, str, str]] = []  # (column, metric, alias)
+
+    def add(c: str, metric: str, expr) -> None:
+        alias = f"__{len(out_specs)}"
+        aggs.append(expr.alias(alias))
+        out_specs.append((c, metric, alias))
+
+    for c in cols:
+        t = types[c]
+        col = F.col(c)
+        add(c, "n_nulls", F.count(F.lit(1)) - F.count(col))
+        add(c, "n_distinct", F.countDistinct(col))
+        if t in _PROFILE_NUMERIC:
+            dec = "decimal(38,0)" if not t.startswith(("double", "float")) \
+                else float_decimal
+            add(c, "min", F.min(col).cast("double"))
+            add(c, "max", F.max(col).cast("double"))
+            add(c, "mean", F.sum(col.cast(dec)).cast("double")
+                / F.count(col))
+        elif t.startswith("timestamp"):
+            add(c, "min_epoch", F.min(F.unix_timestamp(col)).cast("double"))
+            add(c, "max_epoch", F.max(F.unix_timestamp(col)).cast("double"))
+        elif t == "string":
+            ln = F.length(col)
+            add(c, "min_length", F.min(ln).cast("double"))
+            add(c, "max_length", F.max(ln).cast("double"))
+            add(c, "avg_length",
+                F.sum(ln.cast("decimal(38,0)")).cast("double")
+                / F.count(col))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit("completeness").alias("metric"),
+            (
+                (F.col("__n") - F.col(alias)).cast("double")
+                / F.col("__n")
+            ).alias("value"),
+        )
+        if metric == "n_nulls"
+        else F.struct(
+            F.lit(c).alias("column"),
+            F.lit(metric).alias("metric"),
+            F.col(alias).cast("double").alias("value"),
+        )
+        for c, metric, alias in out_specs
+    ]
+    # n_rows once, plus completeness derived from the null counters
+    structs.append(
+        F.struct(
+            F.lit("*").alias("column"),
+            F.lit("n_rows").alias("metric"),
+            F.col("__n").cast("double").alias("value"),
+        )
+    )
+    return row.select(F.explode(F.array(*structs)).alias("m")).select(
+        "m.column", "m.metric", "m.value"
+    )

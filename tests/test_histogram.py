@@ -136,3 +136,50 @@ def test_k_anonymity_validation(spark):
         k_anonymity_report(df, [])
     with _pytest.raises(ValueError, match="k must"):
         k_anonymity_report(df, ["seg"], k=1)
+
+
+class TestColumnProfile:
+    def test_typed_metrics_and_nulls(self, spark):
+        from datetime import datetime
+
+        from skope_api_spark.operators.quality import column_profile
+
+        df = spark.createDataFrame(
+            [
+                (1, "ab", 10.5, datetime(2024, 1, 1)),
+                (2, None, 20.5, datetime(2024, 1, 3)),
+                (None, "abcd", None, None),
+            ],
+            "k long, s string, v double, ts timestamp",
+        )
+        prof = {
+            (r["column"], r["metric"]): r["value"]
+            for r in column_profile(df, float_decimal="decimal(18,1)")
+            .collect()
+        }
+        assert prof[("*", "n_rows")] == 3.0
+        assert prof[("k", "completeness")] == pytest.approx(2 / 3)
+        assert prof[("k", "n_distinct")] == 2.0
+        assert prof[("k", "mean")] == pytest.approx(1.5)
+        assert prof[("s", "min_length")] == 2.0
+        assert prof[("s", "max_length")] == 4.0
+        assert prof[("s", "avg_length")] == pytest.approx(3.0)
+        assert prof[("v", "mean")] == pytest.approx(15.5)
+        # 2024-01-03 minus 2024-01-01 = 2 days of epoch seconds
+        assert prof[("ts", "max_epoch")] - prof[("ts", "min_epoch")] == (
+            2 * 86400.0
+        )
+
+    def test_single_aggregation_plan(self, spark):
+        from skope_api_spark.operators.quality import column_profile
+
+        df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+        prof = column_profile(df)
+        # subset selection + validation
+        assert prof.count() == 2 * 5 + 1
+        import pytest as _pt
+
+        from skope_api_spark.operators.quality import column_profile as cp
+
+        with _pt.raises(ValueError, match="unknown"):
+            cp(df, ["nope"])
