@@ -125,7 +125,11 @@ def item_item_cosine(
 
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
-    items = basket_items(df, basket_col=basket_col, item_col=item_col)
+    # normalize ONCE: three consumers (both self-join sides + the item
+    # counts) would otherwise each re-scan the raw corpus
+    items = basket_items(
+        df, basket_col=basket_col, item_col=item_col
+    ).localCheckpoint(eager=True)
     item_counts = items.groupBy("item").agg(
         F.count(F.lit(1)).alias("n_item")
     )
@@ -153,7 +157,10 @@ def item_item_cosine(
             / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
         ).alias("cosine"),
     )
-    # symmetrize: every pair serves both items' neighbor lists
+    # symmetrize: every pair serves both items' neighbor lists — the
+    # union consumes `scored` twice, so materialize the skinny pair table
+    # rather than doubling its whole upstream
+    scored = scored.localCheckpoint(eager=True)
     both = scored.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),

@@ -397,7 +397,15 @@ def unimax_mixing(
     from pyspark.sql import Window
 
     n_tok = F.size(F.split(F.col(text_col), " "))
-    sizes = df.groupBy(lang_col).agg(F.sum(n_tok).cast("long").alias("__s"))
+    # materialize the |L|-row language table ONCE: every downstream stage
+    # (totals, ranks, flags, first-failure, capped totals, the alloc
+    # broadcast) derives from it, and without the checkpoint each branch
+    # re-scans the corpus — 18 scans in the planned query vs 2 with it
+    sizes = (
+        df.groupBy(lang_col)
+        .agg(F.sum(n_tok).cast("long").alias("__s"))
+        .localCheckpoint(eager=True)
+    )
     tot = sizes.agg(
         F.sum("__s").alias("__t"), F.count(F.lit(1)).alias("__l")
     )

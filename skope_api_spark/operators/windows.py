@@ -507,7 +507,13 @@ def rolling_distinct_count(
     distinct activity, never with raw event volume.
     """
     b = F.date_trunc(bucket, F.col(ts_col))
-    pairs = df.select(b.alias("__h"), F.col(key_col).alias("__k")).distinct()
+    # the deduped pair table serves both the fan-out and the real-bucket
+    # list; checkpoint so the raw events scan runs once, not twice
+    pairs = (
+        df.select(b.alias("__h"), F.col(key_col).alias("__k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ks = F.array(*[F.lit(i) for i in range(window_buckets)])
     fanned = pairs.select(
         F.explode(ks).alias("__i"), "__h", "__k"
