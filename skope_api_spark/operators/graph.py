@@ -254,6 +254,10 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     and a single corr() aggregate — no windows, no driver loops.
     Returns one row: n_nodes, n_edges, avg_degree, assortativity.
     """
+    # materialize the canonical edge list and the |V|-row degree table:
+    # five consumers each (stub joins, counts, totals) would otherwise
+    # replay the whole upstream edge derivation per branch — 13 corpus
+    # scans in the planned co-purchase query vs 1 with the checkpoints
     und = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -261,12 +265,14 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))

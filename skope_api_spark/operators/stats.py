@@ -821,9 +821,10 @@ def _series_pairs(series: DataFrame, x: str, y: str) -> DataFrame:
     un-aggregated corpora should aggregate first — that is the
     statistic's own definition, not a workaround.
     """
+    series = series.localCheckpoint(eager=True)  # report-sized by contract
     a = series.select(F.col(x).alias("__xi"), F.col(y).alias("__yi"))
     b = series.select(F.col(x).alias("__xj"), F.col(y).alias("__yj"))
-    return F.broadcast(a).join(b, F.col("__xj") > F.col("__xi"))
+    return F.broadcast(a).join(b, F.col("__xj") > F.col("__xi")), series
 
 
 def mann_kendall(series: DataFrame, *, x: str, y: str) -> DataFrame:
@@ -838,7 +839,7 @@ def mann_kendall(series: DataFrame, *, x: str, y: str) -> DataFrame:
     the corpus-sized work happened upstream in the aggregation that
     produced the series.
     """
-    pairs = _series_pairs(series, x, y)
+    pairs, series = _series_pairs(series, x, y)
     s = pairs.agg(
         F.sum(F.signum(F.col("__yj") - F.col("__yi")))
         .cast("long")
@@ -884,7 +885,7 @@ def theil_sen(series: DataFrame, *, x: str, y: str) -> DataFrame:
     ``median`` (DuckDB's MEDIAN matches), and the intercept reuses the
     UNROUNDED slope so both engines see identical residuals.
     """
-    pairs = _series_pairs(series, x, y)
+    pairs, series = _series_pairs(series, x, y)
     slope = pairs.agg(
         F.median(
             (F.col("__yj") - F.col("__yi"))
