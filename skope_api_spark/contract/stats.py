@@ -715,3 +715,69 @@ def ts_theil_sen_monthly_revenue(
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+_CHAR_DECILE_BOUNDS = ", ".join(
+    f"ROUND(quantile_cont(n_chars, {i / 10}), 2)" for i in range(1, 10)
+)
+
+
+@query(
+    "stats_calibration_chars_vs_lang",
+    oracle=f"""
+WITH b AS (
+  SELECT [{_CHAR_DECILE_BOUNDS}] AS bounds FROM documents
+), binned AS (
+  SELECT 1 + len(list_filter(b.bounds, x -> n_chars > x)) AS bucket,
+         (lang = 'en') AS pos
+  FROM documents CROSS JOIN b
+  WHERE n_chars IS NOT NULL
+), per AS (
+  SELECT bucket, COUNT(*) AS n,
+         COUNT(CASE WHEN pos THEN 1 END) AS n_pos
+  FROM binned GROUP BY bucket
+), tot AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM per),
+cum AS (
+  SELECT bucket, n, n_pos,
+         SUM(n) OVER (ORDER BY bucket DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n_pos) OVER (ORDER BY bucket DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_pos
+  FROM per
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+       CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+       ROUND(cum_pos / CAST(tp AS DOUBLE), 6) AS cum_gain,
+       ROUND((cum_pos / CAST(cum_n AS DOUBLE))
+             / (tp / CAST(tn AS DOUBLE)), 6) AS cum_lift
+FROM cum, tot
+ORDER BY bucket DESC
+""",
+)
+def stats_calibration_chars_vs_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decile lift-and-gain table for n_chars as a predictor of the
+    English class — the campaign-targeting companion of
+    stats_auc_chars_vs_lang on the same signal. Exact-quantile decile
+    boundaries (2-dp-rounded, distributed), in-scan fold binning, exact
+    integer counts; every rate is a single division
+    (operators/stats.py:calibration_table)."""
+    from skope_api_spark.operators.stats import calibration_table
+
+    docs = load(spark, sf_dir, "documents")
+    out = calibration_table(
+        docs, score_col="n_chars", label=F.col("lang") == "en", buckets=10
+    )
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        "n_pos",
+        F.round("pos_rate", 6).alias("pos_rate"),
+        "cum_n",
+        "cum_pos",
+        F.round("cum_gain", 6).alias("cum_gain"),
+        F.round("cum_lift", 6).alias("cum_lift"),
+    )

@@ -898,3 +898,88 @@ def theil_sen(series: DataFrame, *, x: str, y: str) -> DataFrame:
         F.median(F.col(y) - F.col("slope") * F.col(x)).alias("intercept"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label,
+    buckets: int = 10,
+    boundary_decimals: int = 2,
+) -> DataFrame:
+    """Decile calibration / lift-and-gain table for a scoring model:
+    bin rows by exact score quantiles (highest scores = bucket
+    ``buckets``), then per bin the positive rate plus the cumulative
+    gain/lift reading FROM THE TOP — the standard "target the top k%"
+    campaign report and the binned half of a reliability diagram.
+
+    Plan: boundaries from the DISTRIBUTED exact-quantile operator
+    (rounded so the interpolated doubles are cross-engine stable),
+    broadcast as one scalar row; binning is an in-scan aggregate fold
+    (same shape as quality.equi_depth_histogram); per-bucket stats are
+    ONE aggregation; cumulative sums are a window over the
+    ``buckets``-row report. Rates/lift are single divisions of exact
+    integers — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    qs = [i / buckets for i in range(1, buckets)]
+    quants = exact_quantiles(df, score_col, qs)
+    bounds = quants.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("prob"), F.col("value")))
+            ),
+            lambda s: F.round(s["value"], boundary_decimals),
+        ).alias("__bounds")
+    )
+    binned = df.where(F.col(score_col).isNotNull()).crossJoin(
+        F.broadcast(bounds)
+    )
+    bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col(score_col) > b, 1).otherwise(0),
+    )
+    per = binned.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(label, 1)).alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__tn"), F.sum("n_pos").alias("__tp")
+    )
+    w = W.orderBy(F.desc("bucket")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.try_divide(F.col("n_pos").cast("double"), F.col("n")).alias(
+            "pos_rate"
+        ),
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    gain = F.try_divide(F.col("cum_pos").cast("double"), F.col("__tp"))
+    base = F.try_divide(F.col("__tp").cast("double"), F.col("__tn"))
+    lift = F.try_divide(
+        F.try_divide(F.col("cum_pos").cast("double"), F.col("cum_n")), base
+    )
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "pos_rate",
+            "cum_n",
+            "cum_pos",
+            gain.alias("cum_gain"),
+            lift.alias("cum_lift"),
+        )
+        .orderBy(F.desc("bucket"))
+    )

@@ -534,3 +534,42 @@ def test_theil_sen_exact_line_and_outlier(spark):
     r = theil_sen(out, x="x", y="y").collect()[0]
     assert r["slope"] == pytest.approx(2.0, abs=0.1)
     assert r["intercept"] == pytest.approx(1.0, abs=0.5)
+
+
+def test_calibration_table_perfect_ranking(spark):
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.stats import calibration_table
+
+    # scores 1..100, positives = top 20 scores -> top-2 deciles capture all
+    rows = [(float(i), i > 80) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = calibration_table(
+        df, score_col="score", label=F.col("y"), buckets=10
+    ).collect()
+    by = {r["bucket"]: r for r in out}
+    assert by[10]["pos_rate"] == pytest.approx(1.0)
+    assert by[9]["pos_rate"] == pytest.approx(1.0)
+    assert by[8]["pos_rate"] == 0.0
+    # cumulative gain from the top: 50% after decile 9, flat afterwards
+    assert by[9]["cum_gain"] == pytest.approx(1.0)
+    assert by[10]["cum_gain"] == pytest.approx(0.5)
+    # lift of the top decile = 1.0 / base rate (0.2) = 5x
+    assert by[10]["cum_lift"] == pytest.approx(5.0)
+    assert by[1]["cum_lift"] == pytest.approx(1.0)  # whole population
+    assert sum(r["n"] for r in out) == 100
+
+
+def test_calibration_no_positives_yields_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.stats import calibration_table
+
+    df = spark.createDataFrame(
+        [(float(i), False) for i in range(40)], "score double, y boolean"
+    )
+    out = calibration_table(
+        df, score_col="score", label=F.col("y"), buckets=4
+    ).collect()
+    assert all(r["cum_gain"] is None for r in out)  # 0/0 -> NULL, no raise
+    assert all(r["pos_rate"] == 0.0 for r in out)
