@@ -382,3 +382,87 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "er_customer_record_clusters",
+    oracle="""
+WITH RECURSIVE dirty AS (
+  SELECT 2 * c_custkey AS rid, c_name AS name FROM customer
+  UNION ALL
+  SELECT 2 * c_custkey + 1,
+         substr(c_name, 1, c_custkey % 18)
+           || substr(c_name, (c_custkey % 18) + 2)
+  FROM customer WHERE c_custkey % 5 = 0
+), pairs AS (
+  SELECT a.rid AS u, b.rid AS v
+  FROM dirty a JOIN dirty b ON a.rid < b.rid
+  WHERE abs(length(a.name) - length(b.name)) = 1
+    AND levenshtein(a.name, b.name) <= 1
+), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS record_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+ORDER BY record_id
+""",
+)
+def er_customer_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end as a composition of the engine's own
+    operators: a deterministically-dirtied customer table (every 5th
+    name gets a 1-char-deleted variant record), SymSpell deletion-
+    neighborhood blocking + levenshtein verify for candidate pairs
+    (operators/fuzzy.py:fuzzy_join — guaranteed recall at distance 1),
+    a length-difference match rule that keeps true insert/delete pairs
+    (sequential TPC-H names are all substitution-distance 1 from each
+    other — realistic blocking noise the rule must reject), then
+    large-star/small-star contraction to cluster ids
+    (operators/dedup.py:duplicate_clusters). The oracle replays blocking
+    as all-pairs levenshtein + a recursive-CTE closure."""
+    from skope_api_spark.operators.dedup import duplicate_clusters
+    from skope_api_spark.operators.fuzzy import fuzzy_join
+
+    cust = load(spark, sf_dir, "customer")
+    originals = cust.select(
+        (2 * F.col("c_custkey")).alias("rid"), F.col("c_name").alias("name")
+    )
+    variants = cust.where(F.col("c_custkey") % 5 == 0).select(
+        (2 * F.col("c_custkey") + 1).alias("rid"),
+        F.concat(
+            F.expr("substring(c_name, 1, c_custkey % 18)"),
+            F.expr("substring(c_name, (c_custkey % 18) + 2, 100)"),
+        ).alias("name"),
+    )
+    dirty = originals.unionByName(variants).localCheckpoint(eager=True)
+    names = dirty.select(F.col("name").alias("probe")).distinct()
+    matches = fuzzy_join(
+        names, dirty.select(F.col("name").alias("term")).distinct()
+    ).where(
+        (F.col("probe") < F.col("term"))
+        & (
+            F.abs(F.length("probe") - F.length("term")) == 1
+        )
+    )
+    ids_a = dirty.select(
+        F.col("name").alias("probe"), F.col("rid").alias("u")
+    )
+    ids_b = dirty.select(
+        F.col("name").alias("term"), F.col("rid").alias("v")
+    )
+    edges = (
+        matches.join(ids_a, "probe")
+        .join(ids_b, "term")
+        .select(
+            F.least("u", "v").alias("doc_a"),
+            F.greatest("u", "v").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    out = duplicate_clusters(edges)
+    return out.select(
+        F.col("doc_id").alias("record_id"), "cluster_id"
+    ).orderBy("record_id")
