@@ -780,3 +780,81 @@ def ts_rolling_distinct_users_24h(
     return ops.rolling_distinct_count(
         events, ts_col="ts", key_col="user_id", window_buckets=24
     ).orderBy("window_end")
+
+
+@query(
+    "ts_seasonal_anomaly_flags",
+    oracle="""
+WITH m AS (
+  SELECT mon0, season,
+         v + CASE WHEN mon0 = TIMESTAMP '1997-03-01' THEN 50000000.0
+             ELSE 0.0 END AS v
+  FROM (
+    SELECT date_trunc('month', o_orderdate) AS mon0,
+           CAST(month(o_orderdate) AS INT) AS season,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM orders GROUP BY 1, 2
+  )
+), t AS (
+  SELECT mon0, season, v,
+         CASE WHEN COUNT(*) OVER w = 13
+              THEN (SUM(v) OVER w
+                    - 0.5 * LAG(v, 6) OVER o
+                    - 0.5 * LEAD(v, 6) OVER o) / 12.0 END AS trend
+  FROM m WINDOW w AS (ORDER BY mon0 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+              o AS (ORDER BY mon0)
+), s AS (
+  SELECT season, AVG(v) AS smean FROM m GROUP BY season
+), g AS (SELECT AVG(smean) AS grand FROM s),
+r AS (
+  SELECT t.mon0, t.v, t.v - t.trend - (s.smean - g.grand) AS residual
+  FROM t JOIN s USING (season) CROSS JOIN g
+  WHERE t.trend IS NOT NULL
+), sd AS (SELECT stddev_pop(residual) AS sigma FROM r)
+SELECT CAST(r.mon0 AS DATE) AS mon, ROUND(r.v, 2) AS v,
+       ROUND(r.residual, 4) AS residual,
+       ROUND(r.residual / sd.sigma, 4) AS zscore,
+       (abs(r.residual) > 2 * sd.sigma) AS is_anomaly
+FROM r, sd
+ORDER BY mon
+""",
+)
+def ts_seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection — the composition a monitoring
+    pipeline actually runs: classical decomposition of monthly revenue
+    (with a deterministic +50M spike injected into 1997-03 (a month whose centered trend window is complete — the first/last half-year have NULL trend and never reach the flag) so the query
+    PROVES detection), then a 2-sigma flag on the residuals. One extra
+    1-row sigma broadcast over the decompose plan; the spiked month must
+    flag and the rest must not (operators/windows.py:seasonal_decompose).
+    """
+    from skope_api_spark.operators.windows import seasonal_decompose
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon0"),
+        F.month("o_orderdate").cast("int").alias("season"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    spiked = monthly.withColumn(
+        "v",
+        F.col("v")
+        + F.when(
+            F.col("mon0") == F.to_timestamp(F.lit("1997-03-01")),
+            F.lit(50_000_000.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    dec = seasonal_decompose(
+        spiked, "v", order_by=["mon0"], season_col="season", period=12
+    ).where(F.col("trend").isNotNull())
+    sd = dec.agg(F.stddev_pop("residual").alias("__sigma"))
+    out = dec.crossJoin(F.broadcast(sd))
+    return out.select(
+        F.col("mon0").cast("date").alias("mon"),
+        F.round("v", 2).alias("v"),
+        F.round("residual", 4).alias("residual"),
+        F.round(F.col("residual") / F.col("__sigma"), 4).alias("zscore"),
+        (F.abs("residual") > 2 * F.col("__sigma")).alias("is_anomaly"),
+    ).orderBy("mon")
