@@ -1730,3 +1730,79 @@ def topn_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "rk", "l_partkey")
     )
+
+
+@query(
+    "pareto_revenue_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT SUM(part_rev) AS t, COUNT(*) AS n_parts FROM rev),
+ranked AS (
+  SELECT l_partkey, part_rev,
+         ROW_NUMBER() OVER (ORDER BY part_rev DESC, l_partkey) AS rk,
+         SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM rev
+), marked AS (
+  SELECT rk, cum_rev, t, n_parts,
+         (CAST(cum_rev AS DOUBLE) / CAST(t AS DOUBLE) >= 0.8) AS past_80
+  FROM ranked, tot
+)
+SELECT CAST(MIN(n_parts) AS BIGINT) AS n_parts,
+       CAST(MIN(CASE WHEN past_80 THEN rk END) AS BIGINT) AS parts_for_80pct,
+       ROUND(MIN(CASE WHEN past_80 THEN rk END)
+             / CAST(MIN(n_parts) AS DOUBLE), 6) AS part_share_for_80pct,
+       ROUND(CAST(MIN(t) AS DOUBLE), 2) AS total_revenue
+FROM marked
+""",
+)
+def pareto_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto (80/20) concentration: how many parts carry 80% of
+    revenue. Exact-decimal per-part revenue, one ordered window over the
+    |parts| report with a deterministic (revenue, partkey) total order,
+    then a single aggregate finds the crossing rank. The 0.8 threshold
+    compares exact-decimal cumulative sums cast once to double —
+    identical in both engines."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "part_rev"
+        )
+    )
+    tot = rev.agg(
+        F.sum("part_rev").alias("t"), F.count(F.lit(1)).alias("n_parts")
+    )
+    w = W.orderBy(F.desc("part_rev"), "l_partkey")
+    ranked = rev.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("part_rev")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_rev"),
+    )
+    marked = ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "n_parts",
+        "t",
+        (
+            F.col("cum_rev").cast("double") / F.col("t").cast("double")
+            >= 0.8
+        ).alias("past_80"),
+    )
+    return marked.agg(
+        F.min("n_parts").alias("n_parts"),
+        F.min(F.when(F.col("past_80"), F.col("rk"))).alias(
+            "parts_for_80pct"
+        ),
+        F.round(
+            F.min(F.when(F.col("past_80"), F.col("rk")))
+            / F.min("n_parts").cast("double"),
+            6,
+        ).alias("part_share_for_80pct"),
+        F.round(F.min("t").cast("double"), 2).alias("total_revenue"),
+    )

@@ -858,3 +858,46 @@ def ts_seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("residual") / F.col("__sigma"), 4).alias("zscore"),
         (F.abs("residual") > 2 * F.col("__sigma")).alias("is_anomaly"),
     ).orderBy("mon")
+
+
+@query(
+    "ts_cumulative_unique_users_daily",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+  GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM daily
+ORDER BY day
+""",
+)
+def ts_cumulative_unique_users_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The user-growth curve: daily first-seen users and the running
+    total of distinct users ever seen — the exact running COUNT(DISTINCT)
+    rewritten as first-occurrence extraction (one per-user MIN) plus a
+    cumulative sum over the day-level report. No distinct-over-frame, no
+    O(users) window state; the corpus collapses to |users| rows then
+    |days| rows before the only ordered window."""
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    ).orderBy("day")
