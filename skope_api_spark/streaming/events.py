@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 
 def stream_events(
-    spark: SparkSession, source_dir: str, *, with_watermark: str | None = "2 hours"
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    with_watermark: str | None = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files (ns→µs ts
     conversion as in ``tables.load``). New files landing in the directory
@@ -37,7 +41,12 @@ def stream_events(
     zone, not a single file.)"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(source_dir).schema  # streams must declare schema
-    raw = spark.readStream.schema(raw_schema).parquet(source_dir)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N files — lets watermark-gated state
+        # (outer joins, timeouts) flush across batches in bounded drains
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -135,7 +144,11 @@ def run_available_now(
 
 
 def click_purchase_stream_join(
-    clicks: DataFrame, purchases: DataFrame, *, within: str = "30 minutes"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's clicks in the preceding ``within`` window.
@@ -171,8 +184,14 @@ def click_purchase_stream_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
         )
     )
-    return c.join(p, cond).select(
-        F.col("purchase_user").alias("user_id"),
+    # left_outer: unmatched clicks emit once the watermark proves no
+    # future purchase can join them (Spark holds the click in state until
+    # click_ts + within < watermark, then emits the NULL-padded row) —
+    # the streaming shape of "clicks that never converted". Requires the
+    # watermark the raw stream already carries.
+    return c.join(p, cond, how).select(
+        # equal on matches; the click side survives NULL-padded outer rows
+        F.coalesce("purchase_user", "click_user").alias("user_id"),
         "purchase_id",
         "purchase_ts",
         "purchase_value",

@@ -309,3 +309,116 @@ class TestExactlyOnceSink:
         assert read_sink(spark, sink).count() == 100
         write(sample, 1)  # a NEW batch appends
         assert read_sink(spark, sink).count() == 200
+
+
+class TestStreamStreamLeftOuter:
+    def test_unmatched_clicks_emit_nulls_after_watermark(
+        self, spark, tmp_path
+    ):
+        """LEFT OUTER stream-stream interval join: the converted click
+        joins its purchase; the never-converted click emits a NULL-padded
+        row once the watermark passes its window. A far-future sentinel
+        event advances the watermark so the bounded test drain flushes
+        outer state; batch left-outer on the same frames is the oracle."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = pd.Timestamp("2024-05-01 12:00:00")
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                # sentinels must survive BOTH event-type filters: Spark
+                # pushes the click/purchase filters BELOW the watermark
+                # operator, so a 'view' sentinel would never advance
+                # either side's watermark (verified against the planned
+                # query). User 99's click+purchase pairs at +2d/+3d do.
+                "ts": [
+                    t0,
+                    t0 + pd.Timedelta(minutes=10),
+                    t0,
+                    t0 + pd.Timedelta(minutes=5),
+                    t0 + pd.Timedelta(days=2),
+                    t0 + pd.Timedelta(days=2),
+                    t0 + pd.Timedelta(days=3),
+                    t0 + pd.Timedelta(days=3),
+                ],
+                "user_id": [1, 1, 2, 3, 99, 99, 99, 99],
+                "event_type": [
+                    "click", "purchase", "click", "purchase",
+                    "click", "purchase", "click", "purchase",
+                ],
+                "value": [0.0, 42.0, 0.0, 7.0, 0.0, 0.0, 0.0, 0.0],
+                "props": ["{}"] * 8,
+            }
+        )
+        land = tmp_path / "landing"
+        land.mkdir()
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),  # µs so a plain read gets timestamps
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        # sentinels land as their OWN files: with maxFilesPerTrigger=1
+        # each forms a micro-batch. The watermark a batch COMPUTES only
+        # gates the NEXT batch, so flushing outer state needs two trailing
+        # batches — sentinel 1 raises the watermark, sentinel 2's batch
+        # runs with it and emits the NULL-padded rows before termination.
+        for i, part in enumerate(
+            (rows.iloc[:4], rows.iloc[4:6], rows.iloc[6:])
+        ):
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part, schema=schema, preserve_index=False
+                ),
+                str(land / f"events_{i}.parquet"),
+            )
+        batch = spark.read.parquet(str(land))
+        key = lambda t: tuple((x is None, x if x is not None else 0) for x in t)  # noqa: E731
+        # user 99 exists only to advance the watermark; its final click's
+        # window never closes before the drain ends, so compare without it
+        expected = sorted(
+            (
+                (r.user_id, r.click_id, r.purchase_id, r.purchase_value)
+                for r in se.click_purchase_stream_join(
+                    batch, batch, within="30 minutes", how="left_outer"
+                ).collect()
+                if r.user_id != 99
+            ),
+            key=key,
+        )
+        # sanity on the fixture itself: one match + one NULL-padded click
+        assert (1, 1, 2, 42.0) in expected
+        assert (2, 3, None, None) in expected
+
+        s1 = se.stream_events(
+            spark, str(land), with_watermark="2 hours",
+            max_files_per_trigger=1,
+        )
+        s2 = se.stream_events(
+            spark, str(land), with_watermark="2 hours",
+            max_files_per_trigger=1,
+        )
+        joined = se.click_purchase_stream_join(
+            s1, s2, within="30 minutes", how="left_outer"
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            se.run_available_now(
+                joined, query_name="ss_left_outer_test", checkpoint=ckpt
+            )
+            got = sorted(
+                (
+                    (r.user_id, r.click_id, r.purchase_id, r.purchase_value)
+                    for r in spark.sql(
+                        "SELECT * FROM ss_left_outer_test"
+                    ).collect()
+                    if r.user_id != 99
+                ),
+                key=key,
+            )
+        assert got == expected
