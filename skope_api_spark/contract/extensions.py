@@ -2104,3 +2104,83 @@ def dq_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "column", "metric", F.round("value", 6).alias("value")
     ).orderBy("column", "metric")
+
+
+@query(
+    "sketch_kmv_overlap_langs",
+    oracle="""
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE lang = 'en')
+), hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE lang = 'de')
+), ska AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+skb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+usk AS (
+  SELECT hv FROM (
+    SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)
+  ) ORDER BY hv LIMIT 64
+), marked AS (
+  SELECT u.hv, (a.hv IS NOT NULL AND b.hv IS NOT NULL) AS in_both
+  FROM usk u LEFT JOIN ska a USING (hv) LEFT JOIN skb b USING (hv)
+), agg AS (
+  SELECT COUNT(*) AS n, MAX(hv) AS kth,
+         COUNT(CASE WHEN in_both THEN 1 END) AS shared
+  FROM marked
+), ex AS (
+  SELECT (SELECT COUNT(*) FROM ha JOIN hb USING (hv))::DOUBLE AS n_int,
+         (SELECT COUNT(*) FROM
+            (SELECT hv FROM ha UNION SELECT hv FROM hb))::DOUBLE AS n_un
+)
+SELECT CAST(CASE WHEN n >= 64
+            THEN ROUND(63.0 / (kth / 1152921504606846976.0))
+            ELSE n END AS BIGINT) AS union_estimate,
+       ROUND(shared / CAST(n AS DOUBLE), 6) AS jaccard_estimate,
+       CAST(ROUND((shared / CAST(n AS DOUBLE))
+            * (CASE WHEN n >= 64
+               THEN ROUND(63.0 / (kth / 1152921504606846976.0))
+               ELSE n END)) AS BIGINT) AS intersection_estimate,
+       ROUND(ex.n_int / ex.n_un, 6) AS exact_jaccard,
+       CAST(ex.n_un AS BIGINT) AS exact_union
+FROM agg, ex
+""",
+)
+def sketch_kmv_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union-size, Jaccard, and intersection
+    estimates between the English and German token vocabularies from two
+    64-value bottom-k sketches — mergeable sketch math with
+    md5-deterministic hashes, so the ESTIMATES are oracle-checkable,
+    not just the exact counts. The exact Jaccard/union ride along as the
+    realized-error report (operators/sketches.py:kmv_bottomk /
+    kmv_overlap)."""
+    from skope_api_spark.operators.dedup import md5_long
+    from skope_api_spark.operators.sketches import kmv_bottomk, kmv_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    tok = lambda lang: docs.where(F.col("lang") == lang).select(  # noqa: E731
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    ska = kmv_bottomk(tok("en"), "tok", k=64)
+    skb = kmv_bottomk(tok("de"), "tok", k=64)
+    est = kmv_overlap(ska, skb, k=64)
+    ha = tok("en").select(md5_long(F.col("tok")).alias("hv")).distinct()
+    hb = tok("de").select(md5_long(F.col("tok")).alias("hv")).distinct()
+    n_int = ha.join(hb, "hv").agg(
+        F.count(F.lit(1)).cast("double").alias("n_int")
+    )
+    n_un = (
+        ha.unionAll(hb)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_un"))
+    )
+    ex = n_int.crossJoin(F.broadcast(n_un))
+    return est.crossJoin(F.broadcast(ex)).select(
+        "union_estimate",
+        F.round("jaccard_estimate", 6).alias("jaccard_estimate"),
+        "intersection_estimate",
+        F.round(F.col("n_int") / F.col("n_un"), 6).alias("exact_jaccard"),
+        F.col("n_un").cast("long").alias("exact_union"),
+    )

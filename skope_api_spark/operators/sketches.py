@@ -92,3 +92,77 @@ def cms_estimate(
         .groupBy("tok")
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_count"))
     )
+
+
+def kmv_bottomk(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k KMV sketch of a column's DISTINCT values: the k smallest
+    md5-derived 60-bit hashes (the engine-shared ``md5_long`` recipe), so
+    any engine rebuilds the identical sketch. Returns (hv) rows, ≤ k.
+
+    The corpus collapses to distinct hashes (one partial-aggregatable
+    shuffle); the bottom-k cut is a TakeOrdered — no global sort."""
+    from skope_api_spark.operators.dedup import md5_long
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.select(md5_long(F.col(value_col).cast("string")).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Set algebra on two KMV sketches (Beyer et al. 2007, public): the
+    union sketch is the bottom-k of the merged hash sets; with
+    ``rho`` = |{union sketch} ∩ A ∩ B| / k,
+
+    - distinct-union estimate   = (k−1) / (kth_min / 2^60)
+    - Jaccard estimate          = rho
+    - intersection estimate     = rho · union_estimate
+
+    Everything is md5-deterministic: both engines compute bit-identical
+    sketches, so the estimates themselves are oracle-checkable (unlike
+    engine-native HLL). All inputs are ≤ k rows — driver-free, broadcast
+    joins, cost independent of corpus size once the sketches exist."""
+    both = sketch_a.select("hv").unionAll(sketch_b.select("hv")).distinct()
+    union_sk = both.orderBy("hv").limit(k)
+    in_a = sketch_a.select(F.col("hv").alias("hv_a"))
+    in_b = sketch_b.select(F.col("hv").alias("hv_b"))
+    marked = (
+        union_sk.join(in_a, F.col("hv") == F.col("hv_a"), "left")
+        .join(in_b, F.col("hv") == F.col("hv_b"), "left")
+        .select(
+            "hv",
+            (
+                F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull()
+            ).alias("in_both"),
+        )
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("hv").alias("__kth"),
+        F.count(F.when(F.col("in_both"), 1)).alias("__shared"),
+    )
+    full = F.col("__n") >= k
+    union_est = F.when(
+        full,
+        F.round((k - 1) / (F.col("__kth") / F.lit(float(1 << 60)))),
+    ).otherwise(F.col("__n").cast("double"))
+    rho = F.col("__shared").cast("double") / F.col("__n")
+    return agg.select(
+        union_est.cast("long").alias("union_estimate"),
+        rho.alias("jaccard_estimate"),
+        F.round(rho * union_est).cast("long").alias("intersection_estimate"),
+    )

@@ -3,6 +3,8 @@ size, exact on collision-free inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from skope_api_spark.operators.sketches import cms_build, cms_estimate
@@ -52,3 +54,43 @@ class TestCountMinSketch:
             cms, _toks(spark, ["never-seen"]), width=4096, depth=4
         ).collect()
         assert est[0].cms_count >= 0  # left-join coalesce, no null
+
+
+class TestKMVOverlap:
+    def test_disjoint_and_identical_sets(self, spark):
+        from skope_api_spark.operators.sketches import (
+            kmv_bottomk,
+            kmv_overlap,
+        )
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "v string")
+        ska, skb = kmv_bottomk(a, "v", k=32), kmv_bottomk(b, "v", k=32)
+        r = kmv_overlap(ska, skb, k=32).collect()[0]
+        assert r["jaccard_estimate"] == 0.0
+        assert r["intersection_estimate"] == 0
+        assert 500 <= r["union_estimate"] <= 2000  # ~1000, k=32 is coarse
+        # identical sets: jaccard 1, union ~|A|
+        r2 = kmv_overlap(ska, ska, k=32).collect()[0]
+        assert r2["jaccard_estimate"] == 1.0
+        assert r2["intersection_estimate"] == r2["union_estimate"]
+
+    def test_small_sets_fall_back_to_exact(self, spark):
+        from skope_api_spark.operators.sketches import (
+            kmv_bottomk,
+            kmv_overlap,
+        )
+
+        a = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+        b = spark.createDataFrame([("y",), ("z",), ("w",)], "v string")
+        r = kmv_overlap(
+            kmv_bottomk(a, "v", k=64), kmv_bottomk(b, "v", k=64), k=64
+        ).collect()[0]
+        # under k values: counts are exact, jaccard = 2/4
+        assert r["union_estimate"] == 4
+        assert r["jaccard_estimate"] == pytest.approx(0.5)
+        assert r["intersection_estimate"] == 2
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="k must"):
+            kmv_bottomk(a, "v", k=1)
