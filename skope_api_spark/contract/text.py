@@ -1411,3 +1411,54 @@ def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("g2", 6).alias("g2"),
         F.round("signed_g2", 6).alias("signed_g2"),
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM freq
+), top AS (SELECT * FROM ranked WHERE rk <= 200)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(regr_slope(LN(n), LN(rk)), 6) AS zipf_slope,
+       ROUND(regr_r2(LN(n), LN(rk)), 6) AS r2
+FROM top
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-200 ranks (deterministic
+    (freq desc, token) total order) — natural language sits near −1;
+    strong deviation is a synthetic/boilerplate corpus signal. Reuses
+    the six-sum closed-form OLS (operators/stats.py:grouped_ols) on the
+    200-row rank report; DuckDB's regr_* family is the oracle."""
+    from pyspark.sql import Window as W
+
+    from skope_api_spark.operators.stats import grouped_ols
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), "tok")
+    top = (
+        freq.select("n", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 200)
+        .select(
+            F.lit("corpus").alias("c"),
+            F.log("rk").alias("lx"),
+            F.log("n").alias("ly"),
+        )
+    )
+    out = grouped_ols(top, y="ly", x="lx", by=["c"])
+    return out.select(
+        F.col("n").alias("n_ranks"),
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round("r2", 6).alias("r2"),
+    )

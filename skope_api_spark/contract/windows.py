@@ -901,3 +901,52 @@ def ts_cumulative_unique_users_daily(
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     ).orderBy("day")
+
+
+@query(
+    "ts_hampel_filter_events",
+    oracle="""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+  FROM events
+), med AS (
+  SELECT event_id, user_id, value, arr,
+         CASE WHEN len(arr) = 7 THEN list_sort(arr)[4] END AS rolling_median
+  FROM framed
+), scored AS (
+  SELECT event_id, user_id, value, rolling_median,
+         CASE WHEN rolling_median IS NOT NULL THEN
+           abs(value - rolling_median) >
+           3.0 * 1.4826 *
+           list_sort([abs(x - rolling_median) FOR x IN arr])[4]
+         END AS is_outlier
+  FROM med
+)
+SELECT event_id, user_id, value, rolling_median, is_outlier,
+       CASE WHEN COALESCE(is_outlier, FALSE)
+            THEN rolling_median ELSE value END AS repaired
+FROM scored
+ORDER BY event_id
+""",
+)
+def ts_hampel_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier repair over each user's event-value series
+    (centered 7-point frame, 3-sigma MAD rule). Medians and MADs are
+    exact element picks from sorted frame arrays — no accumulation, so
+    values, flags, and repairs are bit-identical cross-engine with no
+    rounding contract at all (operators/windows.py:hampel_filter)."""
+    events = load(spark, sf_dir, "events")
+    out = ops.hampel_filter(
+        events,
+        "value",
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        half_window=3,
+        n_sigmas=3.0,
+    )
+    return out.select(
+        "event_id", "user_id", "value", "rolling_median", "is_outlier",
+        "repaired",
+    ).orderBy("event_id")

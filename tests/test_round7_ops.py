@@ -857,3 +857,38 @@ class TestRollingDistinct:
         assert out[datetime(2024, 1, 1, 1, 0)] == 2  # {a, b} over 2 hours
         assert out[datetime(2024, 1, 3, 5, 0)] == 1  # {c}, others aged out
         assert len(out) == 3  # only hours that contain events
+
+
+class TestHampelFilter:
+    def test_spike_repaired_plateau_kept(self, spark):
+        from skope_api_spark.operators.windows import hampel_filter
+
+        # flat series with one wild spike at position 5
+        vals = [10.0] * 11
+        vals[5] = 500.0
+        rows = [("u", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "u string, t long, value double")
+        out = {
+            r["t"]: r
+            for r in hampel_filter(
+                df, "value", partition_by=["u"], order_by=["t"]
+            ).collect()
+        }
+        assert out[5]["is_outlier"] and out[5]["repaired"] == 10.0
+        assert out[4]["is_outlier"] is False  # spike can't corrupt median
+        assert out[0]["is_outlier"] is None  # incomplete edge frame
+        assert out[0]["repaired"] == 10.0  # edges pass through
+
+    def test_legitimate_level_shift_not_flagged(self, spark):
+        from skope_api_spark.operators.windows import hampel_filter
+
+        # a step change is not a point outlier: window medians follow it
+        vals = [1.0] * 8 + [50.0] * 8
+        rows = [("u", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "u string, t long, value double")
+        out = hampel_filter(
+            df, "value", partition_by=["u"], order_by=["t"]
+        ).collect()
+        # at most the two rows straddling the step can flag; interior not
+        flagged = [r["t"] for r in out if r["is_outlier"]]
+        assert all(6 <= t <= 9 for t in flagged)
