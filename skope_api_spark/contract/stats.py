@@ -781,3 +781,216 @@ def stats_calibration_chars_vs_lang(
         F.round("cum_gain", 6).alias("cum_gain"),
         F.round("cum_lift", 6).alias("cum_lift"),
     )
+
+
+@query(
+    "feature_loo_target_encode",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS cat,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, g.cat, CAST(g.n AS BIGINT) AS cat_n,
+       ROUND(CASE WHEN g.n > 1
+             THEN CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2))
+                  AS DOUBLE) / (g.n - 1) END, 6) AS loo_mean
+FROM orders o JOIN g ON o.o_orderpriority = g.cat
+ORDER BY o.o_orderkey
+""",
+)
+def feature_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against total
+    price — THE leakage-controlled categorical encoder: each row's
+    encoding is the category's target mean EXCLUDING the row itself
+    ((Σ − y_i)/(n − 1)), so the feature never memorizes its own label.
+    One skinny category aggregation (exact decimal sums) broadcast back;
+    the subtraction is exact decimal, one double division at the edge.
+    Singleton categories encode NULL rather than leaking y_i."""
+    orders = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = orders.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).alias("cat_n"), F.sum(dec).alias("__s")
+    )
+    j = orders.join(
+        F.broadcast(g), orders["o_orderpriority"] == g["cat"]
+    )
+    loo = F.when(
+        F.col("cat_n") > 1,
+        (F.col("__s") - dec).cast("double") / (F.col("cat_n") - 1),
+    )
+    return j.select(
+        "o_orderkey",
+        "cat",
+        "cat_n",
+        F.round(loo, 6).alias("loo_mean"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "stats_two_proportion_ab",
+    oracle="""
+WITH g AS (
+  SELECT (user_id % 2 = 0) AS variant_a,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY 1
+), w AS (
+  SELECT MAX(CASE WHEN variant_a THEN n END) AS na,
+         MAX(CASE WHEN variant_a THEN conv END) AS ca,
+         MAX(CASE WHEN NOT variant_a THEN n END) AS nb,
+         MAX(CASE WHEN NOT variant_a THEN conv END) AS cb
+  FROM g
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       ROUND(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+       ROUND(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+       ROUND((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             / SQRT((ca + cb) / CAST(na + nb AS DOUBLE)
+                    * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z
+FROM w
+""",
+)
+def stats_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B conversion comparison: users
+    hash-split by parity into variants, purchase-rate difference over
+    the pooled standard error. ONE conditional aggregation produces all
+    four exact integers; z is pure arithmetic on them (single rounding).
+    """
+    events = load(spark, sf_dir, "events")
+    g = events.groupBy(
+        (F.col("user_id") % 2 == 0).alias("variant_a")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "conv"
+        ),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant_a"), F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant_a"), F.col("conv"))).alias("conv_a"),
+        F.max(F.when(~F.col("variant_a"), F.col("n"))).alias("n_b"),
+        F.max(F.when(~F.col("variant_a"), F.col("conv"))).alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@query(
+    "stats_kaplan_meier_user_lifetime",
+    oracle="""
+WITH span AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+  GROUP BY user_id
+), horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+obs AS (
+  SELECT CAST(FLOOR(EPOCH(last_ts - first_ts) / 3600) AS BIGINT)
+           AS duration_h,
+         (last_ts < end_ts - INTERVAL '6 hours') AS churned
+  FROM span, horizon
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+grp AS (
+  SELECT duration_h,
+         CAST(COUNT(CASE WHEN churned THEN 1 END) AS BIGINT) AS d,
+         CAST(COUNT(CASE WHEN NOT churned THEN 1 END) AS BIGINT) AS c
+  FROM obs GROUP BY duration_h
+), risk AS (
+  SELECT duration_h, d, c,
+         tot.n - COALESCE(SUM(d + c) OVER (ORDER BY duration_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grp, tot
+)
+SELECT duration_h, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       c AS n_censored,
+       ROUND(EXP(SUM(CASE WHEN d > 0 THEN LN(1.0 - d / CAST(n_risk AS DOUBLE))
+                     ELSE 0.0 END)
+                 OVER (ORDER BY duration_h ROWS UNBOUNDED PRECEDING)), 6)
+         AS survival
+FROM risk
+ORDER BY duration_h
+""",
+)
+def stats_kaplan_meier_user_lifetime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival of user activity lifetimes (hour
+    resolution): users whose last event precedes the observation horizon
+    by > 6 h count as churn events at their lifetime; later users are
+    right-censored. The risk set is exact-integer window arithmetic over
+    the |durations| report; the product-limit estimator runs as
+    exp(Σ ln(1 − d/n)) — one ordered window over the report, 6-dp
+    rounded against ln/exp accumulation noise."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events")
+    span = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = events.agg(F.max("ts").alias("end_ts"))
+    obs = span.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (
+                F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+            )
+            / 3600
+        ).alias("duration_h"),
+        (
+            F.col("last_ts")
+            < F.col("end_ts") - F.expr("INTERVAL 6 HOURS")
+        ).alias("churned"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("__n"))
+    grp = obs.groupBy("duration_h").agg(
+        F.count(F.when(F.col("churned"), 1)).alias("n_events"),
+        F.count(F.when(~F.col("churned"), 1)).alias("n_censored"),
+    )
+    wprev = W.orderBy("duration_h").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wcum = W.orderBy("duration_h").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = grp.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("__n")
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+            F.lit(0),
+        ),
+    )
+    surv = F.exp(
+        F.sum(
+            F.when(
+                F.col("n_events") > 0,
+                F.log(
+                    1.0
+                    - F.col("n_events") / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        ).over(wcum)
+    )
+    return risk.select(
+        "duration_h",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("duration_h")
