@@ -94,7 +94,7 @@ FRAME_SCHEMA = StructType(
 
 
 def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
-    """Header-only dimension sniffing for PNG / GIF / JPEG (pure Python).
+    """Header-only dimension sniffing for PNG / GIF / BMP / JPEG (pure Python).
 
     This part is real: PNG IHDR and GIF logical-screen headers carry
     dimensions at fixed offsets; JPEG requires walking segment markers to
@@ -106,6 +106,9 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack("<HH", data[6:10])
         return "gif", w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", w, abs(h)
     if data[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(data):

@@ -29,6 +29,7 @@ _GRID = 32  # DCT input size; top-left 8x8 of the spectrum feeds the hash
 
 def _decode_any(data: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch on magic bytes to the repo's pure-stdlib decoders."""
+    from skope_api_spark.operators.bmp import bmp_decode
     from skope_api_spark.operators.gif import gif_decode
     from skope_api_spark.operators.jpeg import jpeg_decode
     from skope_api_spark.operators.png import png_decode
@@ -39,6 +40,8 @@ def _decode_any(data: bytes) -> tuple[int, int, int, bytes]:
         return jpeg_decode(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode(data)
+    if data[:2] == b"BM":
+        return bmp_decode(data)
     raise ValueError("unsupported image format for phash")
 
 
