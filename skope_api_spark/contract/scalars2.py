@@ -493,3 +493,48 @@ def string_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ci == F.lit("standard anodized tin"), 1)
         ).alias("n_match_ci"),
     )
+
+
+@query(
+    "scalar_bitwise_battery",
+    oracle="""
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(BIT_AND(l_orderkey) AS BIGINT) AS and_key,
+       CAST(BIT_OR(l_orderkey) AS BIGINT) AS or_key,
+       CAST(BIT_XOR(l_orderkey) AS BIGINT) AS xor_key,
+       CAST(SUM(bit_count(CAST(l_orderkey AS BIGINT))) AS BIGINT)
+         AS popcount_sum,
+       CAST(SUM(CASE WHEN l_orderkey & 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS div8_aligned,
+       CAST(MAX((l_orderkey << 2) | 3) AS BIGINT) AS shifted_max
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+""",
+)
+def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: BIT_AND/OR/XOR aggregates,
+    popcount (bit_count), masked alignment tests, and shift/or
+    compositions — all exact integer semantics, grouped by line number.
+    The layout/sketch operators build on these primitives; this battery
+    pins their cross-engine behavior directly."""
+    li = load(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and(k).alias("and_key"),
+            F.bit_or(k).alias("or_key"),
+            F.bit_xor(k).alias("xor_key"),
+            F.sum(F.bit_count(k)).alias("popcount_sum"),
+            F.sum(
+                F.when(k.bitwiseAND(F.lit(7)) == 0, 1).otherwise(0)
+            ).alias("div8_aligned"),
+            F.max(
+                F.shiftleft(k, 2).bitwiseOR(F.lit(3))
+            ).alias("shifted_max"),
+        )
+        .orderBy("l_linenumber")
+    )

@@ -994,3 +994,51 @@ def stats_kaplan_meier_user_lifetime(
         "n_censored",
         F.round(surv, 6).alias("survival"),
     ).orderBy("duration_h")
+
+
+@query(
+    "feature_winsorize_price",
+    oracle="""
+WITH b AS (
+  SELECT ROUND(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS hi
+  FROM lineitem
+), w AS (
+  SELECT CASE WHEN l_extendedprice < b.lo THEN b.lo
+              WHEN l_extendedprice > b.hi THEN b.hi
+              ELSE l_extendedprice END AS wv,
+         (l_extendedprice < b.lo OR l_extendedprice > b.hi) AS clipped
+  FROM lineitem, b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN clipped THEN 1 END) AS BIGINT) AS n_clipped,
+       ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean,
+       ROUND(MIN(wv), 2) AS min_wv, ROUND(MAX(wv), 2) AS max_wv
+FROM w
+""",
+)
+def feature_winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized extended price at [p01, p99]: exact distributed
+    quantile bounds (2-dp-rounded) broadcast into a pure clip
+    projection; the winsorized mean accumulates as exact decimal(18,2)
+    (clipped values inherit the data's 2-dp scale, so the money-sum rule
+    applies unchanged). Reports the clip count and bounds
+    (operators/stats.py:winsorize)."""
+    from skope_api_spark.operators.stats import winsorize
+
+    li = load(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice")
+    wv = F.col("l_extendedprice_winsorized")
+    orig = F.col("l_extendedprice").cast("double")
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(wv != orig, 1)).alias("n_clipped"),
+        F.round(
+            F.sum(wv.cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(F.min(wv), 2).alias("min_wv"),
+        F.round(F.max(wv), 2).alias("max_wv"),
+    )

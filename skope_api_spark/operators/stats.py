@@ -983,3 +983,39 @@ def calibration_table(
         )
         .orderBy(F.desc("bucket"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    boundary_decimals: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorized (percentile-clipped) feature transform: values below
+    the exact ``lower`` quantile or above the ``upper`` quantile are
+    clamped to those bounds — the tail-taming companion of
+    ``rank_normalize`` that PRESERVES scale (unlike rank mapping).
+
+    Bounds come from the distributed exact-quantile operator, rounded to
+    ``boundary_decimals`` (cross-engine-stable interpolated doubles) and
+    broadcast as one scalar row; the clip itself is a pure in-scan
+    projection. NULLs pass through.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    out_col = out_col or f"{col}_winsorized"
+    qs = exact_quantiles(df, col, [lower, upper])
+    bounds = qs.agg(
+        F.round(F.min("value"), boundary_decimals).alias("__lo"),
+        F.round(F.max("value"), boundary_decimals).alias("__hi"),
+    )
+    v = F.col(col).cast("double")
+    clipped = F.when(v < F.col("__lo"), F.col("__lo")).when(
+        v > F.col("__hi"), F.col("__hi")
+    ).otherwise(v)
+    return df.crossJoin(F.broadcast(bounds)).withColumn(
+        out_col, F.when(v.isNotNull(), clipped)
+    ).drop("__lo", "__hi")
