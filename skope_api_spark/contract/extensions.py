@@ -2184,3 +2184,59 @@ def sketch_kmv_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_int") / F.col("n_un"), 6).alias("exact_jaccard"),
         F.col("n_un").cast("long").alias("exact_union"),
     )
+
+
+@query(
+    "graph_adamic_adar_links",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src,
+           LEAD(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL AND src <> dst
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
+), dirs AS (
+  SELECT u AS center, v AS n FROM und
+  UNION ALL SELECT v AS center, u AS n FROM und
+), deg AS (SELECT center, COUNT(*) AS deg FROM dirs GROUP BY center),
+weighted AS (
+  SELECT d.center, d.n, 1.0 / LN(g.deg) AS w
+  FROM dirs d JOIN deg g USING (center)
+), cand AS (
+  SELECT a.n AS u, b.n AS v, SUM(a.w) AS aa_score,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM weighted a JOIN weighted b
+    ON a.center = b.center AND a.n < b.n
+  GROUP BY a.n, b.n
+), non_edges AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN und ON und.u = c.u AND und.v = c.v
+  WHERE und.u IS NULL
+)
+SELECT u, v, common_neighbors, ROUND(aa_score, 6) AS aa_score
+FROM non_edges
+ORDER BY ROUND(aa_score, 6) DESC, u, v
+LIMIT 20
+""",
+)
+def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted co-purchase links by Adamic-Adar common-neighbor
+    score — existing edges anti-joined away, ranking on the 6-dp-rounded
+    score with (u, v) tie-break so sub-rounding ln-sum noise cannot flip
+    the cut (operators/graph.py:adamic_adar_links)."""
+    from skope_api_spark.operators.graph import (
+        adamic_adar_links,
+        transition_edges,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = transition_edges(
+        li,
+        group_col="l_orderkey",
+        order_col="l_linenumber",
+        node_col="l_partkey",
+    )
+    return adamic_adar_links(edges, top_k=20)

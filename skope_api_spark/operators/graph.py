@@ -312,3 +312,62 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             "assortativity",
         )
     )
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    *,
+    top_k: int = 20,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public): score
+    every NON-adjacent node pair by Σ 1/ln(deg(w)) over their common
+    neighbors w — the classic "people you may know" feature. Returns the
+    top_k predicted links (rounded-score desc, then (u, v) ascending —
+    a deterministic total order).
+
+    Shape: canonical undirected edges + degree table (both checkpointed,
+    as in ``degree_assortativity``), neighbor-pair generation by a
+    per-center self-join (cost Σ deg(w)² — the statistic's inherent
+    wedge count; cap per-center neighbor lists upstream on power-law
+    graphs), one sum per candidate pair, an anti-join removing existing
+    edges, and a TakeOrdered cut."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dirs = und.select(
+        F.col("u").alias("center"), F.col("v").alias("n")
+    ).unionAll(und.select(F.col("v").alias("center"), F.col("u").alias("n")))
+    deg = dirs.groupBy("center").agg(F.count(F.lit(1)).alias("deg"))
+    weighted = dirs.join(deg, "center").select(
+        "center", "n", (1.0 / F.log(F.col("deg"))).alias("w")
+    )
+    a = weighted.select("center", F.col("n").alias("na"), "w")
+    b = weighted.select("center", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "center")
+        .where(F.col("na") < F.col("nb"))
+        .groupBy(F.col("na").alias("u"), F.col("nb").alias("v"))
+        .agg(F.sum("w").alias("aa_score"), F.count(F.lit(1)).alias(
+            "common_neighbors"
+        ))
+    )
+    non_edges = cand.join(und, ["u", "v"], "left_anti")
+    return (
+        non_edges.orderBy(
+            F.round("aa_score", score_decimals).desc(), "u", "v"
+        )
+        .limit(top_k)
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round("aa_score", score_decimals).alias("aa_score"),
+        )
+    )

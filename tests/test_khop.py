@@ -102,3 +102,25 @@ class TestAssortativity:
         )
         r = degree_assortativity(edges).collect()[0]
         assert r["n_edges"] == 1 and r["n_nodes"] == 2  # loop dropped
+
+
+class TestAdamicAdar:
+    def test_triangle_completion_scores(self, spark):
+        from skope_api_spark.operators.graph import adamic_adar_links
+
+        # path graph 1-2-3 plus hub 0 connected to 1,2,3:
+        # non-edge (1,3) shares neighbors {0, 2}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        out = adamic_adar_links(edges, top_k=10).collect()
+        by = {(r["u"], r["v"]): r for r in out}
+        import math
+
+        # deg(0)=3, deg(2)=3 -> AA(1,3) = 1/ln3 + 1/ln3
+        assert by[(1, 3)]["common_neighbors"] == 2
+        assert by[(1, 3)]["aa_score"] == pytest.approx(
+            round(2 / math.log(3), 6)
+        )
+        # existing edges never appear
+        assert (1, 2) not in by and (0, 1) not in by
