@@ -421,7 +421,11 @@ def er_customer_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     other — realistic blocking noise the rule must reject), then
     large-star/small-star contraction to cluster ids
     (operators/dedup.py:duplicate_clusters). The oracle replays blocking
-    as all-pairs levenshtein + a recursive-CTE closure."""
+    as all-pairs levenshtein + a recursive-CTE closure — quadratic BY
+    DESIGN (the verification baseline, like dedup_ngram_jaccard), so
+    cross-engine replay stays at gate scale (sf <= 0.1). The Spark
+    side's blocking join scales and runs alone at sf1 (125,768 clustered
+    records in ~6.5 min on local[32]; PERF.md session-4 notes)."""
     from skope_api_spark.operators.dedup import duplicate_clusters
     from skope_api_spark.operators.fuzzy import fuzzy_join
 

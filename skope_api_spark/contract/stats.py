@@ -901,7 +901,7 @@ WITH span AS (
   GROUP BY user_id
 ), horizon AS (SELECT MAX(ts) AS end_ts FROM events),
 obs AS (
-  SELECT CAST(FLOOR(EPOCH(last_ts - first_ts) / 3600) AS BIGINT)
+  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000
            AS duration_h,
          (last_ts < end_ts - INTERVAL '6 hours') AS churned
   FROM span, horizon
@@ -946,11 +946,13 @@ def stats_kaplan_meier_user_lifetime(
     )
     horizon = events.agg(F.max("ts").alias("end_ts"))
     obs = span.crossJoin(F.broadcast(horizon)).select(
-        F.floor(
-            (
-                F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
-            )
-            / 3600
+        # microsecond-exact integer floor-div: unix_timestamp truncates
+        # to whole SECONDS while DuckDB's EPOCH keeps fractions — at sf1
+        # that divergence reclassified a user sitting exactly on an hour
+        # boundary (caught by the 10x step-up sweep)
+        F.expr(
+            "(unix_micros(last_ts) - unix_micros(first_ts))"
+            " div 3600000000"
         ).alias("duration_h"),
         (
             F.col("last_ts")
