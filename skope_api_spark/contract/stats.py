@@ -1044,3 +1044,71 @@ def feature_winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(wv), 2).alias("min_wv"),
         F.round(F.max(wv), 2).alias("max_wv"),
     )
+
+
+@query(
+    "stats_moments_battery",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS grp,
+         COUNT(*)::DOUBLE AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS s1,
+         SUM(CAST(o_totalprice AS DOUBLE) ** 2) AS s2,
+         SUM(CAST(o_totalprice AS DOUBLE) ** 3) AS s3,
+         SUM(CAST(o_totalprice AS DOUBLE) ** 4) AS s4
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT grp, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) ** 2 AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) ** 3 AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) ** 2 * (s2 / n)
+           - 3 * (s1 / n) ** 4 AS m4
+  FROM m
+)
+SELECT grp, CAST(n AS BIGINT) AS n, ROUND(mu, 4) AS mean,
+       ROUND(m3 / (m2 ** 1.5), 4) AS pop_skewness,
+       ROUND(m4 / (m2 ** 2) - 3.0, 4) AS pop_excess_kurtosis
+FROM c
+ORDER BY grp
+""",
+)
+def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of order totals per
+    priority — computed from raw moment sums (Σx..Σx⁴) with the central-
+    moment identities ON BOTH SIDES, because the engines' NATIVE
+    skewness/kurtosis disagree on the sample-correction convention
+    (DuckDB applies g1/g2 corrections, Spark does not): the battery pins
+    a definition instead of hoping the builtins align. 4-dp rounding
+    covers double accumulation-order noise in the Σxᵏ sums."""
+    orders = load(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    m = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mu * (F.col("s2") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 4).alias("mean"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("pop_skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 4).alias("pop_excess_kurtosis"),
+    ).orderBy("grp")

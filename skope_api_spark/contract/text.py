@@ -1462,3 +1462,60 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("zipf_slope"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::DOUBLE AS words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
+           AS sentences,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::DOUBLE
+           AS syllables
+  FROM documents
+)
+SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+       CAST(sentences AS BIGINT) AS n_sentences,
+       CAST(syllables AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (words / sentences)
+             - 84.6 * (syllables / words), 4) AS flesch_ease,
+       ROUND(0.39 * (words / sentences)
+             + 11.8 * (syllables / words) - 15.59, 4) AS fk_grade
+FROM base
+ORDER BY doc_id
+""",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic readability quality signals, with the standard vowel-group
+    syllable heuristic (public formulas). Whole-corpus in-scan regexp
+    counts; sentence/syllable floors of 1 keep the divisions total.
+    Scores are pure arithmetic on exact integer counts (4-dp rounded).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ")).cast("double")
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("double")
+    syllables = F.greatest(
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ),
+        F.lit(1),
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(
+            206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words),
+            4,
+        ).alias("flesch_ease"),
+        F.round(
+            0.39 * (words / sentences) + 11.8 * (syllables / words) - 15.59,
+            4,
+        ).alias("fk_grade"),
+    ).orderBy("doc_id")
