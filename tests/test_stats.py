@@ -573,3 +573,98 @@ def test_calibration_no_positives_yields_nulls(spark):
     ).collect()
     assert all(r["cum_gain"] is None for r in out)  # 0/0 -> NULL, no raise
     assert all(r["pos_rate"] == 0.0 for r in out)
+
+
+def test_mann_kendall_matches_reference_and_monotone_invariance(spark):
+    from skope_api_spark.operators.stats import mann_kendall
+
+    rng = np.random.default_rng(21)
+    y = np.round(rng.normal(0, 5, 40), 1)  # 1-dp grid forces some ties
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(y)], "x long, y double"
+    )
+    r = mann_kendall(df, x="x", y="y").collect()[0]
+    s_ref = sum(
+        np.sign(y[j] - y[i]) for i in range(40) for j in range(i + 1, 40)
+    )
+    assert r["s_stat"] == int(s_ref)
+    # S depends only on pairwise ORDER: any strictly increasing transform
+    # (here 2y+1, which also preserves ties exactly) leaves it unchanged
+    df2 = spark.createDataFrame(
+        [(i, float(2 * v + 1)) for i, v in enumerate(y)], "x long, y double"
+    )
+    r2 = mann_kendall(df2, x="x", y="y").collect()[0]
+    assert r2["s_stat"] == r["s_stat"]
+    assert r2["tau_b"] == pytest.approx(r["tau_b"])
+    assert r2["z"] == pytest.approx(r["z"])
+
+
+def test_theil_sen_matches_reference_and_affine_equivariance(spark):
+    from skope_api_spark.operators.stats import theil_sen
+
+    rng = np.random.default_rng(22)
+    y = 1.7 * np.arange(30) + rng.normal(0, 2, 30)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(y)], "x long, y double"
+    )
+    r = theil_sen(df, x="x", y="y").collect()[0]
+    slopes = [
+        (y[j] - y[i]) / (j - i) for i in range(30) for j in range(i + 1, 30)
+    ]
+    assert r["slope"] == pytest.approx(float(np.median(slopes)))
+    assert r["intercept"] == pytest.approx(
+        float(np.median(y - r["slope"] * np.arange(30)))
+    )
+    # affine equivariance: fit(a·y + b) = (a·slope, a·intercept + b)
+    a, b = -3.0, 11.0
+    df2 = spark.createDataFrame(
+        [(i, float(a * v + b)) for i, v in enumerate(y)], "x long, y double"
+    )
+    r2 = theil_sen(df2, x="x", y="y").collect()[0]
+    assert r2["slope"] == pytest.approx(a * r["slope"])
+    assert r2["intercept"] == pytest.approx(a * r["intercept"] + b)
+
+
+def test_unimax_budget_feasibility_random(spark):
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.sampling import unimax_mixing
+
+    rng = np.random.default_rng(23)
+    rows, did = [], 0
+    for li, lang in enumerate("abcdefg"):
+        for _ in range(int(rng.integers(1, 30))):
+            per = int(rng.integers(3, 40))
+            rows.append((did, lang, " ".join(["w"] * per)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for frac in (0.2, 0.5, 0.9):
+        kept = unimax_mixing(docs, budget_frac=frac)
+        alloc = {
+            r["lang"]: r
+            for r in kept.select("lang", "__s", "__capped", "__num", "__den")
+            .dropDuplicates(["lang"])
+            .collect()
+        }
+        total = sum(
+            len(t.split(" ")) for _, _, t in rows
+        )
+        budget = int(total * frac)
+        # feasibility: capped langs take s_l; uncapped share num/den and
+        # the grand total never exceeds the budget
+        spent = sum(
+            (r["__s"] if r["__capped"] else r["__num"] / r["__den"])
+            for r in alloc.values()
+        )
+        assert spent <= budget + 1e-6
+        # every capped language keeps every doc
+        kept_counts = {
+            r["lang"]: r["count"]
+            for r in kept.groupBy("lang").count().collect()
+        }
+        for lang, r in alloc.items():
+            n_docs = sum(1 for _, lg, _ in rows if lg == lang)
+            if r["__capped"]:
+                assert kept_counts.get(lang, 0) == n_docs
+            else:
+                assert kept_counts.get(lang, 0) <= n_docs
