@@ -2240,3 +2240,49 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_col="l_partkey",
     )
     return adamic_adar_links(edges, top_k=20)
+
+
+_REACH_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey AS src,
+           LEAD(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem)
+  WHERE dst IS NOT NULL AND src <> dst
+), und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
+  GROUP BY 1, 2
+), sym AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), seeds AS (
+  SELECT u AS node FROM und GROUP BY u ORDER BY u LIMIT 3
+), reach(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT s.v, r.hop + 1
+  FROM reach r JOIN sym s ON s.u = r.node
+  WHERE r.hop < 2
+)
+SELECT node, CAST(MIN(hop) AS INT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+ORDER BY min_hops, node
+LIMIT 200
+"""
+
+
+@query("sql_recursive_reachability", oracle=_REACH_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE) — 2-hop
+    reachability with path counts from the three smallest co-purchase
+    nodes, running the IDENTICAL SQL text on both engines. Complements
+    the DataFrame-loop BFS (graph_khop_distances, which scales via
+    frontier anti-joins and checkpoints): the recursive CTE is the
+    SQL-user surface, hop-bounded because UNION ALL enumerates paths.
+    Exact integer hops/counts, deterministic LIMIT on (min_hops, node).
+    """
+    from skope_api_spark.tables import load as _load
+
+    _load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_REACH_SQL)
