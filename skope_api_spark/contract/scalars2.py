@@ -538,3 +538,88 @@ def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "sql_udf_margin_classifier",
+    oracle="""
+WITH m AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS net
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CASE WHEN net >= 300000 THEN 'large'
+            WHEN net >= 100000 THEN 'medium' ELSE 'small' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(net) AS DOUBLE) AS net_revenue
+FROM m GROUP BY 1 ORDER BY bucket
+""",
+)
+def sql_udf_margin_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF (CREATE FUNCTION … RETURN): a declarative scalar
+    function classifying order net revenue into buckets, used inside an
+    aggregation — the catalog-resident reusable-logic surface (the UDF
+    body is inlined by the analyzer, so it costs nothing vs the CASE the
+    oracle spells out). Net revenue follows the exact-decimal money-sum
+    rule."""
+    from skope_api_spark.tables import load as _load
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION revenue_bucket(x DOUBLE) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN x >= 300000 THEN 'large' "
+        "WHEN x >= 100000 THEN 'medium' ELSE 'small' END"
+    )
+    _load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+WITH m AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS net
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT revenue_bucket(CAST(net AS DOUBLE)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(net) AS DOUBLE) AS net_revenue
+FROM m GROUP BY 1 ORDER BY bucket
+"""
+    )
+
+
+@query(
+    "sql_pipe_syntax_priority_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_pipe_syntax_priority_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>): the same filtered rollup a classic
+    GROUP BY writes, expressed as a linear FROM → WHERE → AGGREGATE
+    pipeline — the readability surface SQL:2023-adjacent engines are
+    converging on. The oracle is the classic form; the RESULT contract
+    is what must match, and Catalyst plans both identically."""
+    from skope_api_spark.tables import load as _load
+
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority, n, revenue
+|> ORDER BY o_orderpriority
+"""
+    )
