@@ -623,3 +623,91 @@ FROM orders
 |> ORDER BY o_orderpriority
 """
     )
+
+
+@query(
+    "scalar_try_arithmetic_battery",
+    oracle="""
+SELECT CAST(TRY_CAST('123' AS BIGINT) AS BIGINT) AS ok_int,
+       CAST(TRY_CAST('12x' AS BIGINT) AS BIGINT) AS bad_int,
+       TRY_CAST('2024-02-30' AS DATE) AS bad_date,
+       TRY_CAST('2024-02-29' AS DATE) AS leap_date,
+       CAST(TRY_CAST('1e400' AS DOUBLE) AS DOUBLE) AS inf_dbl,
+       CAST(9223372036854775807 AS BIGINT) AS max_bigint,
+       CAST(NULL AS BIGINT) AS overflow_add,
+       CAST(NULL AS DOUBLE) AS div_zero,
+       CAST(NULL AS BIGINT) AS mod_zero
+""",
+)
+def scalar_try_arithmetic_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANSI-mode safety surface: the try_* family that returns NULL
+    where strict SQL raises — bad casts, impossible dates, bigint
+    overflow, division/modulo by zero. The engine contract a pipeline
+    depends on when quarantining dirty numerics (Spark runs ANSI-on by
+    default in 4.x; these are the sanctioned escape hatches). DuckDB
+    lacks try_add/try_divide, so the oracle states the DEFINED results
+    (NULL) directly — the battery pins Spark's behavior against them.
+    Note '1e400' → DuckDB TRY_CAST yields +inf (double rounding), and
+    Spark matches."""
+    row = spark.range(1)
+    return row.select(
+        F.expr("try_cast('123' AS BIGINT)").alias("ok_int"),
+        F.expr("try_cast('12x' AS BIGINT)").alias("bad_int"),
+        F.expr("try_cast('2024-02-30' AS DATE)").alias("bad_date"),
+        F.expr("try_cast('2024-02-29' AS DATE)").alias("leap_date"),
+        F.expr("try_cast('1e400' AS DOUBLE)").alias("inf_dbl"),
+        F.expr("try_add(9223372036854775806, 1)").alias("max_bigint"),
+        F.expr("try_add(9223372036854775807, 1)").alias("overflow_add"),
+        F.try_divide(F.lit(1.0), F.lit(0.0)).alias("div_zero"),
+        F.expr("try_mod(10, 0)").alias("mod_zero"),
+    )
+
+
+@query(
+    "date_interval_edges_battery",
+    oracle="""
+SELECT (DATE '2024-01-31' + INTERVAL 1 MONTH)::DATE AS jan31_plus_1m,
+       (DATE '2024-02-29' + INTERVAL 12 MONTH)::DATE AS leap_plus_1y,
+       (DATE '2023-01-31' + INTERVAL 1 MONTH)::DATE AS jan31_nonleap,
+       (DATE '2024-03-31' - INTERVAL 1 MONTH)::DATE AS mar31_minus_1m,
+       date_trunc('week', DATE '2024-01-01')::DATE AS week_of_jan1,
+       date_trunc('quarter', DATE '2024-08-14')::DATE AS q_trunc,
+       CAST(date_diff('day', DATE '2024-02-28', DATE '2024-03-01')
+            AS BIGINT) AS leap_span_days,
+       CAST(EXTRACT(dow FROM DATE '2024-02-29') AS INT) AS leap_dow,
+       last_day(DATE '2024-02-10') AS leap_month_end
+""",
+)
+def date_interval_edges_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar-edge semantics both engines must agree on before any
+    monthly rollup is trusted: month-end clamping (Jan 31 + 1 month →
+    Feb 29/28), leap-day year arithmetic, backwards month steps, ISO
+    week/quarter truncation, day spans across Feb 29, day-of-week
+    numbering — a REAL trap this battery pins: Spark's dayofweek is
+    1-based (Sunday=1), DuckDB's EXTRACT(dow) 0-based (Sunday=0), so the
+    contract normalizes to Sunday=0 — and last_day. Spark's add_months
+    is the clamping month-add; DuckDB's + INTERVAL matches it on every
+    pinned edge."""
+    row = spark.range(1)
+    d = F.to_date
+    return row.select(
+        F.add_months(d(F.lit("2024-01-31")), 1).alias("jan31_plus_1m"),
+        F.add_months(d(F.lit("2024-02-29")), 12).alias("leap_plus_1y"),
+        F.add_months(d(F.lit("2023-01-31")), 1).alias("jan31_nonleap"),
+        F.add_months(d(F.lit("2024-03-31")), -1).alias("mar31_minus_1m"),
+        F.date_trunc("week", d(F.lit("2024-01-01")))
+        .cast("date")
+        .alias("week_of_jan1"),
+        F.date_trunc("quarter", d(F.lit("2024-08-14")))
+        .cast("date")
+        .alias("q_trunc"),
+        F.datediff(d(F.lit("2024-03-01")), d(F.lit("2024-02-28")))
+        .cast("long")
+        .alias("leap_span_days"),
+        (F.dayofweek(d(F.lit("2024-02-29"))) - 1).alias("leap_dow"),
+        F.last_day(d(F.lit("2024-02-10"))).alias("leap_month_end"),
+    )
