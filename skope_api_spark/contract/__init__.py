@@ -34,6 +34,11 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r07 session-4b rotation: two r06-driver-VERIFIED entries whose
+    # families keep deep gated coverage cede to the session's two
+    # strongest cross-family flagships (full replay still covers both):
+    #   sim_recall_report -> er_customer_record_clusters
+    #   mm_binary_stats   -> sql_recursive_reachability
     # r07 session-4 rotation: five r06-driver-VERIFIED family redundants
     # cede their slots to this session's new flagships; every ceded query
     # stays covered by the full check_correctness replay and each family
@@ -132,7 +137,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_bootstrap_means_totalprice",
     "text_tfidf_top_terms",
     "ts_theil_sen_monthly_revenue",
-    "mm_binary_stats",
+    "sql_recursive_reachability",
     # dedup scale paths
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
@@ -146,7 +151,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sim_embedding_near_dup_bucketed",
     "q9_product_type_profit",
     "mv_incremental_rollup",
-    "sim_recall_report",
+    "er_customer_record_clusters",
     # as-of joins, skew (KMV's slot went to multiprobe in r03; the HLL
     # sketch's slot goes to the recall contract in r04 — both sketches stay
     # regression-covered by the full check_correctness replay)
