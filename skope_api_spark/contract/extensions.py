@@ -2286,3 +2286,71 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_REACH_SQL)
+
+
+@query(
+    "spatial_grid_density_clusters",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT (user_id % 120) * 0.5 - 30.0 AS lat,
+         (event_id % 360) * 0.5 - 90.0 AS lon
+  FROM events
+), cells AS (
+  SELECT CAST(FLOOR(lat / 5.0) AS BIGINT) AS cx,
+         CAST(FLOOR(lon / 5.0) AS BIGINT) AS cy,
+         (CAST(FLOOR(lat / 5.0) AS BIGINT) + 1000) * 1000000
+           + (CAST(FLOOR(lon / 5.0) AS BIGINT) + 1000) AS cell_id,
+         COUNT(*) AS n_points
+  FROM pts GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 25
+), offs(dx, dy) AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                        (0,1),(1,-1),(1,0),(1,1)) t(dx, dy)
+), pairs AS (
+  SELECT c.cell_id AS u,
+         (c.cx + o.dx + 1000) * 1000000 + (c.cy + o.dy + 1000) AS v
+  FROM cells c CROSS JOIN offs o
+  JOIN cells n ON n.cell_id =
+       (c.cx + o.dx + 1000) * 1000000 + (c.cy + o.dy + 1000)
+  WHERE c.cell_id <
+        (c.cx + o.dx + 1000) * 1000000 + (c.cy + o.dy + 1000)
+), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), labels AS (
+  SELECT u AS cell_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u
+), full_cells AS (
+  SELECT c.*, COALESCE(l.cluster_id, c.cell_id) AS cluster_id
+  FROM cells c LEFT JOIN labels l USING (cell_id)
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_points) AS BIGINT) AS n_points,
+       CAST(MIN(cx) AS BIGINT) AS min_cx, CAST(MAX(cx) AS BIGINT) AS max_cx,
+       CAST(MIN(cy) AS BIGINT) AS min_cy, CAST(MAX(cy) AS BIGINT) AS max_cy
+FROM full_cells
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def spatial_grid_density_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grid-density spatial clustering of the deterministic event
+    point cloud (cell-based DBSCAN: 5° cells, core at ≥25 points,
+    8-adjacent core cells merged by star contraction). No distance
+    cross join anywhere — density via ONE aggregation, adjacency via
+    the bounded ×8 offset explode, merging via the log-round
+    components operator; the oracle replays adjacency + a recursive-CTE
+    closure (operators/spatial.py:grid_density_clusters)."""
+    from skope_api_spark.operators.spatial import grid_density_clusters
+
+    events = load(spark, sf_dir, "events")
+    pts = events.select(
+        ((F.col("user_id") % 120) * 0.5 - 30.0).alias("lat"),
+        ((F.col("event_id") % 360) * 0.5 - 90.0).alias("lon"),
+    )
+    out = grid_density_clusters(pts, cell_deg=5.0, min_pts=25)
+    return out.orderBy("cluster_id")

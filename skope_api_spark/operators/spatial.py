@@ -181,3 +181,79 @@ def nearest_site(
         F.col("__best.sid").alias("site_id"),
         F.col("__best.km").alias("distance_km"),
     )
+
+
+def grid_density_clusters(
+    points: DataFrame,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 5.0,
+    min_pts: int = 25,
+) -> DataFrame:
+    """Grid-density spatial clustering (the cell-based DBSCAN variant,
+    public): bucket points into cell_deg×cell_deg cells, keep cells with
+    ≥ min_pts points ("core"), and merge 8-adjacent core cells into
+    clusters via the engine's star-contraction connected components
+    (dedup.duplicate_clusters) — density clustering without any
+    point-to-point distance join.
+
+    Shape: ONE corpus aggregation to the cell table, a bounded ×8
+    neighbor-offset explode + equi-join for adjacency (the sliding-
+    window trick — never a distance cross join), log-round contraction
+    on the |core cells| graph, and a per-cluster rollup. Isolated core
+    cells (no core neighbor) label themselves. Returns
+    (cluster_id, n_cells, n_points, min/max cell coords).
+    """
+    from skope_api_spark.operators.dedup import duplicate_clusters
+
+    if min_pts < 1 or cell_deg <= 0:
+        raise ValueError("need min_pts >= 1 and cell_deg > 0")
+    cx = F.floor(F.col(lat_col) / cell_deg).cast("long")
+    cy = F.floor(F.col(lon_col) / cell_deg).cast("long")
+    # positive single-key cell id: shift both axes well clear of zero
+    cid = (cx + 1000) * 1_000_000 + (cy + 1000)
+    cells = (
+        points.groupBy(
+            cx.alias("cx"), cy.alias("cy"), cid.alias("cell_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .where(F.col("n_points") >= min_pts)
+        .localCheckpoint(eager=True)
+    )
+    offs = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    ]
+    fanned = cells.select(
+        "cell_id", "cx", "cy", F.explode(F.array(*offs)).alias("o")
+    ).select(
+        F.col("cell_id").alias("doc_a"),
+        (
+            (F.col("cx") + F.col("o.dx") + 1000) * 1_000_000
+            + (F.col("cy") + F.col("o.dy") + 1000)
+        ).alias("doc_b"),
+    )
+    edges = fanned.join(
+        cells.select(F.col("cell_id").alias("doc_b")), "doc_b"
+    ).where(F.col("doc_a") < F.col("doc_b"))
+    labeled = duplicate_clusters(edges)
+    full = cells.join(
+        labeled.select(
+            F.col("doc_id").alias("cell_id"), "cluster_id"
+        ),
+        "cell_id",
+        "left",
+    ).withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("cell_id"))
+    )
+    return full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_points").alias("n_points"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    )

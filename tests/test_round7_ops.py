@@ -892,3 +892,30 @@ class TestHampelFilter:
         # at most the two rows straddling the step can flag; interior not
         flagged = [r["t"] for r in out if r["is_outlier"]]
         assert all(6 <= t <= 9 for t in flagged)
+
+
+class TestGridDensityClusters:
+    def test_two_blobs_and_noise(self, spark):
+        from skope_api_spark.operators.spatial import grid_density_clusters
+
+        rows = []
+        # blob A: 30 points in cell (0,0); neighbor core cell (0,1) with 30
+        rows += [(0.5, 0.5)] * 30 + [(0.5, 5.5)] * 30
+        # blob B: far away core cell
+        rows += [(40.2, 40.2)] * 30
+        # noise: sparse cell below min_pts
+        rows += [(-20.0, -20.0)] * 3
+        df = spark.createDataFrame(rows, "lat double, lon double")
+        out = grid_density_clusters(df, cell_deg=5.0, min_pts=25).collect()
+        assert len(out) == 2  # A-cells merged, B alone, noise dropped
+        sizes = sorted((r["n_cells"], r["n_points"]) for r in out)
+        assert sizes == [(1, 30), (2, 60)]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from skope_api_spark.operators.spatial import grid_density_clusters
+
+        df = spark.createDataFrame([(0.0, 0.0)], "lat double, lon double")
+        with _pt.raises(ValueError):
+            grid_density_clusters(df, cell_deg=0.0)
