@@ -810,7 +810,7 @@ def rank_normalize(
     return df.join(mapping, v.eqNullSafe(F.col("__v")), "left").drop("__v")
 
 
-def _series_pairs(series: DataFrame, x: str, y: str) -> DataFrame:
+def _series_pairs(series: DataFrame, x: str, y: str):
     """All ordered pairs (i < j by ``x``) of a report-sized series.
 
     Intentional bounded O(n²): the input is a POST-AGGREGATION series
@@ -819,7 +819,9 @@ def _series_pairs(series: DataFrame, x: str, y: str) -> DataFrame:
     series and plans as a bounded BroadcastNestedLoopJoin over the
     report, never over the data. Callers that need trend tests over
     un-aggregated corpora should aggregate first — that is the
-    statistic's own definition, not a workaround.
+    statistic's own definition, not a workaround. Returns
+    (pairs, checkpointed_series) so callers' side aggregations reuse the
+    materialized series instead of replaying its upstream per branch.
     """
     series = series.localCheckpoint(eager=True)  # report-sized by contract
     a = series.select(F.col(x).alias("__xi"), F.col(y).alias("__yi"))
