@@ -1112,3 +1112,39 @@ def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 4).alias("pop_skewness"),
         F.round(m4 / (m2 * m2) - 3.0, 4).alias("pop_excess_kurtosis"),
     ).orderBy("grp")
+
+
+@query(
+    "stats_weighted_quantiles_price_by_qty",
+    oracle="""
+WITH hist AS (
+  SELECT l_extendedprice AS v, CAST(SUM(l_quantity) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+  FROM hist
+), tot AS (SELECT SUM(c) AS w FROM hist),
+t(k, d) AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) x(k, d))
+SELECT t.k, t.d, t.k / CAST(t.d AS DOUBLE) AS prob,
+       MIN(cum.v) AS value
+FROM t, tot, cum
+WHERE cum.cw * t.d >= t.k * tot.w
+GROUP BY t.k, t.d
+ORDER BY prob
+""",
+)
+def stats_weighted_quantiles_price_by_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted price quantiles (p50/p90/p99): the smallest
+    price at which the cumulative QUANTITY reaches the target share —
+    every threshold an integer cross-multiplication over the distributed
+    prefix sum, so no float comparison exists to diverge
+    (operators/stats.py:weighted_quantiles)."""
+    from skope_api_spark.operators.stats import weighted_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    out = weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", [(1, 2), (9, 10), (99, 100)]
+    )
+    return out.orderBy("prob")

@@ -1021,3 +1021,61 @@ def winsorize(
     return df.crossJoin(F.broadcast(bounds)).withColumn(
         out_col, F.when(v.isNotNull(), clipped)
     ).drop("__lo", "__hi")
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    targets: Sequence[tuple[int, int]],
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles (lower weighted-median convention): for
+    each target rational q = k/d, the SMALLEST value whose cumulative
+    weight reaches q of the total — the "median order size weighted by
+    quantity" family. Weights must be non-negative integers (cast to
+    long), and targets are RATIONALS, so every comparison is an integer
+    cross-multiplication (cum·d ≥ k·W): no float thresholds anywhere,
+    bit-identical cross-engine by construction.
+
+    Same distributed shape as ``exact_quantiles``: weight histogram →
+    range-partitioned prefix sum → a broadcast target join takes the
+    per-target min qualifying value. Returns (k, d, prob, value).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for k, d in targets:
+        if d <= 0 or not 0 <= k <= d:
+            raise ValueError(f"target {k}/{d} must satisfy 0 <= k/d <= 1")
+    spark = df.sparkSession
+    v = F.col(col).cast("double")
+    w = F.col(weight_col).cast("long")
+    hist = (
+        df.where(v.isNotNull() & w.isNotNull())
+        .groupBy(v.alias("v"))
+        .agg(F.sum(w).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = _range_prefix_sum(hist, "v", "c", partitions)
+    total = ranked.agg(F.sum("c").alias("__w"))
+    tdf = (
+        spark.createDataFrame(
+            [(int(k), int(d)) for k, d in targets], "k long, d long"
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    qualified = ranked.join(
+        F.broadcast(tdf),
+        F.col("__cum") * F.col("d") >= F.col("k") * F.col("__w"),
+    )
+    return (
+        qualified.groupBy("k", "d")
+        .agg(F.min("v").alias("value"))
+        .select(
+            "k",
+            "d",
+            (F.col("k").cast("double") / F.col("d")).alias("prob"),
+            "value",
+        )
+    )

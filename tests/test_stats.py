@@ -668,3 +668,33 @@ def test_unimax_budget_feasibility_random(spark):
                 assert kept_counts.get(lang, 0) == n_docs
             else:
                 assert kept_counts.get(lang, 0) <= n_docs
+
+
+def test_weighted_quantiles_hand_checked(spark):
+    from skope_api_spark.operators.stats import weighted_quantiles
+
+    # values 1..4 with weights 1,1,6,2 (W=10): median lands inside the
+    # heavy value 3 (cum: 1,2,8,10 -> first cum*2>=10 is v=3)
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 6), (4.0, 2)], "x double, w long"
+    )
+    got = {
+        (r["k"], r["d"]): r["value"]
+        for r in weighted_quantiles(
+            df, "x", "w", [(1, 2), (1, 10), (1, 1)]
+        ).collect()
+    }
+    assert got[(1, 2)] == 3.0
+    assert got[(1, 10)] == 1.0  # cum(1)*10 = 10 >= 1*10
+    assert got[(1, 1)] == 4.0  # full mass -> max value
+    # uniform weights degenerate to the plain lower quantile
+    u = spark.createDataFrame(
+        [(float(i), 1) for i in range(1, 101)], "x double, w long"
+    )
+    got = {
+        (r["k"], r["d"]): r["value"]
+        for r in weighted_quantiles(u, "x", "w", [(9, 10)]).collect()
+    }
+    assert got[(9, 10)] == 90.0
+    with pytest.raises(ValueError, match="target"):
+        weighted_quantiles(u, "x", "w", [(3, 2)])
