@@ -2354,3 +2354,66 @@ def spatial_grid_density_clusters(
     )
     out = grid_density_clusters(pts, cell_deg=5.0, min_pts=25)
     return out.orderBy("cluster_id")
+
+
+@query(
+    "funnel_time_to_convert_quantiles",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT epoch_ms(p.ts) - epoch_ms(c.ts) AS ms
+  FROM p ASOF JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(quantile_cont(ms / 60000.0, 0.50), 4) AS p50_minutes,
+       ROUND(quantile_cont(ms / 60000.0, 0.90), 4) AS p90_minutes,
+       ROUND(quantile_cont(ms / 60000.0, 0.99), 4) AS p99_minutes
+FROM matched
+""",
+)
+def funnel_time_to_convert_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution — the funnel-latency report: each
+    purchase as-of-joined to the user's latest preceding click (the
+    union-merge operator, one shuffle), then exact distributed quantiles
+    of the minute deltas (p50/p90/p99). Deltas are exact integer
+    milliseconds over 60000.0 — identical doubles into identical
+    interpolation on both sides (operators/asof.py + stats.py)."""
+    from skope_api_spark.operators.asof import asof_join
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    m = asof_join(
+        purchases, clicks, on=("user_id",), right_cols=("ts",), suffix="_c"
+    ).where(F.col("ts_c").isNotNull())
+    mins = m.select(
+        (
+            (F.unix_millis("ts") - F.unix_millis("ts_c")) / 60000.0
+        ).alias("minutes")
+    )
+    n = mins.agg(F.count(F.lit(1)).alias("n_conversions"))
+    qs = exact_quantiles(mins, "minutes", [0.5, 0.9, 0.99])
+    wide = qs.agg(
+        *[
+            F.round(
+                F.min(F.when(F.col("prob") == pv, F.col("value"))), 4
+            ).alias(alias)
+            for pv, alias in [
+                (0.5, "p50_minutes"),
+                (0.9, "p90_minutes"),
+                (0.99, "p99_minutes"),
+            ]
+        ]
+    )
+    return n.crossJoin(F.broadcast(wide))
