@@ -1519,3 +1519,157 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+@query(
+    "stats_langid_confusion_report",
+    oracle="""
+WITH tok AS (
+  SELECT lang AS profile_lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT profile_lang, tok, COUNT(*) AS n FROM tok GROUP BY profile_lang, tok
+), profiles AS (
+  SELECT profile_lang, tok FROM (
+    SELECT profile_lang, tok,
+           ROW_NUMBER() OVER (PARTITION BY profile_lang ORDER BY n DESC, tok) AS rk
+    FROM counts
+  ) WHERE rk <= 10
+), doc_toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), ovl AS (
+  SELECT d.doc_id, p.profile_lang, COUNT(*) AS overlap
+  FROM doc_toks d JOIN profiles p USING (tok)
+  GROUP BY d.doc_id, p.profile_lang
+), best AS (
+  SELECT doc_id, profile_lang AS predicted_lang, CAST(overlap AS INT) AS overlap
+  FROM (
+    SELECT doc_id, profile_lang, overlap,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang) AS rk
+    FROM ovl
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT d.lang AS actual, COALESCE(b.predicted_lang, 'none') AS predicted
+  FROM documents d LEFT JOIN best b USING (doc_id)
+), n AS (SELECT COUNT(*)::DOUBLE AS n FROM pairs),
+acc AS (
+  SELECT SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)::DOUBLE AS hits
+  FROM pairs
+), rows_ AS (SELECT actual, COUNT(*)::DOUBLE AS rc FROM pairs GROUP BY actual),
+cols_ AS (SELECT predicted, COUNT(*)::DOUBLE AS cc FROM pairs GROUP BY predicted),
+pe AS (
+  SELECT SUM(r.rc * c.cc) AS num
+  FROM rows_ r JOIN cols_ c ON r.actual = c.predicted
+), per AS (
+  SELECT r.actual AS lang,
+         CAST(r.rc AS BIGINT) AS support,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(c.cc, 0) AS BIGINT) AS predicted_count
+  FROM rows_ r
+  LEFT JOIN (
+    SELECT actual, COUNT(*)::DOUBLE AS tp FROM pairs
+    WHERE actual = predicted GROUP BY actual
+  ) t ON t.actual = r.actual
+  LEFT JOIN cols_ c ON c.predicted = r.actual
+)
+SELECT per.lang, per.support, per.tp, per.predicted_count,
+       ROUND(CASE WHEN per.predicted_count > 0
+             THEN per.tp / CAST(per.predicted_count AS DOUBLE) END, 6)
+         AS precision,
+       ROUND(per.tp / CAST(per.support AS DOUBLE), 6) AS recall,
+       ROUND(CASE WHEN per.tp > 0 THEN
+             2.0 * per.tp / (per.support + per.predicted_count) END, 6)
+         AS f1,
+       ROUND(acc.hits / n.n, 6) AS accuracy,
+       ROUND((acc.hits / n.n - pe.num / (n.n * n.n))
+             / (1.0 - pe.num / (n.n * n.n)), 6) AS cohens_kappa
+FROM per, acc, n, pe
+ORDER BY per.lang
+""",
+)
+def stats_langid_confusion_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier evaluation of the engine's own langid heuristic
+    against gold labels: per-class support/precision/recall/F1 plus
+    overall accuracy and Cohen's kappa (chance-corrected agreement;
+    expected agreement from the row x column marginal products). Every
+    metric is a single division of exact integer confusion counts; the
+    F1 identity 2tp/(support+predicted) avoids nested rounding. Uses
+    ops.langid_classify — the report doubles as a standing quality
+    gate on the classifier."""
+    docs = load(spark, sf_dir, "documents")
+    pred = ops.langid_classify(docs).select(
+        F.col("lang").alias("actual"),
+        F.coalesce("predicted_lang", F.lit("none")).alias("predicted"),
+    )
+    pred = pred.localCheckpoint(eager=True)
+    n = pred.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    acc = pred.agg(
+        F.count(F.when(F.col("actual") == F.col("predicted"), 1))
+        .cast("double")
+        .alias("__hits")
+    )
+    rows_ = pred.groupBy("actual").agg(
+        F.count(F.lit(1)).cast("double").alias("__rc")
+    )
+    cols_ = pred.groupBy("predicted").agg(
+        F.count(F.lit(1)).cast("double").alias("__cc")
+    )
+    pe = (
+        rows_.join(cols_, rows_["actual"] == cols_["predicted"])
+        .agg(F.sum(F.col("__rc") * F.col("__cc")).alias("__pe_num"))
+    )
+    tp = (
+        pred.where(F.col("actual") == F.col("predicted"))
+        .groupBy("actual")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tp"))
+    )
+    per = (
+        rows_.join(tp, "actual", "left")
+        .join(
+            cols_.select(
+                F.col("predicted").alias("actual"),
+                F.col("__cc").alias("__pc"),
+            ),
+            "actual",
+            "left",
+        )
+        .select(
+            F.col("actual").alias("lang"),
+            F.col("__rc").cast("long").alias("support"),
+            F.coalesce("__tp", F.lit(0.0)).cast("long").alias("tp"),
+            F.coalesce("__pc", F.lit(0.0))
+            .cast("long")
+            .alias("predicted_count"),
+        )
+    )
+    g = (
+        per.crossJoin(F.broadcast(acc))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(pe))
+    )
+    prec = F.when(
+        F.col("predicted_count") > 0,
+        F.col("tp") / F.col("predicted_count").cast("double"),
+    )
+    rec = F.col("tp") / F.col("support").cast("double")
+    f1 = F.when(
+        F.col("tp") > 0,
+        2.0
+        * F.col("tp")
+        / (F.col("support") + F.col("predicted_count")).cast("double"),
+    )
+    po = F.col("__hits") / F.col("__n")
+    pe_v = F.col("__pe_num") / (F.col("__n") * F.col("__n"))
+    return g.select(
+        "lang",
+        "support",
+        "tp",
+        "predicted_count",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(po, 6).alias("accuracy"),
+        F.round((po - pe_v) / (1.0 - pe_v), 6).alias("cohens_kappa"),
+    ).orderBy("lang")
