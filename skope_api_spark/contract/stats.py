@@ -1148,3 +1148,54 @@ def stats_weighted_quantiles_price_by_qty(
         li, "l_extendedprice", "l_quantity", [(1, 2), (9, 10), (99, 100)]
     )
     return out.orderBy("prob")
+
+
+@query(
+    "feature_robust_scale_price",
+    oracle="""
+WITH b AS (
+  SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+         ROUND(quantile_cont(l_extendedprice, 0.75)
+               - quantile_cont(l_extendedprice, 0.25), 2) AS iqr
+  FROM lineitem
+), scaled AS (
+  SELECT (l_extendedprice - b.med) / b.iqr AS z FROM lineitem, b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(z), 6) AS min_z, ROUND(MAX(z), 6) AS max_z,
+       ROUND(quantile_cont(z, 0.5), 6) AS median_z,
+       CAST(COUNT(CASE WHEN abs(z) > 2 THEN 1 END) AS BIGINT)
+         AS n_outside_2iqr
+FROM scaled
+""",
+)
+def feature_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling (x − median)/IQR — the outlier-immune companion of
+    z-scoring, completing the transform trio with rank_normalize and
+    winsorize. Median/IQR come from the distributed exact quantiles
+    (2-dp-rounded bounds so the scale factors are identical doubles);
+    the report checks the scaled distribution's shape. The 6-dp
+    roundings cover the one interpolated median-of-z."""
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    b = qs.agg(
+        F.round(
+            F.min(F.when(F.col("prob") == 0.5, F.col("value"))), 2
+        ).alias("__med"),
+        F.round(
+            F.min(F.when(F.col("prob") == 0.75, F.col("value")))
+            - F.min(F.when(F.col("prob") == 0.25, F.col("value"))),
+            2,
+        ).alias("__iqr"),
+    )
+    z = (F.col("l_extendedprice") - F.col("__med")) / F.col("__iqr")
+    scaled = li.crossJoin(F.broadcast(b)).select(z.alias("z"))
+    return scaled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("z"), 6).alias("min_z"),
+        F.round(F.max("z"), 6).alias("max_z"),
+        F.round(F.percentile("z", F.lit(0.5)), 6).alias("median_z"),
+        F.count(F.when(F.abs("z") > 2, 1)).alias("n_outside_2iqr"),
+    )

@@ -1673,3 +1673,81 @@ def stats_langid_confusion_report(
         F.round(po, 6).alias("accuracy"),
         F.round((po - pe_v) / (1.0 - pe_v), 6).alias("cohens_kappa"),
     ).orderBy("lang")
+
+
+@query(
+    "text_ctfidf_top_terms_per_source",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY source, tok
+), cls AS (SELECT source, SUM(n) AS class_total FROM tf GROUP BY source),
+avg_total AS (SELECT AVG(class_total) AS a FROM cls),
+df_ AS (SELECT tok, SUM(n) AS corpus_freq FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.source, tf.tok,
+         (tf.n / CAST(cls.class_total AS DOUBLE))
+           * LN(1.0 + avg_total.a / df_.corpus_freq) AS ctfidf
+  FROM tf
+  JOIN cls USING (source)
+  JOIN df_ USING (tok)
+  CROSS JOIN avg_total
+), ranked AS (
+  SELECT source, tok, ctfidf,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ROUND(ctfidf, 8) DESC, tok) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS INT) AS rk, tok,
+       ROUND(ctfidf, 6) AS ctfidf
+FROM ranked WHERE rk <= 5
+ORDER BY source, rk
+""",
+)
+def text_ctfidf_top_terms_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF recipe, public): treat
+    each SOURCE as one concatenated class document; term weight =
+    class-tf × ln(1 + avg_class_size / corpus_freq). Top-5 terms per
+    source = the source's topic label. One tokenized (source, term)
+    aggregation; the class totals and the 1-row average broadcast;
+    ranking on the 8-dp-rounded score with token tie-break so ln noise
+    cannot flip the cut."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    cls = tf.groupBy("source").agg(F.sum("n").alias("class_total"))
+    avg_total = cls.agg(F.avg("class_total").alias("__a"))
+    df_ = tf.groupBy("tok").agg(F.sum("n").alias("corpus_freq"))
+    scored = (
+        tf.join(cls, "source")
+        .join(df_, "tok")
+        .crossJoin(F.broadcast(avg_total))
+        .select(
+            "source",
+            "tok",
+            (
+                (F.col("n") / F.col("class_total").cast("double"))
+                * F.log(1.0 + F.col("__a") / F.col("corpus_freq"))
+            ).alias("ctfidf"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(
+        F.round("ctfidf", 8).desc(), "tok"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("source", "rk", "tok", F.round("ctfidf", 6).alias("ctfidf"))
+        .orderBy("source", "rk")
+    )
