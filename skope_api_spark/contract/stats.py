@@ -1199,3 +1199,87 @@ def feature_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("z", F.lit(0.5)), 6).alias("median_z"),
         F.count(F.when(F.abs("z") > 2, 1)).alias("n_outside_2iqr"),
     )
+
+
+_PSI_BOUNDS = ", ".join(
+    f"ROUND(quantile_cont(v, {i / 10}), 2)" for i in range(1, 10)
+)
+
+
+@query(
+    "dq_psi_order_totals_by_segment",
+    oracle=f"""
+WITH seg AS (
+  SELECT o.o_totalprice AS v,
+         (c.c_mktsegment = 'AUTOMOBILE') AS is_ref
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), b AS MATERIALIZED (
+  SELECT [{_PSI_BOUNDS}] AS bounds
+  FROM seg WHERE is_ref
+), binned AS (
+  SELECT 1 + len(list_filter(b.bounds, x -> s.v > x)) AS bucket, s.is_ref
+  FROM seg s CROSS JOIN b
+), counts AS (
+  SELECT bucket,
+         COUNT(CASE WHEN is_ref THEN 1 END) + 0.5 AS p_n,
+         COUNT(CASE WHEN NOT is_ref THEN 1 END) + 0.5 AS q_n
+  FROM binned GROUP BY bucket
+), tot AS (SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM counts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM((p_n / pt - q_n / qt) * LN((p_n / pt) / (q_n / qt))), 6)
+         AS psi
+FROM counts, tot
+""",
+)
+def dq_psi_order_totals_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Population Stability Index between AUTOMOBILE-segment order
+    totals (reference) and everyone else — THE model-monitoring drift
+    metric: decile bins from the REFERENCE slice's exact quantiles,
+    Σ (p−q)·ln(p/q) over bin shares, 0.5-Laplace smoothing so empty
+    bins stay finite and deterministic (documented convention; classic
+    rule of thumb: psi < 0.1 stable, > 0.25 shifted). One scan after
+    the broadcast customer-segment join; counts are exact integers."""
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    seg = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_ref"),
+    )
+    seg = seg.localCheckpoint(eager=True)
+    qs = exact_quantiles(
+        seg.where(F.col("is_ref")), "v", [i / 10 for i in range(1, 10)]
+    )
+    bounds = qs.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("prob"), F.col("value")))
+            ),
+            lambda s: F.round(s["value"], 2),
+        ).alias("__bounds")
+    )
+    binned = seg.crossJoin(F.broadcast(bounds))
+    bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0),
+    )
+    counts = binned.groupBy(bucket.alias("bucket")).agg(
+        (F.count(F.when(F.col("is_ref"), 1)) + 0.5).alias("p_n"),
+        (F.count(F.when(~F.col("is_ref"), 1)) + 0.5).alias("q_n"),
+    )
+    tot = counts.agg(
+        F.sum("p_n").alias("__pt"), F.sum("q_n").alias("__qt")
+    )
+    p = F.col("p_n") / F.col("__pt")
+    q = F.col("q_n") / F.col("__qt")
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
