@@ -1283,3 +1283,47 @@ def dq_psi_order_totals_by_segment(
         F.count(F.lit(1)).alias("n_bins"),
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
     )
+
+
+@query(
+    "stats_auc_by_source",
+    oracle="""
+WITH d AS (
+  SELECT source, n_chars AS s, (lang = 'en') AS y FROM documents
+), hist AS (
+  SELECT source, s, COUNT(CASE WHEN y THEN 1 END) AS np,
+         COUNT(CASE WHEN NOT y THEN 1 END) AS nn
+  FROM d GROUP BY source, s
+), cum AS (
+  SELECT source, s, np, nn,
+         COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM hist
+)
+SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+         (SUM(np * below) + SUM(np * nn) / 2.0)
+         / CAST(SUM(np) * SUM(nn) AS DOUBLE) END AS auc
+FROM cum GROUP BY source
+ORDER BY source
+""",
+)
+def stats_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced exact AUC: how well n_chars separates English per SOURCE —
+    the subpopulation degradation check on the same signal as the
+    global stats_auc_chars_vs_lang. Per-group Mann-Whitney counting
+    over (source, score) histograms with the per-group distributed
+    prefix sum; exact integers, single division, no rounding needed
+    (operators/stats.py:grouped_auc)."""
+    from skope_api_spark.operators.stats import grouped_auc
+
+    docs = load(spark, sf_dir, "documents")
+    out = grouped_auc(
+        docs,
+        score_col="n_chars",
+        label_col=(F.col("lang") == "en"),
+        by=["source"],
+    )
+    return out.orderBy("source")

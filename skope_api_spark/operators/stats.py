@@ -1079,3 +1079,55 @@ def weighted_quantiles(
             "value",
         )
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    by: Sequence[str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-slice exact ROC AUC — the sliced model evaluation every
+    fairness/monitoring review asks for (does the score degrade on a
+    subpopulation?). Identical math to ``binary_auc`` but over a
+    (slice, score) histogram with the PER-GROUP distributed prefix sum
+    (the ``by`` mode of ``_range_prefix_sum``): a giant slice
+    range-splits across partitions instead of pinning one reducer.
+    Returns ``by`` + (n_pos, n_neg, auc); auc NULL where a slice is
+    single-class."""
+    if not by:
+        raise ValueError("by must name at least one slice column")
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    s = F.col(score_col).cast("double")
+    hist = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(*by, s.alias("__s"))
+        .agg(
+            F.count(F.when(lab, 1)).alias("__np"),
+            F.count(F.when(~lab, 1)).alias("__nn"),
+        )
+    )
+    contrib = _range_prefix_sum(
+        hist, "__s", "__nn", partitions, by=by
+    ).select(
+        *by,
+        "__np",
+        "__nn",
+        (F.col("__cum") - F.col("__nn")).alias("__below"),
+    )
+    return contrib.groupBy(*by).agg(
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+        F.when(
+            (F.sum("__np") > 0) & (F.sum("__nn") > 0),
+            (
+                F.sum(F.col("__np") * F.col("__below")).cast("double")
+                + F.sum(F.col("__np") * F.col("__nn")).cast("double") / 2.0
+            )
+            / (F.sum("__np") * F.sum("__nn")).cast("double"),
+        ).alias("auc"),
+    )

@@ -698,3 +698,37 @@ def test_weighted_quantiles_hand_checked(spark):
     assert got[(9, 10)] == 90.0
     with pytest.raises(ValueError, match="target"):
         weighted_quantiles(u, "x", "w", [(3, 2)])
+
+
+def test_grouped_auc_matches_global_per_slice(spark):
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.stats import binary_auc, grouped_auc
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for g in ("a", "b"):
+        shift = 2.0 if g == "a" else 0.0  # slice a separable, b not
+        for i in range(200):
+            y = bool(i % 2)
+            s = rng.normal(shift if y else 0.0, 1.0)
+            rows.append((g, float(np.round(s, 3)), y))
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    sliced = {
+        r["g"]: r
+        for r in grouped_auc(
+            df, score_col="s", label_col="y", by=["g"]
+        ).collect()
+    }
+    for g in ("a", "b"):
+        ref = binary_auc(
+            df.where(F.col("g") == g), score_col="s", label_col="y"
+        ).first()
+        assert sliced[g]["auc"] == ref["auc"]  # bit-identical per slice
+    assert sliced["a"]["auc"] > 0.85 > sliced["b"]["auc"]
+    # single-class slice -> NULL auc
+    one = spark.createDataFrame(
+        [("c", 1.0, True), ("c", 2.0, True)], "g string, s double, y boolean"
+    )
+    r = grouped_auc(one, score_col="s", label_col="y", by=["g"]).first()
+    assert r["auc"] is None
