@@ -1751,3 +1751,126 @@ def text_ctfidf_top_terms_per_source(
         .select("source", "rk", "tok", F.round("ctfidf", 6).alias("ctfidf"))
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "text_js_divergence_langs",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE lang IN ('en', 'de')
+), counts AS (
+  SELECT tok, COUNT(CASE WHEN lang = 'en' THEN 1 END) AS a,
+         COUNT(CASE WHEN lang = 'de' THEN 1 END) AS b
+  FROM tok GROUP BY tok
+), tot AS (
+  SELECT SUM(a) AS ta, SUM(b) AS tb, COUNT(*) AS v FROM counts
+), probs AS (
+  SELECT (a + 0.5) / (ta + 0.5 * v) AS p,
+         (b + 0.5) / (tb + 0.5 * v) AS q
+  FROM counts, tot
+)
+SELECT CAST((SELECT v FROM tot) AS BIGINT) AS vocab_size,
+       ROUND(SUM(0.5 * p * LN(2.0 * p / (p + q))
+                 + 0.5 * q * LN(2.0 * q / (p + q))) / LN(2.0), 6)
+         AS js_divergence_bits
+FROM probs
+""",
+)
+def text_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the English and German
+    unigram distributions over their union vocabulary — the symmetric,
+    bounded [0,1] corpus-drift distance (0.5-Laplace smoothing keeps
+    single-sided tokens finite). ONE conditional token aggregation, a
+    1-row totals broadcast, and the JSD sum in the projection; only the
+    final ln-sum needs the 6-dp rounding."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.when(F.col("lang") == "en", 1)).alias("a"),
+            F.count(F.when(F.col("lang") == "de", 1)).alias("b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("a").alias("__ta"),
+        F.sum("b").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("a") + 0.5) / (F.col("__ta") + 0.5 * F.col("__v"))
+    q = (F.col("b") + 0.5) / (F.col("__tb") + 0.5 * F.col("__v"))
+    jsd = (
+        0.5 * p * F.log(2.0 * p / (p + q))
+        + 0.5 * q * F.log(2.0 * q / (p + q))
+    )
+    import math
+
+    return j.agg(
+        F.min("__v").alias("vocab_size"),
+        F.round(F.sum(jsd) / math.log(2.0), 6).alias(
+            "js_divergence_bits"
+        ),
+    )
+
+
+@query(
+    "sample_ht_total_estimate",
+    oracle="""
+WITH s AS (
+  SELECT n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ht'), 1, 15))
+              AS BIGINT) % 1000000 < 100000 AS picked
+  FROM documents
+), est AS (
+  SELECT CAST(SUM(CASE WHEN picked THEN n_chars END) AS DOUBLE) / 0.1
+           AS ht_total,
+         CAST(SUM(n_chars) AS BIGINT) AS true_total,
+         CAST(COUNT(CASE WHEN picked THEN 1 END) AS BIGINT) AS n_sampled,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM s
+)
+SELECT n_rows, n_sampled, true_total,
+       ROUND(ht_total, 1) AS ht_total,
+       ROUND(ABS(ht_total - true_total) / true_total, 6) AS rel_error,
+       (ABS(ht_total - true_total) / true_total < 0.1) AS within_10pct
+FROM est
+""",
+)
+def sample_ht_total_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation accuracy contract: a 10% md5-hash
+    sample estimates the corpus character total via 1/p inverse-
+    probability weighting, and the query REPORTS its own realized
+    relative error against the exact total (same honest-accuracy
+    pattern as sim_recall_report / the GK and MG bound contracts). One
+    scan, all exact integers until the single weighted division."""
+    from skope_api_spark.operators.dedup import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    picked = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":ht")))
+        % 1000000
+        < 100000
+    )
+    est = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(picked, 1)).alias("n_sampled"),
+        F.sum("n_chars").alias("true_total"),
+        (
+            F.sum(F.when(picked, F.col("n_chars"))).cast("double") / 0.1
+        ).alias("__ht"),
+    )
+    rel = F.abs(F.col("__ht") - F.col("true_total")) / F.col("true_total")
+    return est.select(
+        "n_rows",
+        "n_sampled",
+        "true_total",
+        F.round("__ht", 1).alias("ht_total"),
+        F.round(rel, 6).alias("rel_error"),
+        (rel < 0.1).alias("within_10pct"),
+    )
