@@ -235,6 +235,15 @@ def _range_prefix_sum(
     tagged = hist.repartitionByRange(nparts, *by, order_col).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # CHECKPOINT before fan-out: `tagged` feeds BOTH the offset aggregate
+    # and the windowed side. Without materialization each branch
+    # re-executes repartitionByRange, whose range bounds come from
+    # SAMPLING the (order-nondeterministic) upstream aggregate — the two
+    # evaluations can land rows in different partitions, misaligning
+    # __pid offsets and silently corrupting the prefix sums (caught at
+    # sf1: grouped AUC varied run to run). One materialized partitioning
+    # makes both consumers read identical pids.
+    tagged = tagged.localCheckpoint(eager=True)
     # per-(partition, group) totals: nparts x |groups-per-partition| rows
     # — skinny; the offset window runs per group over at most nparts rows
     offs = (
