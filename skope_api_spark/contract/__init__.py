@@ -34,6 +34,11 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r07 session-4c rotation: tfidf cedes to the sliced-AUC flagship
+    # (text keeps quality/bm25/linear/bpe/keyness gated; tfidf stays in
+    # the full replay) — stats_auc_by_source carries the session's
+    # prefix-sum determinism fix as driver-side evidence:
+    #   text_tfidf_top_terms -> stats_auc_by_source
     # r07 session-4b rotation: two r06-driver-VERIFIED entries whose
     # families keep deep gated coverage cede to the session's two
     # strongest cross-family flagships (full replay still covers both):
@@ -135,7 +140,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_quality_stats",
     "spatial_join_points_polygons",
     "stats_bootstrap_means_totalprice",
-    "text_tfidf_top_terms",
+    "stats_auc_by_source",
     "ts_theil_sen_monthly_revenue",
     "sql_recursive_reachability",
     # dedup scale paths
