@@ -732,3 +732,47 @@ def test_grouped_auc_matches_global_per_slice(spark):
     )
     r = grouped_auc(one, score_col="s", label_col="y", by=["g"]).first()
     assert r["auc"] is None
+
+
+def test_range_prefix_sum_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.stats import _range_prefix_sum
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (g, float(v), int(c))
+        for g in ("a", "b")
+        for v, c in zip(
+            rng.choice(10_000, size=500, replace=False),
+            rng.integers(1, 50, 500),
+        )
+    ]
+    hist = spark.createDataFrame(rows, "g string, v double, c long")
+    # ungrouped and grouped cumulative sums must be identical for ANY
+    # partition count (the sf1 sampling-drift regression: both consumers
+    # of the partitioned table must see one materialized partitioning)
+    expected = None
+    for parts in (2, 7, 32):
+        got = {
+            (r["g"], r["v"]): r["__cum"]
+            for r in _range_prefix_sum(
+                hist, "v", "c", parts, by=["g"]
+            ).collect()
+        }
+        if expected is None:
+            expected = got
+        assert got == expected
+    # spot-check against a driver-side reference for one group
+    import itertools
+
+    ref_rows = sorted((v, c) for g, v, c in rows if g == "a")
+    ref = dict(
+        zip(
+            [v for v, _ in ref_rows],
+            itertools.accumulate(c for _, c in ref_rows),
+        )
+    )
+    for (g, v), cum in expected.items():
+        if g == "a":
+            assert cum == ref[v]
