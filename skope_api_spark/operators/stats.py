@@ -318,10 +318,10 @@ def exact_quantiles(
     v = F.col(col).cast("double")
     vals = df.where(v.isNotNull()).select(v.alias("v"))
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    # the histogram is consumed by three branches (rank intervals, total,
-    # and the two bracket joins); checkpoint it so the corpus is scanned
-    # exactly once
-    counts = counts.localCheckpoint(eager=True)
+    # no checkpoint needed here anymore: _range_prefix_sum materializes
+    # the range-partitioned histogram, and every downstream branch (rank
+    # intervals, total, both bracket joins) reads that checkpoint — the
+    # corpus is still scanned exactly once
     ranked = _range_prefix_sum(counts, "v", "c", partitions)
     cum = ranked.select(
         "v",
