@@ -950,3 +950,62 @@ def ts_hampel_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value", "rolling_median", "is_outlier",
         "repaired",
     ).orderBy("event_id")
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), f AS (
+  SELECT m, rev, LAG(rev, 12) OVER (ORDER BY m) AS forecast
+  FROM monthly
+)
+SELECT CAST(COUNT(forecast) AS BIGINT) AS n_backtests,
+       ROUND(AVG(ABS(rev - forecast)), 4) AS mae,
+       ROUND(AVG(ABS(rev - forecast) / rev), 6) AS mape,
+       ROUND(AVG(CASE WHEN forecast IS NOT NULL
+                 THEN rev - forecast END), 4) AS mean_bias
+FROM f
+""",
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every fancier
+    forecaster (Holt, decompose) must beat: predict each month with the
+    value 12 months earlier, report MAE / MAPE / bias over the backtest
+    months. Exact-decimal monthly series, one lag window over the
+    report; errors are arithmetic on identical doubles. MAE/bias round at 4dp:
+    the exact-cents/68 value grid has 0.0025 granularity, so no 4-dp
+    rounding tie exists (a 2-dp rounding DID tie on the half-cent,
+    splitting HALF_UP vs half-even across engines)."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = W.orderBy("m")
+    f = monthly.select(
+        "rev", F.lag("rev", 12).over(w).alias("forecast")
+    )
+    err = F.abs(F.col("rev") - F.col("forecast"))
+    return f.agg(
+        F.count("forecast").alias("n_backtests"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(err / F.col("rev")), 6).alias("mape"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("forecast").isNotNull(),
+                    F.col("rev") - F.col("forecast"),
+                )
+            ),
+            4,
+        ).alias("mean_bias"),
+    )
