@@ -1806,3 +1806,78 @@ def pareto_revenue_concentration(
         ).alias("part_share_for_80pct"),
         F.round(F.min("t").cast("double"), 2).alias("total_revenue"),
     )
+
+
+@query(
+    "sla_shipping_lead_time_report",
+    oracle="""
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(COUNT(CASE WHEN lead_days <= 30 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pct_within_30d,
+       ROUND(quantile_cont(lead_days, 0.5), 4) AS p50_days,
+       ROUND(quantile_cont(lead_days, 0.9), 4) AS p90_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_days
+FROM lt GROUP BY priority
+ORDER BY priority
+""",
+)
+def sla_shipping_lead_time_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shipping-SLA report: order-to-ship lead time per priority — the
+    operational latency-percentile shape (order/lineitem equi-join left
+    to AQE; integer day deltas; per-group exact p50/p90 via the grouped
+    distributed quantiles; exact within-30d share). Interpolated
+    quantiles of integers land on .5 grids — 4-dp rounding is tie-free.
+    """
+    from skope_api_spark.operators.stats import grouped_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lt = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lead_days"),
+    )
+    lt = lt.localCheckpoint(eager=True)
+    base = lt.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.count(F.when(F.col("lead_days") <= 30, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_within_30d"),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )
+    qs = grouped_quantiles(lt, "lead_days", [0.5, 0.9], by=["priority"])
+    wide = qs.groupBy("priority").agg(
+        F.round(
+            F.min(F.when(F.col("prob") == 0.5, F.col("value"))), 4
+        ).alias("p50_days"),
+        F.round(
+            F.min(F.when(F.col("prob") == 0.9, F.col("value"))), 4
+        ).alias("p90_days"),
+    )
+    return (
+        base.join(wide, "priority")
+        .select(
+            "priority",
+            "n_lines",
+            "pct_within_30d",
+            "p50_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("priority")
+    )
