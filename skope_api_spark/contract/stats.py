@@ -1327,3 +1327,60 @@ def stats_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["source"],
     )
     return out.orderBy("source")
+
+
+@query(
+    "stats_return_rate_wilson_by_flag_status",
+    oracle="""
+WITH r AS (
+  SELECT l_linestatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem GROUP BY 1
+)
+SELECT status, n, n_returned,
+       ROUND(n_returned / CAST(n AS DOUBLE), 6) AS return_rate,
+       ROUND((n_returned / CAST(n AS DOUBLE) + 1.96 * 1.96 / (2 * n)
+              - 1.96 * SQRT((n_returned / CAST(n AS DOUBLE))
+                            * (1 - n_returned / CAST(n AS DOUBLE)) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+       ROUND((n_returned / CAST(n AS DOUBLE) + 1.96 * 1.96 / (2 * n)
+              + 1.96 * SQRT((n_returned / CAST(n AS DOUBLE))
+                            * (1 - n_returned / CAST(n AS DOUBLE)) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+FROM r
+ORDER BY status
+""",
+)
+def stats_return_rate_wilson_by_flag_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Return-rate proportions per line status with Wilson 95% score
+    intervals — the coverage-correct CI for proportions (never escapes
+    [0,1], behaves at extreme rates, unlike the naive Wald interval).
+    ONE conditional aggregation; the interval is closed-form arithmetic
+    on exact integers, 6-dp rounded once."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.groupBy(F.col("l_linestatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
+            "n_returned"
+        ),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_returned") / n
+    z = 1.96
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return r.select(
+        "status",
+        "n",
+        "n_returned",
+        F.round(p, 6).alias("return_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("status")
