@@ -1881,3 +1881,64 @@ def sla_shipping_lead_time_report(
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "stats_hhi_supplier_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS srev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+), tot AS (
+  SELECT nation, SUM(srev) AS trev, COUNT(*) AS n_suppliers FROM rev
+  GROUP BY nation
+)
+SELECT r.nation,
+       CAST(MIN(t.n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(POWER(CAST(r.srev AS DOUBLE) / CAST(t.trev AS DOUBLE), 2))
+             * 10000, 4) AS hhi
+FROM rev r JOIN tot t ON r.nation = t.nation
+GROUP BY r.nation
+ORDER BY r.nation
+""",
+)
+def stats_hhi_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation (0-10,000 scale; antitrust threshold lore: >2,500 =
+    highly concentrated) — the market-structure rollup. Exact-decimal
+    revenue, one share division per supplier (identical doubles), the
+    squares summed per nation; supplier dims broadcast under AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "srev"
+            )
+        )
+    )
+    rev = rev.localCheckpoint(eager=True)
+    tot = rev.groupBy("nation").agg(
+        F.sum("srev").alias("trev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("srev").cast("double") / F.col("trev").cast("double")
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.min("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
