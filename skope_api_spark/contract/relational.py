@@ -2004,3 +2004,123 @@ def rfm_repeat_purchase_latency(
     return base.crossJoin(F.broadcast(wide)).select(
         "n_gaps", "p50_days", "p90_days", "mean_days"
     )
+
+
+@query(
+    "ts_new_vs_returning_revenue",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) = 1
+           AS is_first
+  FROM orders
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(COUNT(CASE WHEN is_first THEN 1 END) AS BIGINT) AS new_orders,
+       CAST(COUNT(CASE WHEN NOT is_first THEN 1 END) AS BIGINT)
+         AS returning_orders,
+       CAST(SUM(CASE WHEN is_first THEN price END) AS DOUBLE)
+         AS new_revenue,
+       CAST(SUM(CASE WHEN NOT is_first THEN price END) AS DOUBLE)
+         AS returning_revenue
+FROM ranked
+GROUP BY month
+ORDER BY month
+""",
+)
+def ts_new_vs_returning_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly revenue split into first-ever orders vs repeat orders —
+    the acquisition-vs-retention board slide. First-order detection is
+    one (customer, orderdate, orderkey)-ordered window; revenue follows
+    the exact-decimal rule, reported unrounded (exact sums cast once).
+    """
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.row_number().over(w) == 1).alias("is_first"),
+    )
+    return (
+        ranked.groupBy("m")
+        .agg(
+            F.count(F.when(F.col("is_first"), 1)).alias("new_orders"),
+            F.count(F.when(~F.col("is_first"), 1)).alias(
+                "returning_orders"
+            ),
+            F.sum(F.when(F.col("is_first"), F.col("price")))
+            .cast("double")
+            .alias("new_revenue"),
+            F.sum(F.when(~F.col("is_first"), F.col("price")))
+            .cast("double")
+            .alias("returning_revenue"),
+        )
+        .select(
+            F.to_date("m").alias("month"),
+            "new_orders",
+            "returning_orders",
+            "new_revenue",
+            "returning_revenue",
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "dq_single_source_risk_parts",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), shares AS (
+  SELECT l_partkey,
+         MAX(CAST(rev AS DOUBLE))
+           / SUM(CAST(rev AS DOUBLE)) AS top_share,
+         COUNT(*) AS n_suppliers
+  FROM ps GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(CASE WHEN n_suppliers = 1 THEN 1 END) AS BIGINT)
+         AS sole_sourced,
+       CAST(COUNT(CASE WHEN top_share >= 0.5 THEN 1 END) AS BIGINT)
+         AS majority_single_supplier,
+       ROUND(AVG(top_share), 6) AS avg_top_share
+FROM shares
+""",
+)
+def dq_single_source_risk_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain single-source risk: for each part, the revenue share
+    of its dominant supplier — counts of sole-sourced and
+    majority-single-supplier parts plus the average dominant share. Two
+    partial-aggregatable groupBys, exact-decimal revenue; the only
+    accumulation-ordered float is the final avg (6-dp rounded)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    shares = ps.groupBy("l_partkey").agg(
+        (
+            F.max(F.col("rev").cast("double"))
+            / F.sum(F.col("rev").cast("double"))
+        ).alias("top_share"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return shares.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count(F.when(F.col("n_suppliers") == 1, 1)).alias(
+            "sole_sourced"
+        ),
+        F.count(F.when(F.col("top_share") >= 0.5, 1)).alias(
+            "majority_single_supplier"
+        ),
+        F.round(F.avg("top_share"), 6).alias("avg_top_share"),
+    )
