@@ -2124,3 +2124,116 @@ def dq_single_source_risk_parts(
         ),
         F.round(F.avg("top_share"), 6).alias("avg_top_share"),
     )
+
+
+@query(
+    "stats_discount_elasticity_by_brand",
+    oracle="""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(l.l_quantity, l.l_discount), 6) AS qty_per_discount,
+       ROUND(regr_r2(l.l_quantity, l.l_discount), 8) AS r2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+)
+def stats_discount_elasticity_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discount-elasticity screen per brand: OLS slope of quantity on
+    discount (does discounting move volume?) — grouped_ols over the
+    broadcast part-dim join, six algebraic sums per brand, closed-form
+    slope/R² (synthetic data shows ~zero slopes; the CONTRACT is the
+    estimator, not the economics)."""
+    from skope_api_spark.operators.stats import grouped_ols
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    out = grouped_ols(j, y="l_quantity", x="l_discount", by=["p_brand"])
+    return out.select(
+        "p_brand",
+        "n",
+        F.round("slope", 6).alias("qty_per_discount"),
+        F.round("r2", 8).alias("r2"),
+    ).orderBy("p_brand")
+
+
+@query(
+    "dq_duplicate_payment_candidates",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+         o_orderdate + INTERVAL 3 DAY
+  FROM orders WHERE o_custkey % 97 = 0 AND o_orderkey % 5 = 0
+)
+SELECT a.o_custkey, a.o_totalprice AS amount,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                      CAST(b.o_orderdate AS DATE)) AS BIGINT)
+         AS days_apart
+FROM dirty a JOIN dirty b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_totalprice = b.o_totalprice
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                    CAST(b.o_orderdate AS DATE))) <= 7
+ORDER BY a.o_custkey, amount, order_a, order_b
+""",
+)
+def dq_duplicate_payment_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-payment screen (the classic AP fraud/DQ audit): order
+    pairs from the SAME customer with the IDENTICAL amount within 7
+    days. The join leads with (custkey, amount) equi-keys — a hash
+    join whose candidates are only true amount collisions — and the
+    day-window is a residual filter, so no inequality-join BNLJ ever
+    appears (same discipline as the PIT join). The corpus has no true
+    duplicates, so a deterministic seeded set (every 5th order of every
+    97th customer re-keyed +3 days) proves the screen FIRES — the
+    seed-then-detect pattern of text_redact_pii and the anomaly spike.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    seeded = base.where(
+        (F.col("o_custkey") % 97 == 0) & (F.col("o_orderkey") % 5 == 0)
+    ).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias(
+            "o_orderdate"
+        ),
+    )
+    orders = base.unionByName(seeded)
+    a = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_orderdate").cast("date").alias("d_a"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_orderdate").cast("date").alias("d_b"),
+    )
+    j = a.join(b, ["ck", "amount"]).where(
+        (F.col("order_a") < F.col("order_b"))
+        & (F.abs(F.datediff("d_b", "d_a")) <= 7)
+    )
+    return j.select(
+        F.col("ck").alias("o_custkey"),
+        "amount",
+        "order_a",
+        "order_b",
+        F.datediff("d_b", "d_a").cast("long").alias("days_apart"),
+    ).orderBy("o_custkey", "amount", "order_a", "order_b")
