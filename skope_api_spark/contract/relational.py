@@ -2237,3 +2237,132 @@ def dq_duplicate_payment_candidates(
         "order_b",
         F.datediff("d_b", "d_a").cast("long").alias("days_apart"),
     ).orderBy("o_custkey", "amount", "order_a", "order_b")
+
+
+@query(
+    "dq_sequence_gaps_orderkeys",
+    oracle="""
+WITH kept AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 500 NOT BETWEEN 100 AND 104
+), s AS (
+  SELECT o_orderkey AS k,
+         LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM kept
+), gaps AS (
+  SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
+  FROM s WHERE nxt - k > 1
+)
+SELECT CAST((SELECT COUNT(*) FROM gaps) AS BIGINT) AS n_gaps,
+       CAST((SELECT SUM(gap_len) FROM gaps) AS BIGINT) AS missing_keys,
+       CAST(g.gap_start AS BIGINT) AS gap_start,
+       CAST(g.gap_end AS BIGINT) AS gap_end,
+       CAST(g.gap_len AS BIGINT) AS gap_len
+FROM gaps g
+ORDER BY g.gap_start
+LIMIT 20
+""",
+)
+def dq_sequence_gaps_orderkeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Islands-and-gaps over the orderkey sequence — the classic
+    completeness audit (did ingestion drop a key range?): consecutive-
+    key LEAD pairs flag every hole, reported as (start, end, length)
+    ranges with the global totals. One ordered window over the KEY
+    column only (skinny), exact integers throughout. This generator's
+    keys are dense, so deterministic deletions (keys ≡ 100..104 mod
+    500) seed known 5-key holes the detector must report — the
+    seed-then-detect pattern."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders").where(
+        ~(F.col("o_orderkey") % 500).between(100, 104)
+    )
+    s = orders.select(F.col("o_orderkey").alias("k")).withColumn(
+        "nxt", F.lead("k").over(W.orderBy("k"))
+    )
+    gaps = s.where(F.col("nxt") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+    )
+    gaps = gaps.localCheckpoint(eager=True)
+    tot = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_len").alias("missing_keys"),
+    )
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .select(
+            "n_gaps", "missing_keys", "gap_start", "gap_end", "gap_len"
+        )
+        .orderBy("gap_start")
+        .limit(20)
+    )
+
+
+@query(
+    "share_of_region_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS nrev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       CAST(nrev AS DOUBLE) AS nation_revenue,
+       ROUND(CAST(nrev AS DOUBLE)
+             / CAST(SUM(nrev) OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS share_of_region,
+       ROUND(CAST(SUM(nrev) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(SUM(nrev) OVER () AS DOUBLE), 6) AS region_share
+FROM rev
+ORDER BY region, nation
+""",
+)
+def share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup — nation revenue as a share of its
+    region and the region's share of the world, in one pass over the
+    25-row nation report (two window levels over exact-decimal sums;
+    each share is one double division of exact decimals)."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "nrev"
+            )
+        )
+    )
+    wr = W.partitionBy("region")
+    wall = W.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("nrev").cast("double").alias("nation_revenue"),
+        F.round(
+            F.col("nrev").cast("double")
+            / F.sum("nrev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("nrev").over(wr).cast("double")
+            / F.sum("nrev").over(wall).cast("double"),
+            6,
+        ).alias("region_share"),
+    ).orderBy("region", "nation")
