@@ -2366,3 +2366,67 @@ def share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share"),
     ).orderBy("region", "nation")
+
+
+@query(
+    "abc_inventory_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS prev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, prev,
+         SUM(prev) OVER (ORDER BY prev DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(prev) OVER () AS tot
+  FROM rev
+), classed AS (
+  SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+              THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+              THEN 'B' ELSE 'C' END AS abc_class,
+         prev
+  FROM ranked
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(prev) AS DOUBLE) AS class_revenue
+FROM classed GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def abc_inventory_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC inventory classes (the operations-management 80/95 cumulative
+    revenue rule): parts ranked by exact-decimal revenue with a
+    deterministic (revenue desc, partkey) total order; class thresholds
+    compare exact-decimal cumulative sums cast once to double. Window
+    over the |parts| report."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("prev")
+    )
+    w = W.orderBy(F.desc("prev"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy()
+    share = F.sum("prev").over(w).cast("double") / F.sum("prev").over(
+        wall
+    ).cast("double")
+    classed = rev.select(
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "prev",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("prev").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

@@ -1874,3 +1874,47 @@ def sample_ht_total_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rel, 6).alias("rel_error"),
         (rel < 0.1).alias("within_10pct"),
     )
+
+
+@query(
+    "text_vocabulary_richness",
+    oracle="""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS hapax_count,
+       ROUND(COUNT(CASE WHEN n = 1 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+       ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS type_token_ratio
+FROM freq
+""",
+)
+def text_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-richness profile: vocabulary size, hapax
+    legomena (once-only tokens — the Heaps-law frontier; a high hapax
+    share predicts continued vocab growth, a low one a saturated/
+    templated corpus), and the corpus-level type-token ratio. ONE token
+    aggregation; exact integers, two divisions."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return freq.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("hapax_count"),
+        F.round(
+            F.count(F.when(F.col("n") == 1, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )

@@ -1009,3 +1009,69 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_bias"),
     )
+
+
+@query(
+    "ts_dau_wau_mau_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day
+), weekly AS (
+  SELECT date_trunc('week', day) AS wk, COUNT(DISTINCT user_id) AS wau
+  FROM d GROUP BY 1
+), monthly AS (
+  SELECT date_trunc('month', day) AS mon, COUNT(DISTINCT user_id) AS mau
+  FROM d GROUP BY 1
+)
+SELECT daily.day,
+       CAST(daily.dau AS BIGINT) AS dau,
+       CAST(weekly.wau AS BIGINT) AS wau,
+       CAST(monthly.mau AS BIGINT) AS mau,
+       ROUND(daily.dau / CAST(monthly.mau AS DOUBLE), 6) AS stickiness
+FROM daily
+JOIN weekly ON date_trunc('week', daily.day) = weekly.wk
+JOIN monthly ON date_trunc('month', daily.day) = monthly.mon
+ORDER BY daily.day
+""",
+)
+def ts_dau_wau_mau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU/WAU/MAU and the DAU/MAU stickiness ratio per day — the
+    canonical engagement report: three distinct-count aggregations at
+    different calendar grains joined back on the day's week/month keys
+    (all skinny report-sized joins after the distinct pair collapse);
+    stickiness is one division of exact integers."""
+    events = load(spark, sf_dir, "events")
+    d = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    weekly = d.groupBy(
+        F.date_trunc("week", "day").alias("wk")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    monthly = d.groupBy(
+        F.date_trunc("month", "day").alias("mon")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(
+            F.broadcast(weekly),
+            F.date_trunc("week", F.col("day")) == F.col("wk"),
+        )
+        .join(
+            F.broadcast(monthly),
+            F.date_trunc("month", F.col("day")) == F.col("mon"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
