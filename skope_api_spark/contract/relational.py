@@ -2430,3 +2430,66 @@ def abc_inventory_classification(
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "top_movers_monthly_priority",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         o_orderpriority AS priority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+), d AS (
+  SELECT month, priority, rev,
+         rev - LAG(rev) OVER (PARTITION BY priority ORDER BY month)
+           AS delta
+  FROM m
+), ranked AS (
+  SELECT CAST(month AS DATE) AS month, priority,
+         ROUND(rev, 2) AS revenue, ROUND(delta, 2) AS mom_delta,
+         ROW_NUMBER() OVER (ORDER BY ABS(delta) DESC, month, priority)
+           AS rk
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT CAST(rk AS INT) AS rk, month, priority, revenue, mom_delta
+FROM ranked WHERE rk <= 15
+ORDER BY rk
+""",
+)
+def top_movers_monthly_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top movers — the "what changed most" report: the 15 largest
+    absolute month-over-month revenue swings across priorities. Exact-
+    decimal monthly series per priority, one lag window, TakeOrdered on
+    (|delta| desc, month, priority) — a deterministic total order over
+    exact-decimal-derived doubles."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = W.partitionBy("priority").orderBy("m")
+    d = m.withColumn(
+        "delta", F.col("rev") - F.lag("rev").over(w)
+    ).where(F.col("delta").isNotNull())
+    wr = W.orderBy(F.abs("delta").desc(), "m", "priority")
+    return (
+        d.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rk") <= 15)
+        .select(
+            "rk",
+            F.to_date("m").alias("month"),
+            "priority",
+            F.round("rev", 2).alias("revenue"),
+            F.round("delta", 2).alias("mom_delta"),
+        )
+        .orderBy("rk")
+    )

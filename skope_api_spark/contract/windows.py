@@ -1075,3 +1075,46 @@ def ts_dau_wau_mau_stickiness(
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_load_profile_dow_hour",
+    oracle="""
+WITH e AS (
+  SELECT EXTRACT(dow FROM ts) AS dow, EXTRACT(hour FROM ts) AS hr,
+         CAST(ts AS DATE) AS day
+  FROM events
+)
+SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       ROUND(COUNT(*) / CAST(COUNT(DISTINCT day) AS DOUBLE), 4)
+         AS events_per_occurrence
+FROM e GROUP BY dow, hr
+ORDER BY dow, hr
+""",
+)
+def ts_load_profile_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic load profile by (day-of-week × hour) — the capacity-
+    planning heatmap: total events, distinct calendar days observed,
+    and the normalized events-per-occurrence rate per cell. One
+    aggregation; dow normalized to DuckDB's Sunday=0 (Spark dayofweek
+    is 1-based — the calendar-edge battery pins this trap)."""
+    events = load(spark, sf_dir, "events")
+    e = events.select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    return (
+        e.groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("day").alias("n_days"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("day").cast("double"),
+                4,
+            ).alias("events_per_occurrence"),
+        )
+        .orderBy("dow", "hr")
+    )
