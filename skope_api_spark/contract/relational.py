@@ -2493,3 +2493,66 @@ def top_movers_monthly_priority(
         )
         .orderBy("rk")
     )
+
+
+@query(
+    "mix_shift_price_bands_yearly",
+    oracle="""
+WITH b AS MATERIALIZED (
+  SELECT ROUND(quantile_cont(l_extendedprice, 1.0/3), 2) AS q1,
+         ROUND(quantile_cont(l_extendedprice, 2.0/3), 2) AS q2
+  FROM lineitem
+), banded AS (
+  SELECT EXTRACT(year FROM l.l_shipdate) AS yr,
+         CASE WHEN l.l_extendedprice <= b.q1 THEN 'low'
+              WHEN l.l_extendedprice <= b.q2 THEN 'mid'
+              ELSE 'high' END AS band,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l CROSS JOIN b
+)
+SELECT CAST(yr AS INT) AS yr, band,
+       CAST(SUM(qty) AS BIGINT) AS quantity,
+       ROUND(SUM(qty) / CAST(SUM(SUM(qty)) OVER (PARTITION BY yr)
+                             AS DOUBLE), 6) AS share_of_year
+FROM banded GROUP BY yr, band
+ORDER BY yr, band
+""",
+)
+def mix_shift_price_bands_yearly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mix-shift analysis: yearly quantity share across FIXED global
+    price terciles (bands from exact distributed quantiles, 2-dp-rounded
+    and broadcast) — the "is demand moving down-market" report. Fixed
+    bands are the analytically correct choice (per-year bands would hide
+    the shift); shares are single divisions of exact integer sums over
+    the report-sized (year, band) grid."""
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = exact_quantiles(li, "l_extendedprice", [1.0 / 3, 2.0 / 3])
+    b = qs.agg(
+        F.round(F.min("value"), 2).alias("__q1"),
+        F.round(F.max("value"), 2).alias("__q2"),
+    )
+    banded = li.crossJoin(F.broadcast(b)).select(
+        F.year("l_shipdate").alias("yr"),
+        F.when(F.col("l_extendedprice") <= F.col("__q1"), "low")
+        .when(F.col("l_extendedprice") <= F.col("__q2"), "mid")
+        .otherwise("high")
+        .alias("band"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    from pyspark.sql import Window as W
+
+    g = banded.groupBy("yr", "band").agg(F.sum("qty").alias("quantity"))
+    wy = W.partitionBy("yr")
+    return g.select(
+        "yr",
+        "band",
+        "quantity",
+        F.round(
+            F.col("quantity") / F.sum("quantity").over(wy).cast("double"),
+            6,
+        ).alias("share_of_year"),
+    ).orderBy("yr", "band")
