@@ -2556,3 +2556,74 @@ def mix_shift_price_bands_yearly(
             6,
         ).alias("share_of_year"),
     ).orderBy("yr", "band")
+
+
+@query(
+    "customer_revenue_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS crev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT crev,
+         ROW_NUMBER() OVER (ORDER BY crev DESC, o_custkey) AS rk,
+         SUM(crev) OVER () AS tot,
+         COUNT(*) OVER () AS nc
+  FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(MAX(CASE WHEN rk = 1 THEN crev END) AS DOUBLE)
+             / CAST(MIN(tot) AS DOUBLE), 6) AS top1_share,
+       ROUND(CAST(SUM(CASE WHEN rk <= 10 THEN crev END) AS DOUBLE)
+             / CAST(MIN(tot) AS DOUBLE), 6) AS top10_share,
+       ROUND(CAST(SUM(CASE WHEN rk <= CEIL(nc * 0.01)
+                      THEN crev END) AS DOUBLE)
+             / CAST(MIN(tot) AS DOUBLE), 6) AS top1pct_share
+FROM ranked
+""",
+)
+def customer_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer revenue concentration — the key-account risk report:
+    share of total revenue held by the #1 customer, the top 10, and the
+    top 1% (ceiling count). Exact-decimal revenue, deterministic
+    (revenue desc, custkey) ranking over the |customers| report, single
+    divisions at the edge."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("crev")
+    )
+    w = W.orderBy(F.desc("crev"), "o_custkey")
+    wall = W.partitionBy()
+    ranked = rev.select(
+        "crev",
+        F.row_number().over(w).alias("rk"),
+        F.sum("crev").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("nc"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("crev"))).cast("double")
+            / F.min("tot").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("crev"))).cast("double")
+            / F.min("tot").cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.ceil(F.col("nc") * 0.01),
+                    F.col("crev"),
+                )
+            ).cast("double")
+            / F.min("tot").cast("double"),
+            6,
+        ).alias("top1pct_share"),
+    )

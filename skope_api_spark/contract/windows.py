@@ -1118,3 +1118,44 @@ def ts_load_profile_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+@query(
+    "ts_daily_value_bands",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, value FROM events
+  WHERE value IS NOT NULL
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.1), 4) AS p10,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90
+FROM d GROUP BY day
+ORDER BY day
+""",
+)
+def ts_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 bands of the event value — the monitoring
+    band-chart feed: per-day exact quantiles via the grouped distributed
+    prefix sum (a hot day range-splits across partitions; no per-day
+    sort funnel), 4-dp rounded interpolations."""
+    from skope_api_spark.operators.stats import grouped_quantiles
+
+    events = load(spark, sf_dir, "events")
+    d = events.where(F.col("value").isNotNull()).select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    d = d.localCheckpoint(eager=True)
+    n = d.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    qs = grouped_quantiles(d, "value", [0.1, 0.5, 0.9], by=["day"])
+    wide = qs.groupBy("day").agg(
+        *[
+            F.round(
+                F.min(F.when(F.col("prob") == p, F.col("value"))), 4
+            ).alias(a)
+            for p, a in [(0.1, "p10"), (0.5, "p50"), (0.9, "p90")]
+        ]
+    )
+    return n.join(wide, "day").orderBy("day")
