@@ -2627,3 +2627,87 @@ def customer_revenue_concentration(
             6,
         ).alias("top1pct_share"),
     )
+
+
+@query(
+    "cohort_ltv_curve_quarterly",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(date_trunc('quarter', CAST(o_orderdate AS DATE))) AS cohort
+  FROM orders GROUP BY o_custkey
+), facts AS (
+  SELECT f.cohort,
+         CAST(date_diff('quarter', f.cohort,
+              date_trunc('quarter', CAST(o.o_orderdate AS DATE)))
+           AS BIGINT) AS age_q,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+), per AS (
+  SELECT cohort, age_q, SUM(price) AS rev
+  FROM facts GROUP BY cohort, age_q
+), sized AS (
+  SELECT cohort, COUNT(*) AS cohort_customers FROM firsts GROUP BY cohort
+)
+SELECT CAST(p.cohort AS DATE) AS cohort, p.age_q,
+       CAST(s.cohort_customers AS BIGINT) AS cohort_customers,
+       ROUND(CAST(SUM(p.rev) OVER (PARTITION BY p.cohort ORDER BY p.age_q
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.cohort_customers, 4) AS cum_ltv_per_customer
+FROM per p JOIN sized s ON p.cohort = s.cohort
+ORDER BY cohort, age_q
+""",
+)
+def cohort_ltv_curve_quarterly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per customer by acquisition
+    quarter and quarter-age — the retention economics chart behind
+    payback-period decisions. First-order cohorts (one aggregation),
+    exact-decimal revenue per (cohort, age) cell, a cumulative window
+    over the report grid, one division per row (4-dp: cents/cohort-size
+    grids cannot tie at 4dp for the same reason as the backtest MAE)."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("quarter", "o_orderdate")).alias("cohort")
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("quarter", "o_orderdate"), F.col("cohort")
+        )
+        .cast("long")
+        .alias("__mq"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).select(
+        "cohort", (F.col("__mq") / 3).cast("long").alias("age_q"), "price"
+    )
+    per = facts.groupBy("cohort", "age_q").agg(
+        F.sum("price").alias("rev")
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    w = W.partitionBy("cohort").orderBy("age_q").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        per.join(sized, "cohort")
+        .select(
+            F.to_date("cohort").alias("cohort"),
+            "age_q",
+            "cohort_customers",
+            F.round(
+                F.sum("rev").over(
+                    W.partitionBy("cohort")
+                    .orderBy("age_q")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                ).cast("double")
+                / F.col("cohort_customers"),
+                4,
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_q")
+    )
