@@ -28,6 +28,23 @@ TABLES = (
 )
 
 
+def _scan_negzero(rows) -> int:
+    """Count -0.0 cells (including inside list columns). Numerically equal
+    to 0.0 but distinct under the driver's value hash — the registry's
+    round_nz rule exists to keep these out of BOTH engines' output."""
+    hits = 0
+    for r in rows:
+        for v in r:
+            if isinstance(v, float):
+                if v == 0 and math.copysign(1.0, v) < 0:
+                    hits += 1
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, float) and x == 0 and math.copysign(1.0, x) < 0:
+                        hits += 1
+    return hits
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -93,6 +110,10 @@ def main(selected: list[str]) -> int:
             continue
         ok = True
         msgs = []
+        nz_s, nz_d = _scan_negzero(srows), _scan_negzero(drows)
+        if nz_s or nz_d:
+            ok = False
+            msgs.append(f"-0.0 cells: spark={nz_s} duck={nz_d} (round_nz rule)")
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")

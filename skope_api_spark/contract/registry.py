@@ -22,13 +22,38 @@ Rules enforced by convention (see tests/test_contract.py):
   q10_returned_item_customers). ROUND(SUM(...), 2) on doubles stays safe
   only while no group lands on a boundary; prefer the decimal pattern for
   any new money-sum query.
+- NEVER emit an IEEE ``-0.0``: ``ROUND()`` of a tiny negative double yields
+  ``-0.0`` on both engines, but WHICH side of zero a near-zero result lands
+  on is accumulation-order noise, so one engine can print ``0.0`` where the
+  other prints ``-0.0`` — numerically equal (so local value compares pass)
+  yet distinct under the driver's byte/string value hash (this exact class
+  cost the round-7 gate its one red, `sim_embedding_covariance`). Rule: any
+  rounded float that can be negative — z-scores, covariances, correlations,
+  slopes, residuals, log-ratios, divergences — goes through ``round_nz``
+  on the Spark side and ``(ROUND(x, n) + 0.0)`` in the oracle SQL
+  (IEEE ``-0.0 + 0.0 = +0.0``; non-zero values and NULLs are unchanged).
+  ``scripts/check_correctness.py`` flags any ``-0.0`` cell on either
+  engine as a hard failure, so regressions in this class cannot pass the
+  local gate.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def round_nz(col: Column | str, scale: int) -> Column:
+    """``ROUND(col, scale)`` with ``-0.0`` normalized to ``+0.0``.
+
+    ``+ 0.0`` is exact for every other finite double and propagates NULL,
+    so the ONLY value it changes is the sign bit of negative zero — use
+    for every rounded float column that can be negative (registry rule
+    above). Oracle-side equivalent: ``(ROUND(x, n) + 0.0)``.
+    """
+    return F.round(col, scale) + F.lit(0.0)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query
+from skope_api_spark.contract.registry import query, round_nz
 from skope_api_spark.operators import similarity as ops
 from skope_api_spark.tables import load
 
@@ -822,7 +822,8 @@ WITH l AS (
   SELECT vec_id, g AS i, CAST(embedding[g] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN generate_series(1, 64) t(g)
 )
-SELECT a.i - 1 AS i, b.i - 1 AS j, ROUND(COVAR_POP(a.x, b.x), 6) AS cov
+SELECT a.i - 1 AS i, b.i - 1 AS j,
+       (ROUND(COVAR_POP(a.x, b.x), 6) + 0.0) AS cov
 FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i
 ORDER BY i, j
@@ -831,19 +832,23 @@ ORDER BY i, j
 def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 64x64 population covariance of the embedding corpus (upper
     triangle, 2080 rows) — the sufficient statistic behind PCA whitening
-    for the ANN/SemDeDup family. The Spark plan is ONE tree-reducible
-    aggregation over in-scan upper-triangle product terms
-    (operators/linalg.py:covariance, 'explode' strategy); the oracle
-    evaluates the same matrix through DuckDB's COVAR_POP over a
-    vec_id-aligned self-join. The d^2-per-row explode is the JVM-codegen
-    default; the BLAS mapInPandas 'gram' strategy (parity-tested in
-    tests/test_linalg.py) is the high-d path."""
+    for the ANN/SemDeDup family. The Spark plan is a cheap means pass
+    plus ONE tree-reducible aggregation over in-scan centered
+    upper-triangle product terms (operators/linalg.py:covariance,
+    'explode' strategy — two-pass centered accumulation, so near-zero
+    covariances are sign-stable); the oracle evaluates the same matrix
+    through DuckDB's COVAR_POP over a vec_id-aligned self-join. Both
+    sides normalize -0.0 via the registry round_nz rule — this query was
+    the round-7 gate red (one -0.0 vs 0.0 cell out of 2080). The
+    d^2-per-row explode is the JVM-codegen default; the BLAS mapInPandas
+    'gram' strategy (parity-tested in tests/test_linalg.py) is the
+    high-d path."""
     from skope_api_spark.operators.linalg import covariance
 
     emb = load(spark, sf_dir, "embeddings")
     out = covariance(emb, "embedding", strategy="explode")
     return out.select(
-        "i", "j", F.round("cov", 6).alias("cov")
+        "i", "j", round_nz("cov", 6).alias("cov")
     ).orderBy("i", "j")
 
 
