@@ -1271,22 +1271,24 @@ def sample_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied md5 threshold, so every column but the one rational
     alloc_tokens is bit-identical cross-engine
     (operators/sampling.py:unimax_mixing)."""
-    from skope_api_spark.operators.sampling import unimax_mixing
+    from skope_api_spark.operators.sampling import (
+        unimax_allocation,
+        unimax_mixing,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    kept = unimax_mixing(docs, budget_frac=0.4)
+    # the report joins kept-counts onto the FULL |L|-row allocation table
+    # (a lang could in principle keep zero docs and must still report
+    # kept_docs = 0, matching the oracle's alloc LEFT JOIN kc); passing
+    # the shared alloc into unimax_mixing reuses its checkpointed
+    # language table, so the corpus is scanned once per side
+    alloc = unimax_allocation(docs, budget_frac=0.4)
+    kept = unimax_mixing(docs, budget_frac=0.4, alloc=alloc)
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     kc = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum(n_tok).alias("kept_tokens"),
     )
-    alloc = (
-        kept.select("lang", "__s", "__capped", "__num", "__den")
-        .dropDuplicates(["lang"])
-    )
-    # re-derive the full allocation table (a lang could in principle keep
-    # zero docs): rebuild from the operator's broadcast lang columns is
-    # not total, so recompute alloc from the source for the report
     out = (
         alloc.join(kc, "lang", "left")
         .select(

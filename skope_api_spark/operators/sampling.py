@@ -367,34 +367,36 @@ def cap_per_group(
     )
 
 
-def unimax_mixing(
+def unimax_allocation(
     df: DataFrame,
     *,
     budget_frac: float = 0.4,
     lang_col: str = "lang",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """UniMax language mixing (Chung et al. 2023, public): allocate a
-    token budget B = floor(budget_frac · total) across languages by
-    water-filling — every language gets up to one full epoch (its whole
-    corpus) but never more than the fair share of what remains. With
-    sizes s_1 ≤ s_2 ≤ … (ascending), language l is "capped" (kept whole)
-    iff s_l · (L − l + 1) ≤ B − Σ_{j<l} s_j — an ALL-INTEGER window
-    predicate, so the allocation is exact and engine-independent; the
-    uncapped tail splits the leftover budget equally (num/den rational).
+    """The |L|-row UniMax water-filling allocation table (see
+    ``unimax_mixing``): one row per language present in the corpus with
+    ``__s`` (lang tokens), ``__capped``, ``__num``, ``__den``. Total over
+    the language dimension by construction — a language whose uncapped
+    share ends up keeping zero documents still appears here, which is
+    what reporting queries must join kept-counts onto (deriving the
+    table from kept rows instead silently drops such languages).
 
-    Selection is the shared md5-threshold at doc granularity: keep an
-    uncapped-language doc iff u · den · s_l < num · M, compared in
-    decimal(38,0) cross-multiplication — no float threshold, no overflow
-    at petabyte token counts. Plan: one corpus aggregation to the
-    language table (|L| rows), tiny window/flag passes on it, one
-    broadcast join back, and a pure filter — the corpus never shuffles.
-
-    Returns the kept rows with lang-level columns ``__s`` (lang tokens),
-    ``__capped``, ``__num``, ``__den`` for reporting.
+    The budget B = floor(budget_frac · total) is computed in EXACT
+    rational arithmetic: budget_frac is taken as the decimal literal of
+    its repr (``Fraction(str(...))``, e.g. 0.3 → 3/10), and the floor is
+    the remainder-subtraction identity over decimal(38,0) — a double
+    multiply would floor one short whenever the fraction's binary double
+    sits below the rational and t·frac is exactly integral.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
+
+    frac = Fraction(str(budget_frac))
+    if not 0 <= frac <= 1:
+        raise ValueError(f"budget_frac must be in [0, 1], got {budget_frac}")
+    num, den = frac.numerator, frac.denominator
 
     n_tok = F.size(F.split(F.col(text_col), " "))
     # materialize the |L|-row language table ONCE: every downstream stage
@@ -423,9 +425,20 @@ def unimax_mixing(
             ),
         )
         .withColumn(
-            "__bud",
-            F.floor(F.col("__t").cast("double") * budget_frac).cast("long"),
+            "__tn",
+            F.col("__t").cast("decimal(38,0)")
+            * F.lit(num).cast("decimal(18,0)"),
         )
+        .withColumn(
+            # exact floor(t·num/den): subtract the remainder, then the
+            # decimal division is an exact integer — no double rounding
+            "__bud",
+            (
+                (F.col("__tn") - F.pmod(F.col("__tn"), F.lit(den)))
+                / F.lit(den)
+            ).cast("long"),
+        )
+        .drop("__tn")
     )
     flagged = ranked.withColumn(
         "__flag",
@@ -453,13 +466,54 @@ def unimax_mixing(
             F.sum(F.when(~F.col("__capped"), F.lit(1))), F.lit(0)
         ).alias("__den"),
     )
-    alloc = enr.crossJoin(F.broadcast(ct)).select(
+    return enr.crossJoin(F.broadcast(ct)).select(
         lang_col,
         "__s",
         "__capped",
         (F.col("__bud") - F.col("__ctot")).alias("__num"),
         "__den",
     )
+
+
+def unimax_mixing(
+    df: DataFrame,
+    *,
+    budget_frac: float = 0.4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alloc: DataFrame | None = None,
+) -> DataFrame:
+    """UniMax language mixing (Chung et al. 2023, public): allocate a
+    token budget B = floor(budget_frac · total) across languages by
+    water-filling — every language gets up to one full epoch (its whole
+    corpus) but never more than the fair share of what remains. With
+    sizes s_1 ≤ s_2 ≤ … (ascending), language l is "capped" (kept whole)
+    iff s_l · (L − l + 1) ≤ B − Σ_{j<l} s_j — an ALL-INTEGER window
+    predicate, so the allocation is exact and engine-independent; the
+    uncapped tail splits the leftover budget equally (num/den rational).
+    The budget itself is exact rational arithmetic — see
+    ``unimax_allocation``, which also documents why reporting joins must
+    start from the allocation table, not from kept rows.
+
+    Selection is the shared md5-threshold at doc granularity: keep an
+    uncapped-language doc iff u · den · s_l < num · M, compared in
+    decimal(38,0) cross-multiplication — no float threshold, no overflow
+    at petabyte token counts. Plan: one corpus aggregation to the
+    language table (|L| rows), tiny window/flag passes on it, one
+    broadcast join back, and a pure filter — the corpus never shuffles.
+
+    Pass a precomputed ``alloc`` (from ``unimax_allocation``) to share
+    the allocation pass with a reporting query; it derives from a
+    checkpointed language table, so reuse does not rescan the corpus.
+
+    Returns the kept rows with lang-level columns ``__s`` (lang tokens),
+    ``__capped``, ``__num``, ``__den`` for reporting.
+    """
+    if alloc is None:
+        alloc = unimax_allocation(
+            df, budget_frac=budget_frac, lang_col=lang_col, text_col=text_col
+        )
     joined = df.join(F.broadcast(alloc), lang_col)
     d20 = lambda c: c.cast("decimal(20,0)")  # noqa: E731
     keep = F.col("__capped") | (

@@ -852,7 +852,11 @@ def mann_kendall(series: DataFrame, *, x: str, y: str) -> DataFrame:
     """
     pairs, series = _series_pairs(series, x, y)
     s = pairs.agg(
-        F.sum(F.signum(F.col("__yj") - F.col("__yi")))
+        # 0- or 1-row series has an empty pair join → SUM is NULL; the
+        # statistic's definition (and the oracle's COALESCE) says S = 0
+        F.coalesce(
+            F.sum(F.signum(F.col("__yj") - F.col("__yi"))), F.lit(0.0)
+        )
         .cast("long")
         .alias("s_stat"),
         F.count(F.lit(1)).alias("n_pairs"),

@@ -553,6 +553,16 @@ def hampel_filter(
     discipline: edge rows with incomplete frames get NULL med/flag and
     pass through unrepaired. 1.4826·MAD is the Gaussian-consistent
     sigma estimate. Appends rolling_median, is_outlier, repaired.
+
+    NULL values in the input column: Spark's collect_list DROPS them, so
+    any frame containing a NULL has size < 2k+1 and is treated as
+    incomplete — its center row passes through unrepaired (NULL
+    med/flag). That is the operator's contract ("repair only over
+    fully-observed frames"), and it DIVERGES from engines whose window
+    list() keeps NULLs and can still produce a median for the frame
+    (e.g. DuckDB) — the cross-engine bit-parity claim below holds for
+    NULL-free value columns only; pre-filter or impute NULLs upstream if
+    the other semantic is wanted.
     """
     width = 2 * half_window + 1
     w = (

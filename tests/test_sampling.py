@@ -293,6 +293,46 @@ class TestUniMax:
         kept = unimax_mixing(docs, budget_frac=1.0)
         assert kept.count() == 5  # all capped, all docs kept
 
+    def test_budget_is_exact_rational(self, spark):
+        from skope_api_spark.operators.sampling import unimax_allocation
+
+        # 0.3 as a binary double is 0.299999...988, so a double multiply
+        # gives floor(10 * 0.3) = 2; the exact rational floor is 3. One
+        # 10-token language: capped iff s*1 <= B, i.e. iff B >= 10 — use
+        # B itself via num/den of the uncapped branch to read it back.
+        docs = self._docs(spark, [("a", 1, 4), ("b", 1, 6)])  # total 10
+        alloc = {
+            r["lang"]: r
+            for r in unimax_allocation(docs, budget_frac=0.3).collect()
+        }
+        # B = floor(0.3 * 10) = 3 exactly: a (4 tokens) is NOT capped
+        # (4*2 > 3), so leftover num = B - 0 = 3 — the double-multiply
+        # bug would report num = 2 here
+        assert not alloc["a"]["__capped"] and not alloc["b"]["__capped"]
+        assert alloc["a"]["__num"] == 3 and alloc["a"]["__den"] == 2
+
+    def test_allocation_total_even_when_lang_keeps_zero_docs(self, spark):
+        from skope_api_spark.operators.sampling import (
+            unimax_allocation,
+            unimax_mixing,
+        )
+
+        # c is one 90-token doc: uncapped, and its md5 threshold keeps it
+        # with probability num/(den*s) — whether or not it survives, the
+        # ALLOCATION table must still carry all three languages (the
+        # round-7 advice item: deriving alloc from kept rows drops a
+        # zero-keep language)
+        docs = self._docs(spark, [("a", 1, 3), ("b", 1, 3), ("c", 1, 90)])
+        alloc = unimax_allocation(docs, budget_frac=0.1)
+        assert sorted(r["lang"] for r in alloc.collect()) == ["a", "b", "c"]
+        kept_langs = {
+            r["lang"]
+            for r in unimax_mixing(
+                docs, budget_frac=0.1, alloc=alloc
+            ).collect()
+        }
+        assert kept_langs <= {"a", "b", "c"}
+
 
 class TestDSIR:
     def test_selects_target_looking_docs(self, spark):

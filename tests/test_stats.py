@@ -518,6 +518,17 @@ def test_mann_kendall_ties_and_flat(spark):
     assert r["tau_b"] == pytest.approx(5 / (5 * 6) ** 0.5)
 
 
+def test_mann_kendall_degenerate_short_series(spark):
+    from skope_api_spark.operators.stats import mann_kendall
+
+    # 1-row series: the pair join is empty — S must COALESCE to 0 (the
+    # round-7 advice item: a bare SUM returns NULL here), z = 0, tau NULL
+    one = spark.createDataFrame([(0, 7.0)], "x long, y double")
+    r = mann_kendall(one, x="x", y="y").collect()[0]
+    assert r["s_stat"] == 0 and r["n_pairs"] == 0
+    assert r["z"] == 0.0 and r["tau_b"] is None
+
+
 def test_theil_sen_exact_line_and_outlier(spark):
     from skope_api_spark.operators.stats import theil_sen
 
