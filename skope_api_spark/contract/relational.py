@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query
+from skope_api_spark.contract.registry import money_ticks, query, round_nz
 from skope_api_spark.tables import load
 
 
@@ -166,12 +166,12 @@ SELECT p_brand, p_partkey, revenue, rk FROM (
   SELECT
     p_brand,
     p_partkey,
-    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-         AS DOUBLE) AS revenue,
+    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
     CAST(ROW_NUMBER() OVER (
       PARTITION BY p_brand
-      ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-               DESC, p_partkey
+      ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) DESC, p_partkey
     ) AS INT) AS rk
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand, p_partkey
@@ -181,11 +181,15 @@ ORDER BY p_brand, rk
 )
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue per brand. Revenue follows the registry
-    money-sum rule (exact DECIMAL(18,4) accumulation): the r07 sf1
-    step-up caught the old ROUND(SUM(double), 2) on a half-cent tie —
-    one group in 200k landed exactly on a .005 boundary where Spark and
-    DuckDB round differently. Exact decimals make the sum, the ranking
-    order, and the emitted double identical in both engines at any SF."""
+    money-sum rule via integer ten-thousandths (``money_ticks``): the
+    r07 sf1 step-up caught the old ROUND(SUM(double), 2) on a half-cent
+    tie — one group in 200k landed exactly on a .005 boundary where
+    Spark and DuckDB round differently. The exact BIGINT accumulation
+    keeps that exactness (same rational value as the r07 DECIMAL(18,4)
+    sum, so identical output doubles) at plain long-add speed — the
+    decimal128 aggregation was this query's 1.9× r07 regression. The
+    rank window orders by the INTEGER sum, so ranking can never flip on
+    double conversion."""
     from pyspark.sql import Window as W
 
     li = load(spark, sf_dir, "lineitem")
@@ -195,18 +199,22 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_partkey")
         .agg(
             F.sum(
-                (
+                money_ticks(
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("revenue")
+                )
+            ).alias("__ticks")
         )
     )
-    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    w = W.partitionBy("p_brand").orderBy(F.desc("__ticks"), "p_partkey")
     return (
         per_part.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            (F.col("__ticks") / F.lit(10000.0)).alias("revenue"),
+            "rk",
+        )
         .orderBy("p_brand", "rk")
     )
 
@@ -1052,8 +1060,8 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_customers",
     oracle="""
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
        c_acctbal, n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1063,16 +1071,18 @@ WHERE o.o_orderdate >= DATE '1996-01-01'
   AND o.o_orderdate < DATE '1996-04-01'
   AND l.l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey
+ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+             AS BIGINT)) DESC, c_custkey
 LIMIT 20
 """,
 )
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10's shape — top customers by returned-item revenue in a
     quarter. Date + returnflag filters push into the scans; per the
-    registry money-sum rule the revenue is an EXACT decimal(18,4) sum
-    (cast to double only for output), so the top-20 ordering (then
-    custkey) is deterministic across engines with no rounding step;
+    registry money-sum rule the revenue is an EXACT BIGINT
+    ten-thousandths sum (``money_ticks``; converted to double once at
+    output), so the top-20 ordering — taken on the integer sum, then
+    custkey — is deterministic across engines with no rounding step;
     orderBy().limit() compiles to TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -1089,25 +1099,26 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            # exact decimal accumulation: the double sum's order-dependent
-            # last ulp flipped the rounded cent between engines on one
-            # group; per-row cast to DECIMAL(18,4) then an exact sum makes
-            # the single final rounding deterministic
-            # and DON'T round to cents: price (2dp) x discount-complement
+            # DON'T round to cents: price (2dp) x discount-complement
             # (2dp) is exactly 4 decimal places, so half-cent ties are
-            # common and the engines' tie rules differ; the 4dp decimal
-            # sum is exact and converts to the identical double
+            # common and the engines' tie rules differ; the BIGINT
+            # ten-thousandths sum is exact and converts to the identical
+            # double on both engines
             F.sum(
-                (
+                money_ticks(
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("revenue")
+                )
+            ).alias("__ticks")
         )
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .orderBy(F.desc("__ticks"), "c_custkey")
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("__ticks") / F.lit(10000.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
     )
 
 
@@ -1117,8 +1128,8 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH vol AS (
   SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
-           AS volume,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS volume,
          n.n_name AS supp_nation
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1128,9 +1139,9 @@ WITH vol AS (
   WHERE p.p_type = 'PROMO'
 )
 SELECT o_year,
-  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
-                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+  (ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                       ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE), 6) + 0.0) AS mkt_share
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
@@ -1138,9 +1149,11 @@ ORDER BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8's shape — one nation's share of a part-type's trade volume
-    per year: conditional sum over exact decimal accumulation (registry
-    money-sum rule), ratio taken in double AFTER both exact sums. Part
-    type filter pushes into the part scan; nation is broadcast."""
+    per year: conditional sum over exact BIGINT ten-thousandths
+    accumulation (registry money-sum rule, ``money_ticks``), ratio taken
+    in double AFTER both exact sums — the common 10000 scale cancels in
+    the ratio, so no rescale is needed. Part type filter pushes into the
+    part scan; nation is broadcast."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     s = load(spark, sf_dir, "supplier")
@@ -1156,21 +1169,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.year("o_orderdate").alias("o_year"),
-            (
+            money_ticks(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).cast("decimal(18,4)").alias("volume"),
+            ).alias("volume"),
             F.col("n_name").alias("supp_nation"),
         )
     )
-    zero = F.lit(0).cast("decimal(18,4)")
     return (
         vol.groupBy("o_year")
         .agg(
-            F.round(
+            round_nz(
                 F.sum(
                     F.when(
                         F.col("supp_nation") == "NATION_7", F.col("volume")
-                    ).otherwise(zero)
+                    ).otherwise(F.lit(0))
                 ).cast("double")
                 / F.sum("volume").cast("double"),
                 6,
@@ -1266,15 +1278,15 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_type_profit",
     oracle="""
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+SELECT nation, o_year,
+       CAST(SUM(amount) AS DOUBLE) / 10000 AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-         CAST(
-           l.l_extendedprice * (1 - l.l_discount)
-             - 0.1 * p.p_retailprice * l.l_quantity
-           AS DECIMAL(18,4)
-         ) AS amount
+         CAST(ROUND(
+           (l.l_extendedprice * (1 - l.l_discount)
+             - 0.1 * p.p_retailprice * l.l_quantity) * 10000
+         ) AS BIGINT) AS amount
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1292,7 +1304,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     modeled as 10% of p_retailprice per unit; the profit expression is
     exact at 4 decimal places (2dp price x 2dp rate; 3dp cost x integral
     quantity), so per the registry money-sum rule it accumulates as an
-    exact DECIMAL(18,4) sum. Five-way join: nation force-broadcast (25
+    exact BIGINT ten-thousandths sum (``money_ticks``; profit can be
+    negative — ROUND of a near-integer negative double recovers the
+    same exact integer on both engines). Five-way join: nation force-broadcast (25
     rows); the p_name LIKE filter prunes part BEFORE its join so only
     matching partkeys reach the fact; everything else left to AQE."""
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
@@ -1300,10 +1314,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    amount = (
+    amount = money_ticks(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(18,4)")
+    )
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1313,7 +1327,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(
+            (F.sum(amount).cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            )
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -1324,20 +1342,20 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pv AS (
   SELECT l_partkey,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-           AS val
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS val
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
-SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+SELECT l_partkey AS partkey, CAST(val AS DOUBLE) / 10000 AS part_value
 FROM pv
 WHERE CAST(val AS DOUBLE) > (
   SELECT CAST(SUM(val) AS DOUBLE) * 0.002 FROM pv
 )
-ORDER BY part_value DESC, partkey
+ORDER BY val DESC, partkey
 """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,9 +1364,11 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a global-share scalar subquery). The per-part aggregation runs
     ONCE and is reused for both the rows and the scalar (same lazy plan;
     Spark evaluates the 1-row global sum as a broadcast cross join, the
-    decorrelated form of the scalar subquery). Both sides accumulate exact
-    decimals and compare as identical doubles, so the threshold cannot
-    flip on accumulation order."""
+    decorrelated form of the scalar subquery). Both sides accumulate
+    exact BIGINT ten-thousandths (``money_ticks``) and compare as
+    identical doubles, so the threshold cannot flip on accumulation
+    order; the 10000 scale cancels in the > comparison (both sides
+    scaled), and the final ordering is on the integer value."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -1359,9 +1379,9 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.sum(
-                (
+                money_ticks(
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(18,4)")
+                )
             ).alias("val")
         )
     )
@@ -1371,11 +1391,13 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.crossJoin(F.broadcast(threshold))
         .where(F.col("val").cast("double") > F.col("__threshold"))
+        .orderBy(F.desc("val"), "l_partkey")
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.col("val").cast("double").alias("part_value"),
+            (F.col("val").cast("double") / F.lit(10000.0)).alias(
+                "part_value"
+            ),
         )
-        .orderBy(F.desc("part_value"), "partkey")
     )
 
 
@@ -1432,14 +1454,15 @@ def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-           AS total_rev
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= DATE '1997-01-01'
     AND l_shipdate <  DATE '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name,
+       CAST(total_rev AS DOUBLE) / 10000 AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
 WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
@@ -1451,10 +1474,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue, via a reused aggregated view and a max-over-it scalar. The
     revenue view computes once; the 1-row MAX broadcasts back over it
     (decorrelated scalar subquery). The equality filter is on the EXACT
-    decimal totals — with double sums, accumulation-order noise could
-    make the winner fail its own max comparison cross-engine; exact
-    decimals make `= MAX` deterministic. Ties all surface, ordered by
-    suppkey."""
+    BIGINT ten-thousandths totals (``money_ticks``) — with double sums,
+    accumulation-order noise could make the winner fail its own max
+    comparison cross-engine; exact integers make `= MAX` deterministic.
+    Ties all surface, ordered by suppkey."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     revenue = (
@@ -1465,9 +1488,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.sum(
-                (
+                money_ticks(
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(18,4)")
+                )
             ).alias("total_rev")
         )
     )
@@ -1479,7 +1502,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_rev").cast("double").alias("total_revenue"),
+            (F.col("total_rev").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
         )
         .orderBy("s_suppkey")
     )
