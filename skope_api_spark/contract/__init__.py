@@ -34,6 +34,27 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r08 rotation (VERDICT r7 item 3): eleven r7-driver-VERIFIED,
+    # family-redundant entries cede their slots to never-driver-checked
+    # flagships — the five the judge named plus six cross-family report/
+    # pipeline queries and top_parts_by_revenue (which carries this
+    # round's BIGINT money-ticks change and should get driver evidence).
+    # sim_embedding_covariance stays PINNED until its r7 hash red is
+    # driver-green; q9/q15 stay because their money sums changed this
+    # round. Every ceded query remains covered by the full
+    # check_correctness replay and its family keeps gated
+    # representatives:
+    #   skope_zonal_mean              -> stats_ks_price_by_segment
+    #   dedup_remove_duplicate_spans  -> basket_association_rules
+    #   sample_pack_training_sequences-> hh_misra_gries_report
+    #   text_bm25_topk                -> graph_triangle_top_nodes
+    #   graph_pagerank_copurchase     -> rfm_customer_segments
+    #   sim_sq8_topk                  -> hist_equi_depth_price
+    #   fuzzy_join_part_terms         -> funnel_conversion_events
+    #   w4_fixed_interval_zscore      -> dq_benford_first_digit
+    #   ts_holt_forecast_daily_users  -> cohort_retention_events
+    #   stats_bootstrap_means_totalprice -> feature_loo_target_encode
+    #   sql_recursive_reachability    -> top_parts_by_revenue
     # r07 session-4c rotation: tfidf cedes to the sliced-AUC flagship
     # (text keeps quality/bm25/linear/bpe/keyness gated; tfidf stays in
     # the full replay) — stats_auc_by_source carries the session's
@@ -57,7 +78,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   join_bloom_pruned_revenue -> ts_theil_sen_monthly_revenue
     # SKOPE datacube core (S/P/J/A/W rows of SURVEY §2)
     "skope_point_extraction",
-    "skope_zonal_mean",
+    "stats_ks_price_by_segment",
     # r07 session-3 rotation: four r06-driver-VERIFIED, family-redundant
     # entries cede their slots to this session's new flagships, so the
     # round's driver gate verifies four first-timers while every family
@@ -93,13 +114,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   skope_rolling_zscore             -> sim_sq8_topk
     #   skope_fixed_zscore               -> fuzzy_join_part_terms
     #   sim_embedding_near_dup_multiprobe -> mv_incremental_rollup
-    "dedup_remove_duplicate_spans",
-    "sample_pack_training_sequences",
-    "text_bm25_topk",
-    "graph_pagerank_copurchase",
+    "basket_association_rules",
+    "hh_misra_gries_report",
+    "graph_triangle_top_nodes",
+    "rfm_customer_segments",
     "text_linear_quality_score",
-    "sim_sq8_topk",
-    "fuzzy_join_part_terms",
+    "hist_equi_depth_price",
+    "funnel_conversion_events",
     "skope_summary_stats",
     "skope_catalog_metadata_join",
     "scd2_merge_customers",
@@ -108,9 +129,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ts_mann_kendall_monthly_revenue",
     # W1-W4 window core + window extensions
     "w1_centered_moving_average",
-    "ts_holt_forecast_daily_users",
+    "cohort_retention_events",
     "w3_rolling_zscore",
-    "w4_fixed_interval_zscore",
+    "dq_benford_first_digit",
     "q21_waiting_supplier",
     # r06: moving_median_smoother (extension smoother, not reference core)
     # cedes its slot to the bucketed range join; full replay still covers it
@@ -139,10 +160,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # token counting stays regression-covered by the full replay)
     "text_quality_stats",
     "spatial_join_points_polygons",
-    "stats_bootstrap_means_totalprice",
+    "feature_loo_target_encode",
     "stats_auc_by_source",
     "ts_theil_sen_monthly_revenue",
-    "sql_recursive_reachability",
+    "top_parts_by_revenue",
     # dedup scale paths
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
