@@ -56,6 +56,25 @@ HEADLINE = [
     "text_tfidf_top_terms",
 ]
 
+# Second recorded group (round 8, VERDICT r7 item 6): the round-7 operator
+# surfaces whose perf had no round-over-round tracking — graph, the
+# distributed prefix-sum stats family, BPE, entity-resolution blocking,
+# spatial, PQ — plus this round's money-ticks flagship. Kept SEPARATE from
+# HEADLINE so `value`/`queries` stay comparable across every recorded
+# round; these emit as `queries_ext`/`value_ext` in the same JSON line.
+HEADLINE_EXT = [
+    "graph_triangle_top_nodes",
+    "graph_pagerank_copurchase",
+    "stats_auc_chars_vs_lang",
+    "hist_equi_depth_price",
+    "text_bpe_train_merges",
+    "text_bpe_encode_profile",
+    "er_customer_record_clusters",
+    "sim_pq_topk",
+    "spatial_join_points_polygons",
+    "stats_ks_price_by_segment",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,15 +97,22 @@ def main() -> int:
     warmup = qs.get("order_count_distribution") or next(iter(qs.values()))
     warmup(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        for runs in (cold, times):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs[name] = round(time.perf_counter() - t0, 3)
+    def run_group(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        warm: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            for runs in (cold, warm):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs[name] = round(time.perf_counter() - t0, 3)
+        return warm, cold
+
+    times, cold = run_group(HEADLINE)
+    times_ext, cold_ext = run_group(HEADLINE_EXT)
 
     out = {
         "metric": "headline_total",
@@ -94,6 +120,9 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "queries_cold": cold,
+        "value_ext": round(sum(times_ext.values()), 3),
+        "queries_ext": times_ext,
+        "queries_ext_cold": cold_ext,
         "sf": sf,
     }
     print(json.dumps(out))
