@@ -97,18 +97,32 @@ def main() -> int:
     warmup = qs.get("order_count_distribution") or next(iter(qs.values()))
     warmup(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # r8 (VERDICT r7 "bench recording hygiene"): the recorded warm number
+    # is the MEDIAN of 3 post-cold runs — the shared host's ±30%
+    # run-to-run variance was costing round-over-round signal (r7's
+    # headline "regression" was mostly one contended recording). The cold
+    # column stays a single first run by construction (it exists to show
+    # one-time codegen cost, which only happens once).
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     def run_group(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         warm: dict[str, float] = {}
         cold: dict[str, float] = {}
         for name in names:
             if name not in qs:
                 continue
-            for runs in (cold, warm):
+            samples = []
+            for i in range(1 + warm_runs):
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                runs[name] = round(time.perf_counter() - t0, 3)
+                dt = round(time.perf_counter() - t0, 3)
+                if i == 0:
+                    cold[name] = dt
+                else:
+                    samples.append(dt)
+            warm[name] = sorted(samples)[len(samples) // 2]
         return warm, cold
 
     times, cold = run_group(HEADLINE)

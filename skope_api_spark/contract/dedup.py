@@ -442,13 +442,16 @@ def er_customer_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dirty = originals.unionByName(variants).localCheckpoint(eager=True)
     names = dirty.select(F.col("name").alias("probe")).distinct()
+    # the ER match rule (ordered pair + exact insert/delete length
+    # signature) is pushed into the blocking join as a candidate filter:
+    # sequential TPC-H names make the substitution class (equal lengths)
+    # the dominant candidate population, and the cheap length compare
+    # rejects it before any levenshtein or distinct work
     matches = fuzzy_join(
-        names, dirty.select(F.col("name").alias("term")).distinct()
-    ).where(
-        (F.col("probe") < F.col("term"))
-        & (
-            F.abs(F.length("probe") - F.length("term")) == 1
-        )
+        names,
+        dirty.select(F.col("name").alias("term")).distinct(),
+        candidate_filter=(F.col("probe") < F.col("term"))
+        & (F.abs(F.length("probe") - F.length("term")) == 1),
     )
     ids_a = dirty.select(
         F.col("name").alias("probe"), F.col("rid").alias("u")

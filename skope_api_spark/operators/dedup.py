@@ -420,6 +420,7 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_count = edges.count()
     for _ in range(max_iter):
         # localCheckpoint per round: each round's plan references the
         # previous one — without truncation the lineage compounds and the
@@ -448,9 +449,17 @@ def duplicate_clusters(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            small.subtract(edges).count() + edges.subtract(small).count()
-        )
+        # convergence = edge-set equality. Count first (one trivial job
+        # over the checkpointed result): unequal counts prove change with
+        # no subtract; on equal counts ONE one-sided subtract suffices
+        # (|A| == |B| and A \ B = ∅ ⟹ A == B) — half the per-round
+        # convergence jobs of the former two-sided symmetric difference
+        new_count = small.count()
+        if new_count == prev_count:
+            changed = small.subtract(edges).count()
+        else:
+            changed = abs(new_count - prev_count)
+        prev_count = new_count
         edges = small
         if changed == 0:
             break

@@ -51,10 +51,23 @@ def fuzzy_join(
     probe_col: str = "probe",
     term_col: str = "term",
     max_distance: int = 1,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """All (probe, term) pairs with edit distance <= 1, via the deletion-
     neighborhood equi-join. ``max_distance`` documents the contract; only
     1 is supported (see module docstring).
+
+    ``candidate_filter`` is an optional predicate over the ``probe`` /
+    ``term`` columns applied to candidates BEFORE the levenshtein verify
+    and the distinct — when the caller will filter pairs anyway (e.g. an
+    entity-resolution rule that only wants insert/delete pairs,
+    ``abs(length(probe) − length(term)) == 1``), pushing it here prunes
+    the dominant candidate class with a cheap comparison before any
+    edit-distance work. The verify-then-distinct order matters at scale:
+    a candidate pair appears once per shared deletion variant, and
+    verifying first means the distinct only shuffles SURVIVING pairs —
+    levenshtein on the few duplicates is map-side CPU, while a
+    pre-verify distinct shuffles every colliding candidate.
 
     Returns distinct (probe, term, dist).
     """
@@ -69,9 +82,15 @@ def fuzzy_join(
     t = terms.withColumn(
         "__v", F.explode(deletion_variants(F.col(term_col)))
     ).select(F.col(term_col).alias("term"), "__v")
-    cand = p.join(t, "__v").select("probe", "term").distinct()
-    return cand.select(
-        "probe",
-        "term",
-        F.levenshtein("probe", "term").cast("int").alias("dist"),
-    ).where(F.col("dist") <= max_distance)
+    cand = p.join(t, "__v").select("probe", "term")
+    if candidate_filter is not None:
+        cand = cand.where(candidate_filter)
+    return (
+        cand.select(
+            "probe",
+            "term",
+            F.levenshtein("probe", "term").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_distance)
+        .distinct()
+    )
