@@ -8,7 +8,13 @@ all columns, floats compared to 9 significant digits). Queries with no oracle
 get a rows-only check (>= 0 rows, stable schema).
 
 Usage: python scripts/check_correctness.py [query ...]
+       python scripts/check_correctness.py --exclude name [name ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01)
+
+``--exclude`` runs the whole registry MINUS the named queries — the sf1
+sweep shape, where the three documented quadratic-oracle verification
+baselines (er_customer_record_clusters, dedup_ngram_jaccard_pairs,
+dedup_jaccard_prefix_join) must not run their DuckDB side.
 """
 
 from __future__ import annotations
@@ -76,7 +82,14 @@ def main(selected: list[str]) -> int:
 
     spark = get_spark("check_correctness")
     qs, oracles = e.queries(), e.oracle_sql()
-    if selected:
+    if selected and selected[0] == "--exclude":
+        excluded = set(selected[1:])
+        unknown = excluded - set(qs)
+        if unknown:
+            print(f"unknown --exclude names: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k not in excluded}
+    elif selected:
         qs = {k: v for k, v in qs.items() if k in selected}
 
     con = duckdb.connect()
