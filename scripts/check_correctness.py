@@ -113,14 +113,37 @@ def main(selected: list[str]) -> int:
             print(f"ROWS {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]")
             n_rows_only += 1
             continue
+        # watchdog: a single pathological oracle (the quadratic baselines
+        # aside, some closure/recursive oracles are superlinear in SF)
+        # must not stall a whole sweep — interrupt DuckDB after the
+        # budget and record the query as rows-only for THIS run
+        budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0"))
+        timer = None
+        if budget > 0:
+            import threading
+
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
-            print(f"ERR  {name}: duckdb: {type(ex).__name__}: {str(ex)[:200]}")
-            n_fail += 1
+            if timer is not None:
+                timer.cancel()
+            if "INTERRUPT" in type(ex).__name__.upper() or "interrupted" in str(ex).lower():
+                print(
+                    f"ROWS {name}: {len(srows)} rows [oracle exceeded "
+                    f"{budget:.0f}s budget — rows-only this run]"
+                )
+                n_rows_only += 1
+            else:
+                print(f"ERR  {name}: duckdb: {type(ex).__name__}: {str(ex)[:200]}")
+                n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         ok = True
         msgs = []
         nz_s, nz_d = _scan_negzero(srows), _scan_negzero(drows)
