@@ -644,6 +644,77 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_gk_quantiles_price",
+    oracle="""
+WITH p AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+), q AS (
+  SELECT quantile_cont(p, [0.25, 0.5, 0.75, 0.9]) AS qs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p
+)
+SELECT CAST(CASE g WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+                   WHEN 3 THEN 0.75 ELSE 0.9 END AS DOUBLE) AS prob,
+       ROUND(qs[g], 4) AS exact_value,
+       n,
+       TRUE AS within_bound
+FROM q CROSS JOIN generate_series(1, 4) t(g)
+ORDER BY prob
+""",
+)
+def sketch_gk_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch contract completing the sketch family (KMV / HLL /
+    CMS / now rank sketch): Spark's mergeable ``percentile_approx``
+    (Greenwald-Khanna-style, accuracy 1/ε = 1000) probed at four ranks.
+    Like the HLL contract, the approximate VALUE is engine-specific, so
+    the oracle-checked surface is determinism-safe: the exact quantile
+    (via the distributed ``exact_quantiles`` prefix-sum operator — no
+    single-reducer percentile), the row count, and the sketch's realized
+    rank-error invariant |rank(v̂) − q·n| ≤ ε·n, which the GK guarantee
+    makes TRUE at any scale. The realized rank of each sketch value is
+    ONE extra corpus aggregation against the 4-row broadcast — the
+    sketch itself is a single partial-aggregated pass, the 100 TB shape
+    for monitoring dashboards where exact prefix-sum quantiles are
+    overkill."""
+    from skope_api_spark.operators.stats import exact_quantiles
+
+    probs = [0.25, 0.5, 0.75, 0.9]
+    li = load(spark, sf_dir, "lineitem")
+    prices = li.select(F.col("l_extendedprice").cast("double").alias("p"))
+    exact = exact_quantiles(prices, "p", probs)
+    sk = prices.agg(
+        F.percentile_approx("p", probs, 1000).alias("av"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    prob_lit = F.array(*[F.lit(p) for p in probs])
+    approx = sk.select(
+        F.posexplode("av").alias("i", "av"), F.col("n")
+    ).select(prob_lit[F.col("i")].alias("prob"), "av", "n")
+    ranks = (
+        prices.crossJoin(F.broadcast(approx))
+        .groupBy("prob", "av", "n")
+        .agg(F.sum(F.when(F.col("p") <= F.col("av"), 1).otherwise(0)).alias("rk"))
+    )
+    eps_slack = F.col("n").cast("double") / 1000.0 + 1.0
+    return (
+        exact.join(ranks, "prob")
+        .select(
+            "prob",
+            F.round("value", 4).alias("exact_value"),
+            "n",
+            (
+                F.abs(
+                    F.col("rk").cast("double")
+                    - F.col("prob") * F.col("n").cast("double")
+                )
+                <= eps_slack
+            ).alias("within_bound"),
+        )
+        .orderBy("prob")
+    )
+
+
+@query(
     "skew_hot_key_report",
     oracle="""
 WITH counts AS (
