@@ -16,7 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query
+from skope_api_spark.contract.registry import query, round_nz
 from skope_api_spark.operators import windows as wops
 from skope_api_spark.operators.zonal import summary_stats, zonal_series
 from skope_api_spark.plans.catalog import DEV_CATALOG
@@ -403,7 +403,7 @@ def skope_nan_poisoning_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame
     "skope_rolling_zscore",
     oracle=_SERIES_SQL
     + """
-SELECT band, ROUND(z, 4) AS zscore FROM (
+SELECT band, (ROUND(z, 4) + 0.0) AS zscore FROM (
   SELECT band,
     CASE WHEN COUNT(*) OVER w = 2 AND STDDEV_POP(value) OVER w > 0
          THEN (value - AVG(value) OVER w) / STDDEV_POP(value) OVER w END AS z
@@ -421,7 +421,7 @@ def skope_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.where(F.col("zscore").isNotNull())
-        .select("band", F.round("zscore", 4).alias("zscore"))
+        .select("band", round_nz("zscore", 4).alias("zscore"))
         .orderBy("band")
     )
 
@@ -430,7 +430,7 @@ def skope_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skope_fixed_zscore",
     oracle=_SERIES_SQL
     + """
-SELECT band, ROUND(z, 4) AS zscore FROM (
+SELECT band, (ROUND(z, 4) + 0.0) AS zscore FROM (
   SELECT band,
     CASE WHEN STDDEV_POP(value) OVER () > 0
          THEN (value - AVG(value) OVER ()) / STDDEV_POP(value) OVER () END AS z
@@ -443,7 +443,7 @@ def skope_fixed_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 — z vs the whole selected interval (scipy zscore ddof=0 parity)."""
     series = _point_series(spark)
     out = wops.fixed_interval_zscore(series, "value", out_col="zscore")
-    return out.select("band", F.round("zscore", 4).alias("zscore")).orderBy("band")
+    return out.select("band", round_nz("zscore", 4).alias("zscore")).orderBy("band")
 
 
 # --- summary stats (A5) -----------------------------------------------------

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query
+from skope_api_spark.contract.registry import query, round_nz
 from skope_api_spark.operators import windows as ops
 from skope_api_spark.tables import load
 
@@ -84,7 +84,7 @@ def w2_trailing_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w3_rolling_zscore",
     oracle="""
-SELECT event_id, user_id, ts, ROUND(z, 4) AS z FROM (
+SELECT event_id, user_id, ts, (ROUND(z, 4) + 0.0) AS z FROM (
   SELECT event_id, user_id, ts,
     CASE WHEN COUNT(*) OVER w = 5 AND STDDEV_POP(value) OVER w > 0
          THEN (value - AVG(value) OVER w) / (STDDEV_POP(value) OVER w) END AS z
@@ -105,14 +105,14 @@ def w3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="z",
     )
     return df.select(
-        "event_id", "user_id", "ts", F.round("z", 4).alias("z")
+        "event_id", "user_id", "ts", round_nz("z", 4).alias("z")
     )
 
 
 @query(
     "w4_fixed_interval_zscore",
     oracle="""
-SELECT event_id, user_id, ROUND(z, 4) AS z FROM (
+SELECT event_id, user_id, (ROUND(z, 4) + 0.0) AS z FROM (
   SELECT event_id, user_id,
     CASE WHEN STDDEV_POP(value) OVER w > 0
          THEN (value - AVG(value) OVER w) / (STDDEV_POP(value) OVER w) END AS z
@@ -129,7 +129,7 @@ def w4_fixed_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=("user_id",),
         out_col="z",
     )
-    return df.select("event_id", "user_id", F.round("z", 4).alias("z"))
+    return df.select("event_id", "user_id", round_nz("z", 4).alias("z"))
 
 
 @query(
@@ -141,7 +141,7 @@ WITH ref AS (
   WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
 )
 SELECT event_id,
-  CASE WHEN s > 0 THEN ROUND((value - m) / s, 4) END AS z
+  CASE WHEN s > 0 THEN (ROUND((value - m) / s, 4) + 0.0) END AS z
 FROM events CROSS JOIN ref
 ORDER BY event_id
 """,
@@ -153,7 +153,7 @@ def w4_reference_interval_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
     )
     df = ops.fixed_reference_zscore(ev, ref, "value", out_col="z")
-    return df.select("event_id", F.round("z", 4).alias("z"))
+    return df.select("event_id", round_nz("z", 4).alias("z"))
 
 
 @query(
@@ -556,8 +556,8 @@ WITH m AS (
 SELECT CAST(t.mon0 AS DATE) AS mon, t.season,
        ROUND(t.v, 2) AS v,
        ROUND(t.trend, 4) AS trend,
-       ROUND(s.smean - g.grand, 4) AS seasonal,
-       ROUND(t.v - t.trend - (s.smean - g.grand), 4) AS residual
+       (ROUND(s.smean - g.grand, 4) + 0.0) AS seasonal,
+       (ROUND(t.v - t.trend - (s.smean - g.grand), 4) + 0.0) AS residual
 FROM t JOIN s USING (season) CROSS JOIN g
 ORDER BY mon
 """,
@@ -588,8 +588,8 @@ def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "season",
         F.round("v", 2).alias("v"),
         F.round("trend", 4).alias("trend"),
-        F.round("seasonal", 4).alias("seasonal"),
-        F.round("residual", 4).alias("residual"),
+        round_nz("seasonal", 4).alias("seasonal"),
+        round_nz("residual", 4).alias("residual"),
     ).orderBy("mon")
 
 
@@ -812,8 +812,8 @@ r AS (
   WHERE t.trend IS NOT NULL
 ), sd AS (SELECT stddev_pop(residual) AS sigma FROM r)
 SELECT CAST(r.mon0 AS DATE) AS mon, ROUND(r.v, 2) AS v,
-       ROUND(r.residual, 4) AS residual,
-       ROUND(r.residual / sd.sigma, 4) AS zscore,
+       (ROUND(r.residual, 4) + 0.0) AS residual,
+       (ROUND(r.residual / sd.sigma, 4) + 0.0) AS zscore,
        (abs(r.residual) > 2 * sd.sigma) AS is_anomaly
 FROM r, sd
 ORDER BY mon
@@ -854,8 +854,8 @@ def ts_seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("mon0").cast("date").alias("mon"),
         F.round("v", 2).alias("v"),
-        F.round("residual", 4).alias("residual"),
-        F.round(F.col("residual") / F.col("__sigma"), 4).alias("zscore"),
+        round_nz("residual", 4).alias("residual"),
+        round_nz(F.col("residual") / F.col("__sigma"), 4).alias("zscore"),
         (F.abs("residual") > 2 * F.col("__sigma")).alias("is_anomaly"),
     ).orderBy("mon")
 
