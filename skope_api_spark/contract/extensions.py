@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query
+from skope_api_spark.contract.registry import query, round_nz
 from skope_api_spark.operators.asof import asof_join
 from skope_api_spark.tables import load
 
@@ -1503,7 +1503,7 @@ WITH hourly AS (
 SELECT CAST(h AS TIMESTAMP) AS h,
        ROUND(click_v, 4) AS click_v,
        ROUND(purchase_v, 4) AS purchase_v,
-       ROUND(c, 6) AS rolling_corr
+       (ROUND(c, 6) + 0.0) AS rolling_corr
 FROM r ORDER BY h
 """,
 )
@@ -1540,7 +1540,7 @@ def ts_rolling_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame
         "h",
         F.round("click_v", 4).alias("click_v"),
         F.round("purchase_v", 4).alias("purchase_v"),
-        F.round("rolling_corr", 6).alias("rolling_corr"),
+        round_nz("rolling_corr", 6).alias("rolling_corr"),
     ).orderBy("h")
 
 

@@ -1667,8 +1667,8 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT CAST(month AS DATE) AS month, ROUND(rev, 2) AS revenue,
-       ROUND(rev / LAG(rev, 1) OVER (ORDER BY month) - 1.0, 6) AS mom_growth,
-       ROUND(rev / LAG(rev, 12) OVER (ORDER BY month) - 1.0, 6) AS yoy_growth
+       (ROUND(rev / LAG(rev, 1) OVER (ORDER BY month) - 1.0, 6) + 0.0) AS mom_growth,
+       (ROUND(rev / LAG(rev, 12) OVER (ORDER BY month) - 1.0, 6) + 0.0) AS yoy_growth
 FROM monthly
 ORDER BY month
 """,
@@ -1694,10 +1694,10 @@ def ts_mom_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         F.to_date("m").alias("month"),
         F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / F.lag("rev", 1).over(w) - 1.0, 6).alias(
+        round_nz(F.col("rev") / F.lag("rev", 1).over(w) - 1.0, 6).alias(
             "mom_growth"
         ),
-        F.round(F.col("rev") / F.lag("rev", 12).over(w) - 1.0, 6).alias(
+        round_nz(F.col("rev") / F.lag("rev", 12).over(w) - 1.0, 6).alias(
             "yoy_growth"
         ),
     ).orderBy("month")
@@ -2156,7 +2156,7 @@ def dq_single_source_risk_parts(
     oracle="""
 SELECT p.p_brand,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(regr_slope(l.l_quantity, l.l_discount), 6) AS qty_per_discount,
+       (ROUND(regr_slope(l.l_quantity, l.l_discount), 6) + 0.0) AS qty_per_discount,
        ROUND(regr_r2(l.l_quantity, l.l_discount), 8) AS r2
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -2183,7 +2183,7 @@ def stats_discount_elasticity_by_brand(
     return out.select(
         "p_brand",
         "n",
-        F.round("slope", 6).alias("qty_per_discount"),
+        round_nz("slope", 6).alias("qty_per_discount"),
         F.round("r2", 8).alias("r2"),
     ).orderBy("p_brand")
 

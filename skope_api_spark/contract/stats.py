@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query
+from skope_api_spark.contract.registry import query, round_nz
 from skope_api_spark.tables import load
 
 
@@ -15,8 +15,8 @@ from skope_api_spark.tables import load
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       (ROUND(regr_slope(l_extendedprice, l_quantity), 6) + 0.0) AS slope,
+       (ROUND(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0) AS intercept,
        ROUND(regr_r2(l_extendedprice, l_quantity), 8) AS r2
 FROM lineitem
 GROUP BY l_returnflag
@@ -38,8 +38,8 @@ def stats_ols_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         "n",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        round_nz("slope", 6).alias("slope"),
+        round_nz("intercept", 6).alias("intercept"),
         F.round("r2", 8).alias("r2"),
     ).orderBy("l_returnflag")
 
@@ -287,7 +287,7 @@ _ACF_LAGS = (1, 2, 3, 7)
 
 def _acf_oracle() -> str:
     lag_cols = ",\n       ".join(
-        f"ROUND(corr(v, v_{k}), 6) AS acf_{k}" for k in _ACF_LAGS
+        f"(ROUND(corr(v, v_{k}), 6) + 0.0) AS acf_{k}" for k in _ACF_LAGS
     )
     lag_defs = ",\n         ".join(
         f"LAG(v, {k}) OVER (ORDER BY day) AS v_{k}" for k in _ACF_LAGS
@@ -333,7 +333,7 @@ def ts_autocorrelation_daily_revenue(
     return lagged.agg(
         F.count(F.lit(1)).alias("n_days"),
         *[
-            F.round(F.corr("v", f"v_{k}"), 6).alias(f"acf_{k}")
+            round_nz(F.corr("v", f"v_{k}"), 6).alias(f"acf_{k}")
             for k in _ACF_LAGS
         ],
     )
@@ -530,9 +530,9 @@ WITH j AS (
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        ROUND(sa / na, 4) AS mean_a,
        ROUND(sb / nb, 4) AS mean_b,
-       ROUND((sa / na - sb / nb)
+       (ROUND((sa / na - sb / nb)
          / SQRT(((qa - na * (sa/na) * (sa/na)) / (na - 1)) / na
-              + ((qb - nb * (sb/nb) * (sb/nb)) / (nb - 1)) / nb), 4)
+              + ((qb - nb * (sb/nb) * (sb/nb)) / (nb - 1)) / nb), 4) + 0.0)
          AS t_stat,
        ROUND(POW(((qa - na*(sa/na)*(sa/na))/(na-1))/na
                + ((qb - nb*(sb/nb)*(sb/nb))/(nb-1))/nb, 2)
@@ -562,7 +562,7 @@ def stats_welch_ttest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round("mean_a", 4).alias("mean_a"),
         F.round("mean_b", 4).alias("mean_b"),
-        F.round("t_stat", 4).alias("t_stat"),
+        round_nz("t_stat", 4).alias("t_stat"),
         F.round("dof", 2).alias("dof"),
     )
 
@@ -651,12 +651,12 @@ ties AS (
   FROM (SELECT COUNT(*) AS t FROM idx GROUP BY y) tt WHERE t > 1
 )
 SELECT n, s_stat, n_pairs,
-       ROUND(s_stat / SQRT((n * (n - 1) / 2.0 - n1)
-                           * (n * (n - 1) / 2.0)), 6) AS tau_b,
-       ROUND(CASE WHEN s_stat = 0 THEN 0.0
+       (ROUND(s_stat / SQRT((n * (n - 1) / 2.0 - n1)
+                           * (n * (n - 1) / 2.0)), 6) + 0.0) AS tau_b,
+       (ROUND(CASE WHEN s_stat = 0 THEN 0.0
              ELSE (s_stat - SIGN(s_stat))
                   / SQRT((n * (n - 1) * (2.0 * n + 5) - tievar) / 18.0)
-             END, 6) AS z
+             END, 6) + 0.0) AS z
 FROM s, nn, ties
 """,
 )
@@ -677,8 +677,8 @@ def ts_mann_kendall_monthly_revenue(
         "n",
         "s_stat",
         "n_pairs",
-        F.round("tau_b", 6).alias("tau_b"),
-        F.round("z", 6).alias("z"),
+        round_nz("tau_b", 6).alias("tau_b"),
+        round_nz("z", 6).alias("z"),
     )
 
 
@@ -692,8 +692,8 @@ slopes AS (
 ), m AS (SELECT MEDIAN(sl) AS slope FROM slopes),
 resid AS (SELECT y - m.slope * x AS r FROM idx, m)
 SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n,
-       ROUND(m.slope, 6) AS slope,
-       ROUND((SELECT MEDIAN(r) FROM resid), 6) AS intercept
+       (ROUND(m.slope, 6) + 0.0) AS slope,
+       (ROUND((SELECT MEDIAN(r) FROM resid), 6) + 0.0) AS intercept
 FROM m
 """,
 )
@@ -712,8 +712,8 @@ def ts_theil_sen_monthly_revenue(
     out = theil_sen(series, x="x", y="y")
     return out.select(
         "n",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        round_nz("slope", 6).alias("slope"),
+        round_nz("intercept", 6).alias("intercept"),
     )
 
 
@@ -848,10 +848,10 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
        CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
        ROUND(ca / CAST(na AS DOUBLE), 6) AS rate_a,
        ROUND(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
-       ROUND((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+       (ROUND((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
              / SQRT((ca + cb) / CAST(na + nb AS DOUBLE)
                     * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                    * (1.0 / na + 1.0 / nb)), 6) AS z
+                    * (1.0 / na + 1.0 / nb)), 6) + 0.0) AS z
 FROM w
 """,
 )
@@ -889,7 +889,7 @@ def stats_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(ca / na, 6).alias("rate_a"),
         F.round(cb / nb, 6).alias("rate_b"),
-        F.round(z, 6).alias("z"),
+        round_nz(z, 6).alias("z"),
     )
 
 
@@ -1067,8 +1067,8 @@ WITH m AS (
   FROM m
 )
 SELECT grp, CAST(n AS BIGINT) AS n, ROUND(mu, 4) AS mean,
-       ROUND(m3 / (m2 ** 1.5), 4) AS pop_skewness,
-       ROUND(m4 / (m2 ** 2) - 3.0, 4) AS pop_excess_kurtosis
+       (ROUND(m3 / (m2 ** 1.5), 4) + 0.0) AS pop_skewness,
+       (ROUND(m4 / (m2 ** 2) - 3.0, 4) + 0.0) AS pop_excess_kurtosis
 FROM c
 ORDER BY grp
 """,
@@ -1109,8 +1109,8 @@ def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         F.col("n").cast("long").alias("n"),
         F.round(mu, 4).alias("mean"),
-        F.round(m3 / F.pow(m2, 1.5), 4).alias("pop_skewness"),
-        F.round(m4 / (m2 * m2) - 3.0, 4).alias("pop_excess_kurtosis"),
+        round_nz(m3 / F.pow(m2, 1.5), 4).alias("pop_skewness"),
+        round_nz(m4 / (m2 * m2) - 3.0, 4).alias("pop_excess_kurtosis"),
     ).orderBy("grp")
 
 
@@ -1162,8 +1162,8 @@ WITH b AS (
   SELECT (l_extendedprice - b.med) / b.iqr AS z FROM lineitem, b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(MIN(z), 6) AS min_z, ROUND(MAX(z), 6) AS max_z,
-       ROUND(quantile_cont(z, 0.5), 6) AS median_z,
+       (ROUND(MIN(z), 6) + 0.0) AS min_z, (ROUND(MAX(z), 6) + 0.0) AS max_z,
+       (ROUND(quantile_cont(z, 0.5), 6) + 0.0) AS median_z,
        CAST(COUNT(CASE WHEN abs(z) > 2 THEN 1 END) AS BIGINT)
          AS n_outside_2iqr
 FROM scaled
@@ -1194,9 +1194,9 @@ def feature_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = li.crossJoin(F.broadcast(b)).select(z.alias("z"))
     return scaled.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.min("z"), 6).alias("min_z"),
-        F.round(F.max("z"), 6).alias("max_z"),
-        F.round(F.percentile("z", F.lit(0.5)), 6).alias("median_z"),
+        round_nz(F.min("z"), 6).alias("min_z"),
+        round_nz(F.max("z"), 6).alias("max_z"),
+        round_nz(F.percentile("z", F.lit(0.5)), 6).alias("median_z"),
         F.count(F.when(F.abs("z") > 2, 1)).alias("n_outside_2iqr"),
     )
 

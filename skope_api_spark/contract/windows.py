@@ -254,8 +254,8 @@ def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   event_id, user_id,
-  ROUND(value - LAG(value) OVER w, 4)                    AS value_delta,
-  ROUND(LEAD(value) OVER w - value, 4)                   AS next_delta,
+  (ROUND(value - LAG(value) OVER w, 4) + 0.0)            AS value_delta,
+  (ROUND(LEAD(value) OVER w - value, 4) + 0.0)           AS next_delta,
   EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w)                AS gap_ms
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -269,8 +269,8 @@ def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
-            F.round(F.lead("value").over(w) - F.col("value"), 4).alias("next_delta"),
+            round_nz(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+            round_nz(F.lead("value").over(w) - F.col("value"), 4).alias("next_delta"),
             (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
         )
     )
