@@ -663,15 +663,20 @@ ORDER BY prob
 """,
 )
 def sketch_gk_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile-sketch contract completing the sketch family (KMV / HLL /
-    CMS / now rank sketch): Spark's mergeable ``percentile_approx``
-    (Greenwald-Khanna-style, accuracy 1/ε = 1000) probed at four ranks.
-    Like the HLL contract, the approximate VALUE is engine-specific, so
-    the oracle-checked surface is determinism-safe: the exact quantile
-    (via the distributed ``exact_quantiles`` prefix-sum operator — no
-    single-reducer percentile), the row count, and the sketch's realized
-    rank-error invariant |rank(v̂) − q·n| ≤ ε·n, which the GK guarantee
-    makes TRUE at any scale. The realized rank of each sketch value is
+    """Quantile-sketch contract in the sketch_* family (KMV / CMS / now
+    rank sketch): Spark's mergeable ``percentile_approx``
+    (Greenwald-Khanna-style, accuracy 1/ε = 1000) probed at four ranks
+    over lineitem prices. Complements ``quantile_approx_accuracy``
+    (scalars2.py), which pins the pure rank-error booleans on orders at
+    accuracy 10k — THIS contract additionally cross-engine-verifies the
+    EXACT quantile values themselves (via the distributed
+    ``exact_quantiles`` prefix-sum operator — no single-reducer
+    percentile) alongside the sketch invariant, so a regression in
+    either the sketch or the exact path is caught by one query. The
+    approximate VALUE stays out of the hashed surface (engine-specific);
+    what is hashed: exact quantile, row count, and the realized
+    rank-error invariant |rank(v̂) − q·n| ≤ ε·n, TRUE at any scale by
+    the GK guarantee. The realized rank of each sketch value is
     ONE extra corpus aggregation against the 4-row broadcast — the
     sketch itself is a single partial-aggregated pass, the 100 TB shape
     for monitoring dashboards where exact prefix-sum quantiles are
