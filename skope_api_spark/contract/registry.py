@@ -17,11 +17,19 @@ Rules enforced by convention (see tests/test_contract.py):
   (2dp) products are exactly 4 decimal places, so rounded-to-2 sums hit
   half-cent ties where the engines' tie rules differ (Spark HALF_UPs the
   shortest decimal repr of the double; DuckDB rounds the binary value).
-  Accumulate via per-row CAST to DECIMAL(18,4) — which exactly recovers
-  the true product — sum exactly, and report at 4dp (see
-  q10_returned_item_customers). ROUND(SUM(...), 2) on doubles stays safe
-  only while no group lands on a boundary; prefer the decimal pattern for
-  any new money-sum query.
+  Preferred exact form (round 8): ``money_ticks`` below — per-row
+  ``CAST(ROUND(expr·10000) AS BIGINT)``, exact long sums, ONE division
+  at output; order/compare on the integer sum (see
+  top_parts_by_revenue, q8-q11, q15). Same exact rational and output
+  doubles as the older per-row CAST to DECIMAL(18,4) accumulation, at
+  long-add speed instead of decimal128 codegen. The DECIMAL pattern
+  remains correct and is still the right choice when a single group's
+  sum could exceed 9.2e18 ten-thousandths (global rollups at extreme
+  SF). ROUND(SUM(...), 2) on doubles stays safe only while no group
+  lands on a boundary (q1/q3/q5/q7 keep that legacy form for exactly
+  that reason — their few giant groups sit far from boundaries, and
+  their group sums are the BIGINT-overflow case); never use it for new
+  money-sum queries.
 - NEVER emit an IEEE ``-0.0``: ``ROUND()`` of a tiny negative double yields
   ``-0.0`` on both engines, but WHICH side of zero a near-zero result lands
   on is accumulation-order noise, so one engine can print ``0.0`` where the
