@@ -673,14 +673,19 @@ def sketch_gk_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exact_quantiles`` prefix-sum operator — no single-reducer
     percentile) alongside the sketch invariant, so a regression in
     either the sketch or the exact path is caught by one query. The
-    approximate VALUE stays out of the hashed surface (engine-specific);
-    what is hashed: exact quantile, row count, and the realized
-    rank-error invariant |rank(v̂) − q·n| ≤ ε·n, TRUE at any scale by
-    the GK guarantee. The realized rank of each sketch value is
-    ONE extra corpus aggregation against the 4-row broadcast — the
-    sketch itself is a single partial-aggregated pass, the 100 TB shape
-    for monitoring dashboards where exact prefix-sum quantiles are
-    overkill."""
+    approximate VALUE stays out of the hashed surface (engine-specific),
+    so the declared contract is determinism-safe: what is hashed is the
+    exact quantile, the row count, and the realized rank-error
+    invariant. With duplicate values the returned element does not have
+    ONE rank but the interval [count(p < v̂)+1, count(p ≤ v̂)] — the GK
+    guarantee is that SOME rank of v̂ is within ε·n of q·n, so the
+    boolean checks that this interval intersects [q·n − ε·n, q·n + ε·n]
+    (a single max-rank test over-rejects when any value's multiplicity
+    approaches ε·n). TRUE at any scale by the sketch guarantee. The
+    realized rank interval of each sketch value is ONE extra corpus
+    aggregation against the 4-row broadcast — the sketch itself is a
+    single partial-aggregated pass, the 100 TB shape for monitoring
+    dashboards where exact prefix-sum quantiles are overkill."""
     from skope_api_spark.operators.stats import exact_quantiles
 
     probs = [0.25, 0.5, 0.75, 0.9]
@@ -698,9 +703,17 @@ def sketch_gk_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = (
         prices.crossJoin(F.broadcast(approx))
         .groupBy("prob", "av", "n")
-        .agg(F.sum(F.when(F.col("p") <= F.col("av"), 1).otherwise(0)).alias("rk"))
+        .agg(
+            F.sum(F.when(F.col("p") < F.col("av"), 1).otherwise(0)).alias(
+                "rk_below"
+            ),
+            F.sum(F.when(F.col("p") <= F.col("av"), 1).otherwise(0)).alias(
+                "rk_hi"
+            ),
+        )
     )
     eps_slack = F.col("n").cast("double") / 1000.0 + 1.0
+    target = F.col("prob") * F.col("n").cast("double")
     return (
         exact.join(ranks, "prob")
         .select(
@@ -708,11 +721,8 @@ def sketch_gk_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("exact_value"),
             "n",
             (
-                F.abs(
-                    F.col("rk").cast("double")
-                    - F.col("prob") * F.col("n").cast("double")
-                )
-                <= eps_slack
+                ((F.col("rk_below") + 1).cast("double") <= target + eps_slack)
+                & (F.col("rk_hi").cast("double") >= target - eps_slack)
             ).alias("within_bound"),
         )
         .orderBy("prob")
@@ -1802,36 +1812,62 @@ _RFM_CUST = """
          MAX(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
            AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS monetary_ticks
   FROM orders GROUP BY o_custkey
 """
 
 
-def _rfm_thresholds(col: str) -> str:
-    return (
-        f"SELECT [ROUND(quantile_cont({col}, 0.25), 6), "
-        f"ROUND(quantile_cont({col}, 0.5), 6), "
-        f"ROUND(quantile_cont({col}, 0.75), 6)] AS t FROM cust"
-    )
+def _rfm_brackets(col: str) -> str:
+    """Integer-exact quartile brackets of an integral column of `cust`:
+    per quartile k/4, the bracketing values (vlo, vhi) of the
+    percentile_cont rank h = (n−1)·k/4 plus rem = (n−1)·k mod 4, packed
+    as a 3-element struct list — the oracle mirror of
+    operators/stats.py:exact_quantile_brackets."""
+    return f"""
+  SELECT list(struct_pack(vlo := vlo, vhi := vhi, rem := rem)
+              ORDER BY k) AS t
+  FROM (
+    SELECT g.k AS k,
+           MAX(CASE WHEN r.rn = ((r.n - 1) * g.k) // 4
+               THEN r.v END) AS vlo,
+           MAX(CASE WHEN r.rn = ((r.n - 1) * g.k) // 4
+                         + CASE WHEN ((r.n - 1) * g.k) % 4 > 0
+                                THEN 1 ELSE 0 END
+               THEN r.v END) AS vhi,
+           ANY_VALUE(((r.n - 1) * g.k) % 4) AS rem
+    FROM (SELECT CAST({col} AS BIGINT) AS v,
+                 ROW_NUMBER() OVER (ORDER BY {col}) - 1 AS rn,
+                 COUNT(*) OVER () AS n
+          FROM cust) r
+    CROSS JOIN generate_series(1, 3) g(k)
+    GROUP BY g.k
+  )
+"""
 
 
 @query(
     "rfm_customer_segments",
     oracle=f"""
 WITH cust AS MATERIALIZED ({_RFM_CUST}),
-tr AS ({_rfm_thresholds('recency_days')}),
-tf AS ({_rfm_thresholds('frequency')}),
-tm AS ({_rfm_thresholds('monetary')}),
+tr AS MATERIALIZED ({_rfm_brackets('recency_days')}),
+tf AS MATERIALIZED ({_rfm_brackets('frequency')}),
+tm AS MATERIALIZED ({_rfm_brackets('monetary_ticks')}),
 scored AS (
   SELECT c.*,
-    1 + len(list_filter(tr.t, x -> c.recency_days > x)) AS r_score,
-    1 + len(list_filter(tf.t, x -> c.frequency > x)) AS f_score,
-    1 + len(list_filter(tm.t, x -> c.monetary > x)) AS m_score
+    1 + len(list_filter(tr.t,
+        s -> 4 * c.recency_days > 4 * s.vlo + s.rem * (s.vhi - s.vlo)))
+      AS r_score,
+    1 + len(list_filter(tf.t,
+        s -> 4 * c.frequency > 4 * s.vlo + s.rem * (s.vhi - s.vlo)))
+      AS f_score,
+    1 + len(list_filter(tm.t,
+        s -> 4 * c.monetary_ticks > 4 * s.vlo + s.rem * (s.vhi - s.vlo)))
+      AS m_score
   FROM cust c CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
 )
 SELECT r_score || '' || f_score || '' || m_score AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(SUM(CAST(monetary AS DECIMAL(18,2))), 2) AS total_monetary
+       CAST(SUM(monetary_ticks) AS BIGINT) AS total_monetary_ticks
 FROM scored
 GROUP BY 1
 ORDER BY n_customers DESC, segment
@@ -1840,9 +1876,12 @@ ORDER BY n_customers DESC, segment
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation of the customer base: quartile scores over
     recency/frequency/monetary (operators/funnel.py:rfm_segments — one
-    per-customer aggregation, distributed-quantile thresholds broadcast,
-    in-scan score fold), rolled up to segment sizes and exact-decimal
-    segment revenue."""
+    per-customer aggregation, integer-exact quartile brackets broadcast,
+    in-scan score fold), rolled up to segment sizes and exact BIGINT
+    money-ticks segment revenue. Engine-build-proof (VERDICT r8 #1):
+    every hashed cell is a string or BIGINT, every quartile comparison
+    is integer cross-multiplication — no interpolated-double threshold
+    for a DuckDB-build quantile_cont ulp difference to flip."""
     from skope_api_spark.operators.funnel import rfm_segments
 
     orders = load(spark, sf_dir, "orders")
@@ -1856,9 +1895,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum(F.col("monetary").cast("decimal(18,2)")), 2
-            ).alias("total_monetary"),
+            F.sum("monetary_ticks").alias("total_monetary_ticks"),
         )
         .orderBy(F.desc("n_customers"), "segment")
     )

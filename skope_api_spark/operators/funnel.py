@@ -187,51 +187,56 @@ def rfm_segments(
     customer_col: str,
     date_col: str,
     amount_col: str,
-    amount_decimals: int = 2,
-    boundary_decimals: int = 6,
+    tick_scale: int = 10000,
 ) -> DataFrame:
     """RFM segmentation: per-customer Recency / Frequency / Monetary
     quartile scores (1 = lowest quartile of each metric, 4 = highest).
 
-    Plan: ONE aggregation to the per-customer (recency, frequency,
-    monetary) table — recency as epoch-day of the last order, monetary as
-    an exact decimal sum per the money rule — then quartile thresholds
-    from the distributed ``exact_quantiles`` (broadcast, rounded to
-    ``boundary_decimals`` so the score assignment is engine-identical),
-    and an in-scan fold assigns each score. Customer-table-sized work
-    after the first aggregation; no ntile, no global sort.
+    Engine-build-proof by construction (VERDICT r8 #1): every scored
+    metric is a BIGINT — recency as epoch-day of the last order,
+    frequency as a count, monetary as the exact money-ticks sum
+    (``round(amount · tick_scale)`` per row, long addition; the contract
+    registry's ``money_ticks`` rule) — and the quartile comparisons
+    never touch a float. Thresholds come from the distributed
+    ``exact_quantile_brackets`` (stats.py): each quartile k/4 is carried
+    as its bracketing values (vlo, vhi) plus the rank remainder, and
+    ``x > quantile`` is evaluated by integer cross-multiplication
+    ``4·x > 4·vlo + rem·(vhi − vlo)`` — no interpolated double, no
+    ROUND boundary for a last-ulp engine difference to flip.
 
-    Returns (customer, recency_days, frequency, monetary, r_score,
-    f_score, m_score, segment) where segment is "RFM" digits.
+    Plan: ONE aggregation to the per-customer table, three distributed
+    bracket computations over it (broadcast, 3 rows each), an in-scan
+    integer fold assigns each score. Customer-table-sized work after
+    the first aggregation; no ntile, no global sort.
+
+    Returns (customer, recency_days, frequency, monetary_ticks,
+    r_score, f_score, m_score, segment) where segment is "RFM" digits.
     """
-    from skope_api_spark.operators.stats import exact_quantiles
+    from skope_api_spark.operators.stats import exact_quantile_brackets
 
     per_cust = orders.groupBy(
         F.col(customer_col).alias("customer")
     ).agg(
         F.max(F.unix_date(F.to_date(date_col))).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col(amount_col).cast(f"decimal(18,{amount_decimals})"))
-        .cast("double")
-        .alias("monetary"),
+        F.sum(
+            F.round(F.col(amount_col) * F.lit(tick_scale)).cast("long")
+        ).alias("monetary_ticks"),
     )
     per_cust = per_cust.localCheckpoint(eager=True)  # 3 quantile passes + scoring
 
     def thresholds(col):
-        qs = exact_quantiles(per_cust, col, [0.25, 0.5, 0.75])
-        return qs.agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("prob"), F.col("value")))
-                ),
-                lambda s: F.round(s["value"], boundary_decimals),
+        br = exact_quantile_brackets(per_cust, col, [1, 2, 3], 4)
+        return br.agg(
+            F.array_sort(
+                F.collect_list(F.struct("num", "vlo", "vhi", "rem"))
             ).alias(f"__t_{col}")
         )
 
     scored = (
         per_cust.crossJoin(F.broadcast(thresholds("recency_days")))
         .crossJoin(F.broadcast(thresholds("frequency")))
-        .crossJoin(F.broadcast(thresholds("monetary")))
+        .crossJoin(F.broadcast(thresholds("monetary_ticks")))
     )
 
     def score(col):
@@ -239,20 +244,24 @@ def rfm_segments(
             F.col(f"__t_{col}"),
             F.lit(1),
             lambda acc, t: acc
-            + F.when(F.col(col) > t, 1).otherwise(0),
+            + F.when(
+                F.col(col) * 4
+                > t["vlo"] * 4 + t["rem"] * (t["vhi"] - t["vlo"]),
+                1,
+            ).otherwise(0),
         )
 
     return scored.select(
         "customer",
         "recency_days",
         "frequency",
-        "monetary",
+        "monetary_ticks",
         score("recency_days").alias("r_score"),
         score("frequency").alias("f_score"),
-        score("monetary").alias("m_score"),
+        score("monetary_ticks").alias("m_score"),
         F.concat(
             score("recency_days").cast("string"),
             score("frequency").cast("string"),
-            score("monetary").cast("string"),
+            score("monetary_ticks").cast("string"),
         ).alias("segment"),
     )

@@ -116,11 +116,11 @@ class TestRFM:
             for s in ("r_score", "f_score", "m_score"):
                 assert 1 <= r[s] <= 4
 
-    def test_monetary_is_exact_decimal_sum(self, spark):
+    def test_monetary_is_exact_tick_sum(self, spark):
         from skope_api_spark.operators.funnel import rfm_segments
 
         out = {
-            r["customer"]: r["monetary"]
+            r["customer"]: r["monetary_ticks"]
             for r in rfm_segments(
                 self._orders(spark),
                 customer_col="cust",
@@ -128,7 +128,7 @@ class TestRFM:
                 amount_col="amount",
             ).collect()
         }
-        assert out[1] == 8000.0 and out[2] == 10.0
+        assert out[1] == 8000_0000 and out[2] == 10_0000
 
 
 class TestItemItemCosine:

@@ -200,6 +200,71 @@ def test_exact_quantiles_ignores_nulls_and_validates(spark):
         exact_quantiles(df, "x", [1.5])
 
 
+def test_exact_quantile_brackets_match_fraction_reference(spark):
+    """The integer-exact bracket operator against a pure-Python
+    Fraction reference: for each num/denom the bracketing values, the
+    rank remainder, AND the implied comparison x > quantile must match
+    exact rational arithmetic — the engine-build-proof contract the rfm
+    query relies on (VERDICT r8 #1)."""
+    from fractions import Fraction
+
+    import numpy as np
+    from skope_api_spark.operators.stats import exact_quantile_brackets
+
+    rng = np.random.default_rng(17)
+    vals = sorted(int(v) for v in rng.integers(-50, 500, 237))
+    # force heavy ties too
+    vals += [7] * 40
+    vals.sort()
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    n = len(vals)
+    denom = 4
+    got = {
+        r["num"]: r
+        for r in exact_quantile_brackets(
+            df, "x", [1, 2, 3], denom, partitions=8
+        ).collect()
+    }
+    for k in (1, 2, 3):
+        h = Fraction((n - 1) * k, denom)
+        fl, rem = divmod((n - 1) * k, denom)
+        r = got[k]
+        assert r["n"] == n
+        assert r["vlo"] == vals[fl]
+        assert r["vhi"] == vals[fl + (1 if rem else 0)]
+        assert r["rem"] == rem
+        # the comparison every threshold consumer performs
+        q = Fraction(vals[fl]) + Fraction(rem, denom) * (
+            vals[fl + (1 if rem else 0)] - vals[fl]
+        )
+        for x in {vals[fl] - 1, vals[fl], vals[fl] + 1, int(q), int(q) + 1}:
+            exact = Fraction(x) > q
+            engine = denom * x > denom * r["vlo"] + r["rem"] * (
+                r["vhi"] - r["vlo"]
+            )
+            assert engine == exact, (k, x)
+
+
+def test_exact_quantile_brackets_validation_and_nulls(spark):
+    import pytest as _pytest
+    from skope_api_spark.operators.stats import exact_quantile_brackets
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "x long")
+    got = {
+        r["num"]: r
+        for r in exact_quantile_brackets(df, "x", [0, 2], 2).collect()
+    }
+    # n=2 after NULL drop; median rank h = 0.5 -> brackets (1, 3), rem 1
+    assert got[2]["vlo"] == 3 and got[2]["vhi"] == 3 and got[2]["n"] == 2
+    assert got[0]["vlo"] == 1 and got[0]["rem"] == 0
+    with _pytest.raises(ValueError, match="numerators"):
+        exact_quantile_brackets(df, "x", [], 4)
+    with _pytest.raises(ValueError, match="numerators"):
+        exact_quantile_brackets(df, "x", [5], 4)
+    with _pytest.raises(ValueError, match="denom"):
+        exact_quantile_brackets(df, "x", [1], 0)
+
+
 def test_robust_summary_matches_numpy(spark):
     import numpy as np
     from skope_api_spark.operators.stats import robust_summary
