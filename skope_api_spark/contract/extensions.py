@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query, round_nz
+from skope_api_spark.contract.registry import (
+    int_bracket_sql,
+    query,
+    round_nz,
+)
 from skope_api_spark.operators.asof import asof_join
 from skope_api_spark.tables import load
 
@@ -1654,35 +1658,37 @@ def hist_equi_width_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
-_DECILE_BOUNDS_SQL = ", ".join(
-    f"ROUND(quantile_cont(l_extendedprice, {i / 10}), 2)" for i in range(1, 10)
-)
-
-
 @query(
     "hist_equi_depth_price",
     oracle=f"""
-WITH b AS (
-  SELECT [{_DECILE_BOUNDS_SQL}] AS bounds FROM lineitem
-)
-SELECT 1 + len(list_filter(b.bounds, x -> l_extendedprice > x)) AS bucket,
+WITH ticks AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS t FROM lineitem
+), b AS MATERIALIZED ({int_bracket_sql('ticks', 't', range(1, 10), 10)})
+SELECT 1 + len(list_filter(b.t,
+         s -> ticks.t * 10 > s.vlo * 10 + s.rem * (s.vhi - s.vlo)))
+         AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM lineitem CROSS JOIN b
+FROM ticks CROSS JOIN b
 GROUP BY 1
 ORDER BY bucket
 """,
 )
 def hist_equi_depth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (decile) histogram of l_extendedprice: exact-percentile
-    boundaries (2-dp-rounded so the interpolated doubles are stable
-    cross-engine) broadcast as one scalar row, then an in-scan aggregate
-    fold bins each value — no ntile, no global sort funnel
-    (operators/quality.py:equi_depth_histogram; swap approx_percentile
-    into the boundary aggregate at extreme scale, same plan shape)."""
+    """Equi-depth (decile) histogram of l_extendedprice: boundaries as
+    INTEGER-EXACT cent-tick brackets (operators/quality.py:
+    equi_depth_histogram tick mode → stats.py:exact_quantile_brackets)
+    broadcast as one scalar row, then an in-scan aggregate fold bins
+    each value by integer cross-multiplication — no ntile, no global
+    sort funnel, and no interpolated-double boundary for an engine-build
+    quantile ulp to flip (the r8 rfm class: cent-grid prices against
+    ROUND(decile, 2) could tie on a half-cent). Swap approx_percentile
+    into the boundary aggregate at extreme scale, same plan shape."""
     from skope_api_spark.operators.quality import equi_depth_histogram
 
     li = load(spark, sf_dir, "lineitem")
-    out = equi_depth_histogram(li, "l_extendedprice", buckets=10)
+    out = equi_depth_histogram(
+        li, "l_extendedprice", buckets=10, tick_scale=100
+    )
     return out.orderBy("bucket")
 
 
@@ -1818,31 +1824,10 @@ _RFM_CUST = """
 
 
 def _rfm_brackets(col: str) -> str:
-    """Integer-exact quartile brackets of an integral column of `cust`:
-    per quartile k/4, the bracketing values (vlo, vhi) of the
-    percentile_cont rank h = (n−1)·k/4 plus rem = (n−1)·k mod 4, packed
-    as a 3-element struct list — the oracle mirror of
-    operators/stats.py:exact_quantile_brackets."""
-    return f"""
-  SELECT list(struct_pack(vlo := vlo, vhi := vhi, rem := rem)
-              ORDER BY k) AS t
-  FROM (
-    SELECT g.k AS k,
-           MAX(CASE WHEN r.rn = ((r.n - 1) * g.k) // 4
-               THEN r.v END) AS vlo,
-           MAX(CASE WHEN r.rn = ((r.n - 1) * g.k) // 4
-                         + CASE WHEN ((r.n - 1) * g.k) % 4 > 0
-                                THEN 1 ELSE 0 END
-               THEN r.v END) AS vhi,
-           ANY_VALUE(((r.n - 1) * g.k) % 4) AS rem
-    FROM (SELECT CAST({col} AS BIGINT) AS v,
-                 ROW_NUMBER() OVER (ORDER BY {col}) - 1 AS rn,
-                 COUNT(*) OVER () AS n
-          FROM cust) r
-    CROSS JOIN generate_series(1, 3) g(k)
-    GROUP BY g.k
-  )
-"""
+    """Integer-exact quartile brackets of an integral column of `cust`
+    (registry.py:int_bracket_sql — the oracle mirror of
+    operators/stats.py:exact_quantile_brackets)."""
+    return int_bracket_sql("cust", col, [1, 2, 3], 4)
 
 
 @query(

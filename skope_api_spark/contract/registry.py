@@ -47,7 +47,7 @@ Rules enforced by convention (see tests/test_contract.py):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,6 +72,40 @@ def money_ticks(expr: Column) -> Column:
     at extreme scale, fall back to the DECIMAL pattern.
     """
     return F.round(expr * F.lit(10000)).cast("long")
+
+
+def int_bracket_sql(rel: str, col: str, nums: Sequence[int], denom: int) -> str:
+    """Oracle-side mirror of ``operators/stats.py:exact_quantile_brackets``:
+    a DuckDB subquery producing, for each prob num/denom over the integral
+    column ``col`` of relation ``rel``, the percentile_cont BRACKET values
+    (vlo, vhi) at rank h = (n−1)·num/denom plus rem = (n−1)·num mod denom,
+    packed as a struct list ordered by num. Consumers then evaluate
+    ``x > quantile`` by integer cross-multiplication
+    ``denom·x > denom·vlo + rem·(vhi − vlo)`` — the engine-build-proof
+    replacement for ``x > ROUND(quantile_cont(...), k)`` (a last-ulp
+    interpolation difference between DuckDB builds flipped the r8 rfm
+    gate; this form has no float threshold to flip)."""
+    nums_sql = ", ".join(f"({int(k)})" for k in nums)
+    return f"""
+  SELECT list(struct_pack(vlo := vlo, vhi := vhi, rem := rem)
+              ORDER BY k) AS t
+  FROM (
+    SELECT g.k AS k,
+           MAX(CASE WHEN r.rn = ((r.n - 1) * g.k) // {denom}
+               THEN r.v END) AS vlo,
+           MAX(CASE WHEN r.rn = ((r.n - 1) * g.k) // {denom}
+                         + CASE WHEN ((r.n - 1) * g.k) % {denom} > 0
+                                THEN 1 ELSE 0 END
+               THEN r.v END) AS vhi,
+           ANY_VALUE(((r.n - 1) * g.k) % {denom}) AS rem
+    FROM (SELECT CAST({col} AS BIGINT) AS v,
+                 ROW_NUMBER() OVER (ORDER BY {col}) - 1 AS rn,
+                 COUNT(*) OVER () AS n
+          FROM {rel}) r
+    CROSS JOIN (VALUES {nums_sql}) g(k)
+    GROUP BY g.k
+  )
+"""
 
 
 def round_nz(col: Column | str, scale: int) -> Column:

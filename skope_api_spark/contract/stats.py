@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import query, round_nz
+from skope_api_spark.contract.registry import (
+    int_bracket_sql,
+    query,
+    round_nz,
+)
 from skope_api_spark.tables import load
 
 
@@ -169,8 +173,8 @@ WITH q AS (
   SELECT quantile_cont(l_extendedprice, 0.5)  AS med,
          quantile_cont(l_extendedprice, 0.75)
            - quantile_cont(l_extendedprice, 0.25) AS iqr,
-         ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
-         ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+         ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS hi
   FROM lineitem
 ), t AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -193,14 +197,18 @@ FROM q CROSS JOIN t CROSS JOIN d
 def stats_robust_price_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust location/scale profile of l_extendedprice: exact median,
     MAD, IQR (distributed exact_quantiles — no single-reducer buffer),
-    and the 5%-trimmed mean (2-dp-rounded trim bounds so the trimmed SET
-    is engine-identical, then an exact decimal sum per the money rule).
+    and the 5%-trimmed mean (4-dp-rounded trim bounds, then an exact
+    decimal sum per the money rule). Trim bounds round at 4 dp, NOT 2:
+    p05/p95 of cent-grid prices interpolate on a 0.0005 grid, which is
+    EXACT at 4 dp (engine-build-proof recovery, ulp error ≪ the 5e-5
+    margin) but ties on the half-cent at 2 dp — the r8 rfm class
+    (PERF.md r9 quantile-boundary audit).
     operators/stats.py:robust_summary."""
     from skope_api_spark.operators.stats import robust_summary
 
     li = load(spark, sf_dir, "lineitem")
     out = robust_summary(
-        li, "l_extendedprice", trim=0.05, boundary_decimals=2,
+        li, "l_extendedprice", trim=0.05, boundary_decimals=4,
         value_decimals=2,
     )
     return out.select(
@@ -1000,49 +1008,59 @@ def stats_kaplan_meier_user_lifetime(
 
 @query(
     "feature_winsorize_price",
-    oracle="""
-WITH b AS (
-  SELECT ROUND(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
-         ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS hi
-  FROM lineitem
+    oracle=f"""
+WITH ticks AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS t FROM lineitem
+), b AS MATERIALIZED ({int_bracket_sql('ticks', 't', [1, 99], 100)}),
+bounds AS (
+  SELECT 100 * b.t[1].vlo + b.t[1].rem * (b.t[1].vhi - b.t[1].vlo) AS lo_d,
+         100 * b.t[2].vlo + b.t[2].rem * (b.t[2].vhi - b.t[2].vlo) AS hi_d
+  FROM b
 ), w AS (
-  SELECT CASE WHEN l_extendedprice < b.lo THEN b.lo
-              WHEN l_extendedprice > b.hi THEN b.hi
-              ELSE l_extendedprice END AS wv,
-         (l_extendedprice < b.lo OR l_extendedprice > b.hi) AS clipped
-  FROM lineitem, b
+  SELECT CASE WHEN t * 100 < lo_d THEN lo_d
+              WHEN t * 100 > hi_d THEN hi_d
+              ELSE t * 100 END AS wd,
+         (t * 100 < lo_d OR t * 100 > hi_d) AS clipped
+  FROM ticks, bounds
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(CASE WHEN clipped THEN 1 END) AS BIGINT) AS n_clipped,
-       ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+       ROUND(CAST(SUM(wd) AS DOUBLE) / 10000.0 / COUNT(*), 6)
          AS winsorized_mean,
-       ROUND(MIN(wv), 2) AS min_wv, ROUND(MAX(wv), 2) AS max_wv
+       ROUND(CAST(MIN(wd) AS DOUBLE) / 10000.0, 4) AS min_wv,
+       ROUND(CAST(MAX(wd) AS DOUBLE) / 10000.0, 4) AS max_wv
 FROM w
 """,
 )
 def feature_winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized extended price at [p01, p99]: exact distributed
-    quantile bounds (2-dp-rounded) broadcast into a pure clip
-    projection; the winsorized mean accumulates as exact decimal(18,2)
-    (clipped values inherit the data's 2-dp scale, so the money-sum rule
-    applies unchanged). Reports the clip count and bounds
-    (operators/stats.py:winsorize)."""
-    from skope_api_spark.operators.stats import winsorize
+    """Winsorized extended price at [p01, p99] with INTEGER-EXACT
+    interpolated bounds (operators/stats.py:winsorize_ticks — cent
+    ticks, bounds carried as exact integers in d·tick units, clip
+    comparisons and clipped values never leave BIGINT arithmetic; the
+    r8 rfm class fix — the old 2-dp-rounded bound could tie on a
+    half-cent, where an engine-build quantile ulp flips the rounding
+    and every comparison against it). The winsorized mean is ONE
+    division of an exact integer sum; min/max recover their 1e-4-grid
+    values exactly at 4 dp."""
+    from skope_api_spark.operators.stats import winsorize_ticks
 
     li = load(spark, sf_dir, "lineitem")
-    w = winsorize(li, "l_extendedprice")
-    wv = F.col("l_extendedprice_winsorized")
-    orig = F.col("l_extendedprice").cast("double")
+    w = winsorize_ticks(li, "l_extendedprice")
+    wd = F.col("l_extendedprice_winsorized_dticks")
+    torig = F.round(F.col("l_extendedprice") * 100).cast("long") * 100
     return w.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(F.when(wv != orig, 1)).alias("n_clipped"),
+        F.count(F.when(wd != torig, 1)).alias("n_clipped"),
         F.round(
-            F.sum(wv.cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(wd).cast("double") / F.lit(10000.0) / F.count(F.lit(1)),
             6,
         ).alias("winsorized_mean"),
-        F.round(F.min(wv), 2).alias("min_wv"),
-        F.round(F.max(wv), 2).alias("max_wv"),
+        F.round(F.min(wd).cast("double") / F.lit(10000.0), 4).alias(
+            "min_wv"
+        ),
+        F.round(F.max(wd).cast("double") / F.lit(10000.0), 4).alias(
+            "max_wv"
+        ),
     )
 
 
@@ -1152,19 +1170,28 @@ def stats_weighted_quantiles_price_by_qty(
 
 @query(
     "feature_robust_scale_price",
-    oracle="""
-WITH b AS (
-  SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
-         ROUND(quantile_cont(l_extendedprice, 0.75)
-               - quantile_cont(l_extendedprice, 0.25), 2) AS iqr
-  FROM lineitem
+    oracle=f"""
+WITH ticks AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS t FROM lineitem
+), br AS MATERIALIZED ({int_bracket_sql('ticks', 't', [1, 2, 3], 4)}),
+b AS (
+  SELECT 4 * br.t[2].vlo + br.t[2].rem * (br.t[2].vhi - br.t[2].vlo)
+           AS med4,
+         (4 * br.t[3].vlo + br.t[3].rem * (br.t[3].vhi - br.t[3].vlo))
+         - (4 * br.t[1].vlo + br.t[1].rem * (br.t[1].vhi - br.t[1].vlo))
+           AS iqr4
+  FROM br
 ), scaled AS (
-  SELECT (l_extendedprice - b.med) / b.iqr AS z FROM lineitem, b
+  SELECT t * 4 - b.med4 AS zn, b.iqr4 FROM ticks, b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       (ROUND(MIN(z), 6) + 0.0) AS min_z, (ROUND(MAX(z), 6) + 0.0) AS max_z,
-       (ROUND(quantile_cont(z, 0.5), 6) + 0.0) AS median_z,
-       CAST(COUNT(CASE WHEN abs(z) > 2 THEN 1 END) AS BIGINT)
+       (ROUND(CAST(MIN(zn) AS DOUBLE) / ANY_VALUE(iqr4), 6) + 0.0)
+         AS min_z,
+       (ROUND(CAST(MAX(zn) AS DOUBLE) / ANY_VALUE(iqr4), 6) + 0.0)
+         AS max_z,
+       (ROUND(CAST(SUM(zn) AS DOUBLE) / ANY_VALUE(iqr4) / COUNT(*), 6)
+         + 0.0) AS mean_z,
+       CAST(COUNT(CASE WHEN abs(zn) > 2 * iqr4 THEN 1 END) AS BIGINT)
          AS n_outside_2iqr
 FROM scaled
 """,
@@ -1172,53 +1199,63 @@ FROM scaled
 def feature_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust scaling (x − median)/IQR — the outlier-immune companion of
     z-scoring, completing the transform trio with rank_normalize and
-    winsorize. Median/IQR come from the distributed exact quantiles
-    (2-dp-rounded bounds so the scale factors are identical doubles);
-    the report checks the scaled distribution's shape. The 6-dp
-    roundings cover the one interpolated median-of-z."""
-    from skope_api_spark.operators.stats import exact_quantiles
+    winsorize. Median and IQR are carried as EXACT integers in
+    quarter-cent-tick units (stats.py:exact_quantile_brackets: 4·q =
+    4·vlo + rem·(vhi − vlo) is an integer for quartiles of an integer
+    column), so the scaled numerator zn = 4·t − med4 is BIGINT, the
+    2-IQR outlier comparison is pure integer arithmetic, and every
+    reported double is one division of identical integers — the r8 rfm
+    class fix (the old 2-dp-rounded med/iqr could tie on a half-cent).
+    mean_z replaces the former median_z (which this construction makes
+    identically ~0 — the mean actually carries information about the
+    skew of the scaled distribution)."""
+    from skope_api_spark.operators.stats import exact_quantile_brackets
 
     li = load(spark, sf_dir, "lineitem")
-    qs = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
-    b = qs.agg(
-        F.round(
-            F.min(F.when(F.col("prob") == 0.5, F.col("value"))), 2
-        ).alias("__med"),
-        F.round(
-            F.min(F.when(F.col("prob") == 0.75, F.col("value")))
-            - F.min(F.when(F.col("prob") == 0.25, F.col("value"))),
-            2,
-        ).alias("__iqr"),
+    ticks = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("t")
     )
-    z = (F.col("l_extendedprice") - F.col("__med")) / F.col("__iqr")
-    scaled = li.crossJoin(F.broadcast(b)).select(z.alias("z"))
+    br = exact_quantile_brackets(ticks, "t", [1, 2, 3], 4)
+    qd = F.col("vlo") * 4 + F.col("rem") * (F.col("vhi") - F.col("vlo"))
+    b = br.agg(
+        F.min(F.when(F.col("num") == 2, qd)).alias("__med4"),
+        (
+            F.min(F.when(F.col("num") == 3, qd))
+            - F.min(F.when(F.col("num") == 1, qd))
+        ).alias("__iqr4"),
+    )
+    scaled = ticks.crossJoin(F.broadcast(b)).select(
+        (F.col("t") * 4 - F.col("__med4")).alias("zn"), F.col("__iqr4")
+    )
+    iqr4 = F.any_value("__iqr4")
     return scaled.agg(
         F.count(F.lit(1)).alias("n"),
-        round_nz(F.min("z"), 6).alias("min_z"),
-        round_nz(F.max("z"), 6).alias("max_z"),
-        round_nz(F.percentile("z", F.lit(0.5)), 6).alias("median_z"),
-        F.count(F.when(F.abs("z") > 2, 1)).alias("n_outside_2iqr"),
+        round_nz(F.min("zn").cast("double") / iqr4, 6).alias("min_z"),
+        round_nz(F.max("zn").cast("double") / iqr4, 6).alias("max_z"),
+        round_nz(
+            F.sum("zn").cast("double") / iqr4 / F.count(F.lit(1)), 6
+        ).alias("mean_z"),
+        F.count(
+            F.when(F.abs(F.col("zn")) > 2 * F.col("__iqr4"), 1)
+        ).alias("n_outside_2iqr"),
     )
-
-
-_PSI_BOUNDS = ", ".join(
-    f"ROUND(quantile_cont(v, {i / 10}), 2)" for i in range(1, 10)
-)
 
 
 @query(
     "dq_psi_order_totals_by_segment",
     oracle=f"""
-WITH seg AS (
-  SELECT o.o_totalprice AS v,
+WITH seg AS MATERIALIZED (
+  SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS t,
          (c.c_mktsegment = 'AUTOMOBILE') AS is_ref
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-), b AS MATERIALIZED (
-  SELECT [{_PSI_BOUNDS}] AS bounds
-  FROM seg WHERE is_ref
-), binned AS (
-  SELECT 1 + len(list_filter(b.bounds, x -> s.v > x)) AS bucket, s.is_ref
-  FROM seg s CROSS JOIN b
+), ref AS MATERIALIZED (SELECT t FROM seg WHERE is_ref),
+b AS MATERIALIZED ({int_bracket_sql('ref', 't', range(1, 10), 10)}),
+binned AS (
+  SELECT 1 + len(list_filter(b.t,
+           s -> seg.t * 10 > s.vlo * 10 + s.rem * (s.vhi - s.vlo)))
+           AS bucket,
+         seg.is_ref
+  FROM seg CROSS JOIN b
 ), counts AS (
   SELECT bucket,
          COUNT(CASE WHEN is_ref THEN 1 END) + 0.5 AS p_n,
@@ -1236,12 +1273,15 @@ def dq_psi_order_totals_by_segment(
 ) -> DataFrame:
     """Population Stability Index between AUTOMOBILE-segment order
     totals (reference) and everyone else — THE model-monitoring drift
-    metric: decile bins from the REFERENCE slice's exact quantiles,
-    Σ (p−q)·ln(p/q) over bin shares, 0.5-Laplace smoothing so empty
-    bins stay finite and deterministic (documented convention; classic
-    rule of thumb: psi < 0.1 stable, > 0.25 shifted). One scan after
-    the broadcast customer-segment join; counts are exact integers."""
-    from skope_api_spark.operators.stats import exact_quantiles
+    metric: decile bins from the REFERENCE slice's exact quantiles as
+    INTEGER-EXACT cent-tick brackets (stats.py:exact_quantile_brackets;
+    the r8 rfm class — cent-grid totals vs ROUND(decile, 2) could tie
+    on a half-cent), Σ (p−q)·ln(p/q) over bin shares, 0.5-Laplace
+    smoothing so empty bins stay finite and deterministic (documented
+    convention; classic rule of thumb: psi < 0.1 stable, > 0.25
+    shifted). One scan after the broadcast customer-segment join;
+    counts are exact integers binned by integer cross-multiplication."""
+    from skope_api_spark.operators.stats import exact_quantile_brackets
 
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -1249,26 +1289,27 @@ def dq_psi_order_totals_by_segment(
         F.broadcast(cust.select("c_custkey", "c_mktsegment")),
         orders["o_custkey"] == cust["c_custkey"],
     ).select(
-        F.col("o_totalprice").alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
         (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_ref"),
     )
     seg = seg.localCheckpoint(eager=True)
-    qs = exact_quantiles(
-        seg.where(F.col("is_ref")), "v", [i / 10 for i in range(1, 10)]
+    br = exact_quantile_brackets(
+        seg.where(F.col("is_ref")), "t", list(range(1, 10)), 10
     )
-    bounds = qs.agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("prob"), F.col("value")))
-            ),
-            lambda s: F.round(s["value"], 2),
+    bounds = br.agg(
+        F.array_sort(
+            F.collect_list(F.struct("num", "vlo", "vhi", "rem"))
         ).alias("__bounds")
     )
     binned = seg.crossJoin(F.broadcast(bounds))
     bucket = F.aggregate(
         F.col("__bounds"),
         F.lit(1),
-        lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0),
+        lambda acc, b: acc
+        + F.when(
+            F.col("t") * 10 > b["vlo"] * 10 + b["rem"] * (b["vhi"] - b["vlo"]),
+            1,
+        ).otherwise(0),
     )
     counts = binned.groupBy(bucket.alias("bucket")).agg(
         (F.count(F.when(F.col("is_ref"), 1)) + 0.5).alias("p_n"),

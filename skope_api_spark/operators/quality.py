@@ -100,25 +100,68 @@ def equi_depth_histogram(
     *,
     buckets: int,
     boundary_decimals: int = 2,
+    tick_scale: int | None = None,
 ) -> DataFrame:
     """Equi-depth (quantile-bucket) histogram: counts between exact
     percentile boundaries.
 
     Boundaries come from the DISTRIBUTED exact-quantile operator
-    (operators/stats.py:exact_quantiles — range-partitioned value
-    histogram + distributed prefix sum; Spark's built-in exact
-    ``percentile`` buffers every value in one reducer and measured ~150 s
-    at sf1 where this plan takes ~5 s), rounded to ``boundary_decimals``
-    so the interpolated doubles are stable cross-engine, then each row is
-    binned with an in-scan aggregate fold over the broadcast boundary
-    array — no ntile, no global ordering funnel. Returns
-    (bucket 1..buckets, n): bucket b holds rows in (q_{b-1}, q_b] except
-    bucket 1, which is [min, q_1].
+    (operators/stats.py — range-partitioned value histogram + prefix
+    sum; Spark's built-in exact ``percentile`` buffers every value in
+    one reducer and measured ~150 s at sf1 where this plan takes ~5 s),
+    then each row is binned with an in-scan aggregate fold over the
+    broadcast boundary array — no ntile, no global ordering funnel.
+
+    Two boundary modes:
+    - default (``tick_scale=None``): interpolated-double boundaries
+      rounded to ``boundary_decimals`` — fine for continuous data.
+    - ``tick_scale=k``: for values on a fixed 1/k decimal grid (money,
+      counts) — values become BIGINT ticks ``round(v·k)`` and boundaries
+      come from ``exact_quantile_brackets``; the bucket comparison is
+      integer cross-multiplication, so NO float threshold exists for an
+      engine-build quantile-interpolation ulp to flip (the r8 rfm
+      failure class; use this mode for any hashed contract on gridded
+      data).
+
+    Returns (bucket 1..buckets, n): bucket b holds rows in
+    (q_{b-1}, q_b] except bucket 1, which is [min, q_1].
     """
-    from skope_api_spark.operators.stats import exact_quantiles
+    from skope_api_spark.operators.stats import (
+        exact_quantile_brackets,
+        exact_quantiles,
+    )
 
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
+    if tick_scale is not None:
+        t = F.round(F.col(col) * F.lit(int(tick_scale))).cast("long")
+        # no corpus checkpoint: the tick projection is deterministic, so
+        # the bracket pass and the binning pass each re-read the pruned
+        # scan — two column-pruned scans beat materializing a
+        # corpus-sized column at scale
+        ticks = df.where(F.col(col).isNotNull()).select(t.alias("__t"))
+        br = exact_quantile_brackets(
+            ticks, "__t", list(range(1, buckets)), buckets
+        )
+        bounds = br.agg(
+            F.array_sort(
+                F.collect_list(F.struct("num", "vlo", "vhi", "rem"))
+            ).alias("__bounds")
+        )
+        binned = ticks.crossJoin(F.broadcast(bounds))
+        bucket = F.aggregate(
+            F.col("__bounds"),
+            F.lit(1),
+            lambda acc, b: acc
+            + F.when(
+                F.col("__t") * buckets
+                > b["vlo"] * buckets + b["rem"] * (b["vhi"] - b["vlo"]),
+                1,
+            ).otherwise(0),
+        )
+        return binned.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     qs = [i / buckets for i in range(1, buckets)]
     quants = exact_quantiles(df, col, qs)
     bounds = quants.agg(

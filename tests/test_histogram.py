@@ -82,6 +82,88 @@ def test_equi_depth_validation(values):
         equi_depth_histogram(values, "x", buckets=1)
 
 
+def test_equi_depth_tick_mode_matches_float_mode(spark):
+    # away from rounding-boundary knife edges the integer-exact tick
+    # path must produce the same buckets as the float path
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(1, 1000, 500), 2)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    a = {
+        r["bucket"]: r["n"]
+        for r in equi_depth_histogram(df, "x", buckets=5).collect()
+    }
+    b = {
+        r["bucket"]: r["n"]
+        for r in equi_depth_histogram(
+            df, "x", buckets=5, tick_scale=100
+        ).collect()
+    }
+    assert a == b
+    assert sum(b.values()) == 500
+
+
+def test_equi_depth_tick_mode_ties_collapse(spark):
+    rows = [(1.25,)] * 90 + [(float(v),) for v in range(2, 12)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {
+        r["bucket"]: r["n"]
+        for r in equi_depth_histogram(
+            df, "x", buckets=4, tick_scale=100
+        ).collect()
+    }
+    assert sum(out.values()) == 100
+    assert out[1] == 90
+
+
+def test_winsorize_ticks_matches_fraction_reference(spark):
+    """winsorize_ticks against pure-Python Fraction arithmetic: exact
+    interpolated rational bounds, integer clip, exact dtick values."""
+    from fractions import Fraction
+
+    import numpy as np
+    from skope_api_spark.operators.stats import winsorize_ticks
+
+    rng = np.random.default_rng(11)
+    vals = [round(float(v), 2) for v in rng.uniform(0, 100, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = winsorize_ticks(
+        df, "x", lower=(1, 10), upper=(9, 10), tick_scale=100
+    ).collect()
+    ticks = sorted(round(v * 100) for v in vals)
+    n = len(ticks)
+
+    def q(num, den):
+        h = Fraction((n - 1) * num, den)
+        fl = (n - 1) * num // den
+        frac = h - fl
+        return Fraction(ticks[fl]) + frac * (
+            ticks[min(fl + 1, n - 1)] - ticks[fl]
+        )
+
+    lo, hi = q(1, 10), q(9, 10)
+    for r in out:
+        t = Fraction(round(r["x"] * 100))
+        expect = min(max(t, lo), hi)
+        assert Fraction(r["x_winsorized_dticks"], 10) == expect
+        assert r["x_winsorized"] == float(expect / 100)
+
+
+def test_winsorize_ticks_nulls_and_validation(spark):
+    from skope_api_spark.operators.stats import winsorize_ticks
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (100.0,)] + [(50.0,)] * 20, "x double"
+    )
+    rows = winsorize_ticks(df, "x").collect()
+    got = {r["x"]: r["x_winsorized"] for r in rows}
+    assert got[None] is None
+    assert got[50.0] == 50.0
+    with pytest.raises(ValueError, match="lower"):
+        winsorize_ticks(df, "x", lower=(2, 3), upper=(1, 3))
+
+
 def test_observed_metrics_single_pass(spark, tmp_path):
     from pyspark.sql import functions as F
 
