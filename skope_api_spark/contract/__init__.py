@@ -34,6 +34,44 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r09 rotation (VERDICT r8 item 4): fourteen r8-driver-VERIFIED,
+    # family-redundant entries cede their slots to (a) the ten
+    # never-driver-checked, engine-version-sensitive surfaces the judge
+    # named, and (b) the four queries whose quantile boundaries were
+    # converted to integer-exact form this round and need driver
+    # evidence of the change (hist_equi_depth_price, also converted,
+    # was already gated). rfm_customer_segments stays PINNED until its
+    # r8 hash red is driver-green. Every ceded query remains covered by
+    # the full check_correctness replay and its family keeps gated
+    # representatives:
+    #   skope_point_extraction      -> sketch_gk_quantiles_price
+    #   stats_ks_price_by_segment   -> quantile_approx_accuracy
+    #   graph_khop_distances        -> stats_moments_battery
+    #   skope_bbox_zonal_area       -> sql_recursive_reachability
+    #   basket_association_rules    -> json_variant_battery
+    #   hh_misra_gries_report       -> string_collation_battery
+    #   w1_centered_moving_average  -> pipeline_curation_manifest
+    #   cohort_retention_events     -> ts_seasonal_decompose_orders
+    #   dq_benford_first_digit      -> spatial_grid_density_clusters
+    #   q21_waiting_supplier        -> stats_kaplan_meier_user_lifetime
+    #   scd2_merge_customers        -> dq_psi_order_totals_by_segment
+    #   ts_mann_kendall_monthly_revenue -> feature_winsorize_price
+    #   sample_dsir_selection       -> feature_robust_scale_price
+    #   feature_loo_target_encode   -> stats_robust_price_summary
+    "sketch_gk_quantiles_price",
+    "quantile_approx_accuracy",
+    "stats_moments_battery",
+    "sql_recursive_reachability",
+    "json_variant_battery",
+    "string_collation_battery",
+    "pipeline_curation_manifest",
+    "ts_seasonal_decompose_orders",
+    "spatial_grid_density_clusters",
+    "stats_kaplan_meier_user_lifetime",
+    "dq_psi_order_totals_by_segment",
+    "feature_winsorize_price",
+    "feature_robust_scale_price",
+    "stats_robust_price_summary",
     # r08 rotation (VERDICT r7 item 3): eleven r7-driver-VERIFIED,
     # family-redundant entries cede their slots to never-driver-checked
     # flagships — the five the judge named plus six cross-family report/
@@ -77,8 +115,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   text_line_filter_c4       -> sample_dsir_selection
     #   join_bloom_pruned_revenue -> ts_theil_sen_monthly_revenue
     # SKOPE datacube core (S/P/J/A/W rows of SURVEY §2)
-    "skope_point_extraction",
-    "stats_ks_price_by_segment",
     # r07 session-3 rotation: four r06-driver-VERIFIED, family-redundant
     # entries cede their slots to this session's new flagships, so the
     # round's driver gate verifies four first-timers while every family
@@ -90,8 +126,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   w2_trailing_moving_average  -> ts_holt_forecast_daily_users
     #   sim_semantic_dedup          -> sim_embedding_covariance
     #   text_langid_token_profile   -> stats_bootstrap_means_totalprice
-    "graph_khop_distances",
-    "skope_bbox_zonal_area",
     # r07 gate rotation (VERDICT r06 item 6): five redundant skope_*/w4
     # variants and two same-family asof/sim slots cede their positions to
     # never-driver-checked registry entries. Every ceded query stays
@@ -114,8 +148,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   skope_rolling_zscore             -> sim_sq8_topk
     #   skope_fixed_zscore               -> fuzzy_join_part_terms
     #   sim_embedding_near_dup_multiprobe -> mv_incremental_rollup
-    "basket_association_rules",
-    "hh_misra_gries_report",
     "graph_triangle_top_nodes",
     "rfm_customer_segments",
     "text_linear_quality_score",
@@ -123,16 +155,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "funnel_conversion_events",
     "skope_summary_stats",
     "skope_catalog_metadata_join",
-    "scd2_merge_customers",
     "skope_polygon_zonal_stats",
     "skope_batched_multi_query",
-    "ts_mann_kendall_monthly_revenue",
     # W1-W4 window core + window extensions
-    "w1_centered_moving_average",
-    "cohort_retention_events",
     "w3_rolling_zscore",
-    "dq_benford_first_digit",
-    "q21_waiting_supplier",
     # r06: moving_median_smoother (extension smoother, not reference core)
     # cedes its slot to the bucketed range join; full replay still covers it
     "range_join_overlapping_sessions",
@@ -153,14 +179,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # slots ceded to the round's flagships (C4 line filter, bloom-pruned
     # join); both stay regression-covered by the full check_correctness
     # replay, and sessionization itself stays gated via sessionize_events
-    "sample_dsir_selection",
     "sessionize_events",
     # text / multimodal battery (r07 session 2: text_token_counts cedes
     # its slot to the grid spatial join — the geo-domain scale flagship;
     # token counting stays regression-covered by the full replay)
     "text_quality_stats",
     "spatial_join_points_polygons",
-    "feature_loo_target_encode",
     "stats_auc_by_source",
     "ts_theil_sen_monthly_revenue",
     "top_parts_by_revenue",
