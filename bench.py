@@ -124,7 +124,11 @@ def main() -> int:
                     cold[name] = dt
                 else:
                     samples.append(dt)
-            warm[name] = sorted(samples)[len(samples) // 2]
+            # SPARK_GRAFT_BENCH_RUNS=0 degrades to cold-only recording
+            # instead of crashing on an empty median
+            warm[name] = (
+                sorted(samples)[len(samples) // 2] if samples else cold[name]
+            )
         return warm, cold
 
     times, cold = run_group(HEADLINE, warm_runs)

@@ -35,20 +35,21 @@ TABLES = (
 
 
 def _scan_negzero(rows) -> int:
-    """Count -0.0 cells (including inside list columns). Numerically equal
-    to 0.0 but distinct under the driver's value hash — the registry's
-    round_nz rule exists to keep these out of BOTH engines' output."""
-    hits = 0
-    for r in rows:
-        for v in r:
-            if isinstance(v, float):
-                if v == 0 and math.copysign(1.0, v) < 0:
-                    hits += 1
-            elif isinstance(v, (list, tuple)):
-                for x in v:
-                    if isinstance(x, float) and x == 0 and math.copysign(1.0, x) < 0:
-                        hits += 1
-    return hits
+    """Count -0.0 cells, descending into list/struct/Row/dict nesting.
+    Numerically equal to 0.0 but distinct under the driver's value hash —
+    the registry's round_nz rule exists to keep these out of BOTH
+    engines' output."""
+
+    def walk(v) -> int:
+        if isinstance(v, float):
+            return 1 if v == 0 and math.copysign(1.0, v) < 0 else 0
+        if isinstance(v, (list, tuple)):  # includes pyspark Row
+            return sum(walk(x) for x in v)
+        if isinstance(v, dict):
+            return sum(walk(x) for x in v.values())
+        return 0
+
+    return sum(walk(r) for r in rows)
 
 
 def _norm_cell(v):
@@ -109,6 +110,15 @@ def main(selected: list[str]) -> int:
             print(f"ERR  {name}: spark: {type(ex).__name__}: {str(ex)[:200]}")
             n_fail += 1
             continue
+        # the -0.0 rule covers the WHOLE registry: scan the Spark output
+        # BEFORE any rows-only early-exit (no-oracle queries and
+        # oracle-timeout paths included), so a negative zero can never
+        # ride a weaker check to green
+        nz_s = _scan_negzero(srows)
+        if nz_s:
+            print(f"FAIL {name}: -0.0 cells in spark output: {nz_s} (round_nz rule)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]")
             n_rows_only += 1
@@ -116,21 +126,30 @@ def main(selected: list[str]) -> int:
         # watchdog: a single pathological oracle (the quadratic baselines
         # aside, some closure/recursive oracles are superlinear in SF)
         # must not stall a whole sweep — interrupt DuckDB after the
-        # budget and record the query as rows-only for THIS run
+        # budget and record the query as rows-only for THIS run.
+        # Each query runs on its OWN cursor (shared catalog, separate
+        # interrupt target), so a timer that fires in the gap between
+        # query completion and cancel() interrupts only the dying
+        # cursor — it cannot poison the next query's execute.
         budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0"))
+        cur = con.cursor()
         timer = None
         if budget > 0:
             import threading
 
-            timer = threading.Timer(budget, con.interrupt)
+            def _interrupt(c=cur):
+                try:
+                    c.interrupt()
+                except Exception:  # noqa: BLE001 — stale/closed cursor
+                    pass
+
+            timer = threading.Timer(budget, _interrupt)
             timer.start()
         try:
-            res = con.execute(oracles[name])
+            res = cur.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
-            if timer is not None:
-                timer.cancel()
             if "INTERRUPT" in type(ex).__name__.upper() or "interrupted" in str(ex).lower():
                 print(
                     f"ROWS {name}: {len(srows)} rows [oracle exceeded "
@@ -144,12 +163,13 @@ def main(selected: list[str]) -> int:
         finally:
             if timer is not None:
                 timer.cancel()
+            cur.close()
         ok = True
         msgs = []
-        nz_s, nz_d = _scan_negzero(srows), _scan_negzero(drows)
-        if nz_s or nz_d:
+        nz_d = _scan_negzero(drows)
+        if nz_d:
             ok = False
-            msgs.append(f"-0.0 cells: spark={nz_s} duck={nz_d} (round_nz rule)")
+            msgs.append(f"-0.0 cells: duck={nz_d} (round_nz rule)")
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")

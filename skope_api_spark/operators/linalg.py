@@ -179,11 +179,17 @@ def covariance(
     null-skipping aggregate semantics; ragged dimensions are the
     caller's contract to prevent.
 
-    Two-pass centered accumulation (see module docstring): the means pass
-    is an action at plan-build time, the returned DataFrame holds the
-    product pass. ``+ 0.0`` on the output normalizes IEEE ``-0.0`` to
-    ``+0.0`` so exact-zero covariances (e.g. a constant dimension) have
-    one canonical sign cross-engine.
+    Two-pass centered accumulation (see module docstring): **calling this
+    function runs an EAGER Spark action** (the d-element means pass via
+    ``column_means``) before returning; the returned DataFrame holds the
+    second (product) pass, which scans the input again. The input must
+    therefore be DETERMINISTIC across those two scans — a nondeterministic
+    source (e.g. an unseeded/uncheckpointed sample, a changing view)
+    can center the product pass with means from different rows, silently
+    skewing every covariance. ``localCheckpoint`` such inputs first; a
+    parquet-backed DataFrame needs nothing. ``+ 0.0`` on the output
+    normalizes IEEE ``-0.0`` to ``+0.0`` so exact-zero covariances
+    (e.g. a constant dimension) have one canonical sign cross-engine.
     """
     if strategy not in ("explode", "gram"):
         raise ValueError(
