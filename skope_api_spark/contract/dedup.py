@@ -7,6 +7,12 @@ all-pairs Hamming), so each check proves the scalable path loses nothing.
 
 SimHash oracles are generated programmatically (60 per-bit sums) from the
 same md5-based hash both engines compute bit-identically.
+
+Jaccard values are hashed UNROUNDED: each is one int/int IEEE-754 division
+(|intersect| / |union|), bit-identical across engines. A ``ROUND(x, 4)``
+here is a latent cross-engine red — dyadic ratios like 58/64 = 0.90625 tie
+exactly at 4 dp, where Spark rounds HALF_UP and DuckDB half-even (first
+observed at sf1 in ``dedup_minhash_cross_corpus``, round 9).
 """
 
 from __future__ import annotations
@@ -27,8 +33,8 @@ sh AS (
   FROM toks
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+       len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
 ORDER BY doc_a, doc_b
@@ -58,7 +64,7 @@ def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load(spark, sf_dir, "documents")
     out = ops.minhash_near_duplicates(docs, threshold=0.7)
     return out.select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        "doc_a", "doc_b", "jaccard"
     ).orderBy("doc_a", "doc_b")
 
 
@@ -68,7 +74,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = ops.ngram_jaccard_pairs(docs, threshold=0.7)
     return out.select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        "doc_a", "doc_b", "jaccard"
     ).orderBy("doc_a", "doc_b")
 
 
@@ -216,8 +222,8 @@ sh AS (
   FROM toks
 )
 SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
-       ROUND(len(list_intersect(c.s, p.s))::DOUBLE
-             / len(list_distinct(c.s || p.s)), 4) AS jaccard
+       len(list_intersect(c.s, p.s))::DOUBLE
+             / len(list_distinct(c.s || p.s)) AS jaccard
 FROM sh c JOIN sh p ON c.doc_id % 5 != 0 AND p.doc_id % 5 = 0
 WHERE len(list_intersect(c.s, p.s))::DOUBLE
       / len(list_distinct(c.s || p.s)) >= 0.7
@@ -237,7 +243,7 @@ def dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.7,
     )
     return out.select(
-        "doc_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
+        "doc_id", "probe_id", "jaccard"
     ).orderBy("doc_id", "probe_id")
 
 
@@ -380,7 +386,7 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = jaccard_prefix_join(docs, threshold=0.7)
     return out.select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        "doc_a", "doc_b", "jaccard"
     ).orderBy("doc_a", "doc_b")
 
 
