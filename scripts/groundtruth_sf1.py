@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Independent (non-DuckDB) ground truth for the sf1 oracle-capped queries.
+
+At sf1 three registry queries' DuckDB oracles exceed any reasonable
+budget (recursive-closure / all-pairs SQL superlinearity), so their full
+sweeps record rows-only. This script closes that gap the way round 8 did
+for dedup_duplicate_clusters and dedup_minhash_near_duplicates: recompute
+the EXACT expected answer in pure Python from the raw parquet (no Spark,
+no DuckDB) and compare cell-for-cell with the Spark side:
+
+- dedup_minhash_cross_corpus: exact cross-set 3-shingle Jaccard via a
+  shingle inverted index (full recall AND precision — every candidate
+  pair sharing >= 1 shingle is checked exactly; J >= 0.7 is impossible
+  with 0 shared shingles).
+- pipeline_keep_best_rep: exact all-pairs Jaccard >= 0.7 graph ->
+  union-find transitive closure -> min-cluster-id labeling ->
+  max-distinct-tokens (tie: min doc_id) representative per cluster.
+- pipeline_clean_corpus_stats: quality filter (>= 30 tokens, 'a'/'the'
+  stopword ratio <= 0.5) -> same exact clustering over the KEPT set ->
+  drop non-representative members -> per-language corpus stats.
+
+Usage: python scripts/groundtruth_sf1.py [sf_dir]   (default .localdata/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from collections import defaultdict
+from itertools import combinations
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1"
+
+
+def load_docs():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return t.to_pydict()
+
+
+def shingle_set(tokens: list[str]) -> frozenset:
+    return frozenset(
+        " ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)
+    )
+
+
+def exact_pairs(ids, shingles):
+    """All pairs with exact Jaccard >= 0.7 among ``ids`` via an inverted
+    index: intersection counts accumulate per co-occurring pair, then one
+    exact Jaccard per candidate. Complete: J >= 0.7 needs >= 1 shared
+    shingle."""
+    inv = defaultdict(list)
+    for i in ids:
+        for s in shingles[i]:
+            inv[s].append(i)
+    inter = defaultdict(int)
+    for docs in inv.values():
+        if len(docs) > 1:
+            for a, b in combinations(sorted(docs), 2):
+                inter[(a, b)] += 1
+    out = {}
+    for (a, b), c in inter.items():
+        union = len(shingles[a]) + len(shingles[b]) - c
+        if union > 0 and c / union >= 0.7:
+            out[(a, b)] = c / union
+    return out
+
+
+def union_find_clusters(ids, pairs):
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = set()
+    for a, b in pairs:
+        members.add(a)
+        members.add(b)
+    # path-compress fully, then regroup; min-id root by construction
+    clusters = defaultdict(list)
+    for i in members:
+        clusters[find(i)].append(i)
+    return clusters  # cluster_id (min member) -> member list
+
+
+def main() -> int:
+    d = load_docs()
+    ids = d["doc_id"]
+    toks = {i: t.split(" ") for i, t in zip(ids, d["text"])}
+    lang = dict(zip(ids, d["lang"]))
+    text = dict(zip(ids, d["text"]))
+    t0 = time.time()
+    shingles = {i: shingle_set(toks[i]) for i in ids}
+    print(f"[gt] {len(ids)} docs, shingled in {time.time()-t0:.1f}s")
+
+    # repo session: sized driver memory — a default-memory session OOMs
+    # shuffling sf1 shingle arrays
+    from skope_api_spark.session import get_spark
+
+    spark = get_spark(
+        "groundtruth_sf1",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
+        shuffle_partitions=32,
+    )
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    failures = 0
+
+    # ---- 1. dedup_minhash_cross_corpus -------------------------------
+    t0 = time.time()
+    corpus = [i for i in ids if i % 5 != 0]
+    probes = [i for i in ids if i % 5 == 0]
+    inv = defaultdict(lambda: ([], []))
+    for i in corpus:
+        for s in shingles[i]:
+            inv[s][0].append(i)
+    for i in probes:
+        for s in shingles[i]:
+            inv[s][1].append(i)
+    inter = defaultdict(int)
+    for cs, ps in inv.values():
+        if cs and ps:
+            for a in cs:
+                for b in ps:
+                    inter[(a, b)] += 1
+    expect = {}
+    for (a, b), c in inter.items():
+        union = len(shingles[a]) + len(shingles[b]) - c
+        if union > 0 and c / union >= 0.7:
+            # unrounded on both sides (round-9 jaccard contract): one
+            # int/int IEEE division, bit-identical Python vs Spark
+            expect[(a, b)] = c / union
+    got = {
+        (r["doc_id"], r["probe_id"]): r["jaccard"]
+        for r in qs["dedup_minhash_cross_corpus"](spark, SF_DIR).collect()
+    }
+    miss = set(expect) - set(got)
+    extra = set(got) - set(expect)
+    vdiff = [k for k in expect if k in got and expect[k] != got[k]]
+    ok = not (miss or extra or vdiff)
+    print(
+        f"[gt] dedup_minhash_cross_corpus: expect {len(expect)} pairs, "
+        f"spark {len(got)}; missing={len(miss)} extra={len(extra)} "
+        f"value_diffs={len(vdiff)} -> {'OK' if ok else 'MISMATCH'} "
+        f"({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
+    # ---- shared all-pairs graph for the two pipeline queries ---------
+    t0 = time.time()
+    all_pairs = exact_pairs(ids, shingles)
+    print(
+        f"[gt] all-pairs exact graph: {len(all_pairs)} edges "
+        f"({time.time()-t0:.1f}s)"
+    )
+
+    # ---- 2. pipeline_keep_best_rep -----------------------------------
+    t0 = time.time()
+    clusters = union_find_clusters(ids, all_pairs)
+    ndt = {i: len(set(toks[i])) for i in ids}
+    expect_rep = {}
+    for cid, members in clusters.items():
+        rep = min(members, key=lambda i: (-ndt[i], i))
+        expect_rep[cid] = (rep, len(members), ndt[rep])
+    got_rep = {
+        r["cluster_id"]: (
+            r["rep_id"],
+            r["n_members"],
+            r["rep_distinct_tokens"],
+        )
+        for r in qs["pipeline_keep_best_rep"](spark, SF_DIR).collect()
+    }
+    ok = got_rep == expect_rep
+    if not ok:
+        only_e = set(expect_rep) - set(got_rep)
+        only_g = set(got_rep) - set(expect_rep)
+        diff = [
+            k
+            for k in expect_rep
+            if k in got_rep and expect_rep[k] != got_rep[k]
+        ]
+        print(
+            f"     clusters only-expected={sorted(only_e)[:5]} "
+            f"only-spark={sorted(only_g)[:5]} value-diff={diff[:5]}"
+        )
+    print(
+        f"[gt] pipeline_keep_best_rep: {len(expect_rep)} clusters expected, "
+        f"{len(got_rep)} from spark -> {'OK' if ok else 'MISMATCH'} "
+        f"({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
+    # ---- 3. pipeline_clean_corpus_stats ------------------------------
+    t0 = time.time()
+    stop = ("a", "the")
+    kept = [
+        i
+        for i in ids
+        if len(toks[i]) >= 30
+        and sum(1 for t in toks[i] if t in stop) / len(toks[i]) <= 0.5
+    ]
+    kept_set = set(kept)
+    kept_pairs = {
+        p: j for p, j in all_pairs.items()
+        if p[0] in kept_set and p[1] in kept_set
+    }
+    kclusters = union_find_clusters(kept, kept_pairs)
+    losers = {
+        i
+        for cid, members in kclusters.items()
+        for i in members
+        if i != min(members)
+    }
+    clean = [i for i in kept if i not in losers]
+    agg = defaultdict(lambda: [0, 0, 0])  # lang -> [n, tokens, chars]
+    for i in clean:
+        a = agg[lang[i]]
+        a[0] += 1
+        a[1] += len(toks[i])
+        a[2] += len(text[i])
+    expect_stats = {
+        lg: (n, tt, round(ch / n, 4)) for lg, (n, tt, ch) in agg.items()
+    }
+    got_stats = {
+        r["lang"]: (r["n_docs"], r["total_tokens"], r["avg_chars"])
+        for r in qs["pipeline_clean_corpus_stats"](spark, SF_DIR).collect()
+    }
+    ok = got_stats == expect_stats
+    if not ok:
+        for lg in sorted(set(expect_stats) | set(got_stats)):
+            if expect_stats.get(lg) != got_stats.get(lg):
+                print(
+                    f"     {lg}: expect {expect_stats.get(lg)} "
+                    f"spark {got_stats.get(lg)}"
+                )
+    print(
+        f"[gt] pipeline_clean_corpus_stats: kept {len(kept)}, clean "
+        f"{len(clean)}, {len(expect_stats)} langs -> "
+        f"{'OK' if ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
+    print(f"\n{3 - failures}/3 ground-truth checks OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,8 +59,9 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_near_duplicates", oracle=_JACCARD_ORACLE_BODY)
 def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded MinHash; oracle is the exact all-pairs result (recall at the
-    planted-pair similarity level is 1 - ~1e-11, so the sets coincide)."""
+    """LSH-banded MinHash; oracle is the exact all-pairs result (r=2, b=32
+    banding: per-pair miss ≤ 4.4e-10 for ANY pair at J ≥ the 0.7 threshold,
+    so the sets coincide — not just at planted-pair similarity)."""
     docs = load(spark, sf_dir, "documents")
     out = ops.minhash_near_duplicates(docs, threshold=0.7)
     return out.select(
@@ -234,8 +235,8 @@ def dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-heldout decontamination at document granularity: corpus
     docs (doc_id % 5 != 0) that are near-dups of any probe doc
     (doc_id % 5 == 0) via broadcast banded signatures + exact verify.
-    Oracle is the exact cross-set Jaccard (recall at the planted-pair
-    similarity is 1 - ~1e-9, so the sets coincide)."""
+    Oracle is the exact cross-set Jaccard (r=2, b=32 banding: per-pair
+    miss ≤ 4.4e-10 at J ≥ the 0.7 threshold, so the sets coincide)."""
     docs = load(spark, sf_dir, "documents")
     out = ops.minhash_cross_corpus(
         docs.where(F.col("doc_id") % 5 != 0),

@@ -93,8 +93,8 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     *,
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 32,
     threshold: float = 0.7,
     persist_shingles: bool = True,
 ) -> DataFrame:
@@ -105,9 +105,16 @@ def minhash_near_duplicates(
     distinct candidate pairs → exact Jaccard on shingle sets → ``>= threshold``.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Detection probability
-    for a pair with true Jaccard j is 1-(1-j^r)^b (r = hashes per band); with
-    the defaults, j=0.9 is found with P ≈ 1-2e-6 — at the thresholds used for
-    near-dup dedup the LSH path reproduces the exact all-pairs result.
+    for a pair with true Jaccard j is 1-(1-j^r)^b (r = hashes per band). The
+    defaults are sized for GUARANTEED recall at the default threshold, not
+    just at planted-pair similarity: r=2, b=32 gives a per-pair miss bound of
+    (1-0.7²)³² = 0.51³² ≈ 4.4e-10 at j = 0.70 (8e-24 at j = 0.9), so the LSH
+    path reproduces the exact all-pairs result for every pair AT OR ABOVE the
+    threshold, not only the comfortably-similar ones. The previous r=2, b=8
+    sizing missed j ≈ 0.70-0.76 organic pairs with P ≈ 0.1-0.5% — observed at
+    sf1 (round 9): pair (5394, 31904), exact J = 37/49 ≈ 0.755, absent from
+    the banded join, flipping one cluster in every downstream pipeline query.
+    Precision needs no sizing: candidates are verified with exact Jaccard.
 
     ``persist_shingles`` materializes the shingle table (MEMORY_AND_DISK):
     three downstream lineages consume it (signatures + both verify sides),
@@ -244,8 +251,8 @@ def minhash_cross_corpus(
     id_col: str = "doc_id",
     *,
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 32,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Cross-corpus near-dup flagging: corpus documents that are near
