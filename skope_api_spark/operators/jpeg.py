@@ -6,21 +6,31 @@ dominant web image formats produce actual-pixel features through the
 ``pixel_or_hash_encoder`` seam; the hash pseudo-embedding remains only for
 formats that genuinely need codec libraries (GIF/WebP/audio/video).
 
-Implements ITU-T T.81 (public spec) baseline sequential DCT:
+Implements ITU-T T.81 (public spec) baseline sequential DCT AND
+progressive DCT (SOF2, the format ~most large web photos actually use):
 
-- marker parse (SOI/APPn/COM/DQT/DHT/SOF0/SOS/DRI/EOI), 8-bit precision,
-  1- or 3-component scans, arbitrary sampling factors up to 2x2 (4:4:4,
-  4:2:2, 4:2:0), restart markers;
+- marker parse (SOI/APPn/COM/DQT/DHT/SOF0/1/2/SOS/DRI/EOI), 8-bit
+  precision, 1- or 3-component scans, arbitrary sampling factors up to
+  2x2 (4:4:4, 4:2:2, 4:2:0), restart markers;
 - canonical Huffman tables (BITS/HUFFVAL -> code assignment in length
   then value order), byte unstuffing (FF 00), receive/extend;
+- progressive scan accumulation (T.81 G.2): interleaved/non-interleaved
+  DC first + refinement, per-component AC spectral bands with EOB runs,
+  AC refinement (newly-significant insertion + correction bits),
+  per-scan DHT redefinition; coefficients integrate across scans and
+  IDCT once at EOI;
 - dequantize -> de-zigzag -> separable float IDCT -> level shift;
 - chroma upsample by replication, YCbCr -> RGB (BT.601 as in T.871).
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
+Lossless (SOF3), arithmetic coding, 12-bit precision and CMYK raise
 ``NotImplementedError`` — inject a PIL-backed decoder for those; the seam
-is unchanged. The encoder (baseline, Annex K example tables, optional
-chroma subsampling) exists for fixtures/tests and the round-trip proof —
-JPEG is lossy, so round-trips assert tolerance, not equality.
+is unchanged. Encoders exist for fixtures/tests: baseline (Annex K
+tables, optional chroma subsampling) and progressive
+(``jpeg_encode_progressive``: spectral selection + successive
+approximation over the SAME quantized coefficients, which makes
+progressive-vs-baseline decode comparisons pixel-EXACT — the round-trip
+tests' lever). Compatibility with real encoder output is pinned by a
+libjpeg-produced golden file (tests/test_jpeg.py).
 
 Performance note: per-pixel Python inside an Arrow-batched ``mapInPandas``
 kernel — correct-but-slow by design, same trade as ``operators.png``; the
@@ -250,6 +260,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (w, h, [(comp_id, h, v, tq), ...])
+    progressive = False
+    coefs: dict[int, list[list[int]]] = {}  # cid -> per-block zigzag coefs
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -288,7 +300,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("short DHT table")
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
                 i += 17 + nval
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"precision {prec} (only 8 supported)")
@@ -311,9 +324,10 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     )
                 comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG unsupported (baseline only)"
+                "lossless/extended/arithmetic JPEG unsupported "
+                "(baseline + progressive Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -322,9 +336,21 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_order = []  # component order as listed in this SOS
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
+            if progressive:
+                ss, se, aa = seg[1 + 2 * ns : 4 + 2 * ns]
+                segs, endpos = _split_entropy(data, pos + 2 + seglen)
+                _progressive_scan(
+                    frame, coefs, scan_order, scan_tables,
+                    ss, se, aa >> 4, aa & 0x0F,
+                    huff_dc, huff_ac, restart_interval, segs,
+                )
+                pos = endpos
+                continue
             # Ns=1 on a multi-component frame is a legal non-interleaved
             # baseline layout (one scan per component, T.81 A.2.2) that
             # this single-scan decoder does not implement — refuse
@@ -344,6 +370,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 restart_interval, segs,
             )
         pos += 2 + seglen
+    if progressive and coefs:
+        return _finish_progressive(frame, coefs, quant)
     raise ValueError("no SOS scan found in JPEG")
 
 
@@ -413,7 +441,12 @@ def _decode_scan(frame, scan_tables, quant, huff_dc, huff_ac, dri, segs):
                         plane[row : row + 8] = bytes(
                             block[yy * 8 : yy * 8 + 8]
                         )
-    # upsample to full resolution + color convert, cropped to (w, h)
+    return _planes_to_pixels(w, h, comps, planes, mcux, hmax, vmax)
+
+
+def _planes_to_pixels(w, h, comps, planes, mcux, hmax, vmax):
+    """Upsample to full resolution + color convert, cropped to (w, h) —
+    shared tail of the baseline and progressive reconstruction paths."""
     nch = len(comps)
     out = bytearray(w * h * (3 if nch == 3 else 1))
     if nch == 1:
@@ -448,6 +481,240 @@ def _decode_scan(frame, scan_tables, quant, huff_dc, huff_ac, dri, segs):
     return w, h, 3, bytes(out)
 
 
+def _frame_geometry(frame):
+    """Shared frame geometry: single-component frames are non-interleaved
+    by definition (T.81 A.2.2) so their declared sampling factors are
+    normalized to 1x1, exactly as the baseline path does."""
+    w, h, comps = frame
+    if len(comps) == 1:
+        cid, _ch, _cv, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return w, h, comps, hmax, vmax, mcux, mcuy
+
+
+def _comp_block_grid(w, h, ch, cv, hmax, vmax):
+    """Non-interleaved block grid of one component: T.81 A.2.2 — blocks
+    cover the component's ACTUAL sample dimensions ceil'd to 8, NOT the
+    MCU-padded grid (the padded dummy blocks are coded only in
+    interleaved scans)."""
+    cw = (w * ch + hmax - 1) // hmax
+    chh = (h * cv + vmax - 1) // vmax
+    return (cw + 7) // 8, (chh + 7) // 8
+
+
+def _progressive_scan(
+    frame, coefs, scan_order, scan_tables, ss, se, ah, al,
+    huff_dc, huff_ac, dri, segs,
+):
+    """Decode one progressive scan (T.81 G.2) into the coefficient store.
+
+    ``coefs[cid]`` holds one 64-int list per block (zigzag order, raw
+    unquantized values) on the MCU-padded grid; scans accumulate bits of
+    precision into it and ``_finish_progressive`` dequantizes + IDCTs
+    once at EOI. Four scan kinds: DC first (Ss=0, Ah=0), DC refinement
+    (Ss=0, Ah>0), AC first (Ss>0, Ah=0) and AC refinement (Ss>0, Ah>0)
+    with EOB-run skipping; DC scans may be interleaved (Ns>1, MCU
+    order), AC scans are single-component by construction (B.2.3) and
+    walk the component's own block raster."""
+    w, h, comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    byid = {c[0]: c for c in comps}
+    for cid, ch, cv, _tq in comps:
+        if cid not in coefs:
+            coefs[cid] = [
+                [0] * 64 for _ in range(mcux * ch * mcuy * cv)
+            ]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = {cid: 0 for cid in scan_order}
+    eobrun = 0
+
+    def restart():
+        nonlocal seg_idx, reader, eobrun
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("missing restart segment in JPEG stream")
+        reader = _BitReader(segs[seg_idx])
+        for cid in preds:
+            preds[cid] = 0
+        eobrun = 0
+
+    def dc_first(cid, block):
+        td = scan_tables[cid][0]
+        try:
+            dct = huff_dc[td]
+        except KeyError:
+            raise ValueError("JPEG references undefined DHT table")
+        t = reader.decode_symbol(dct)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        preds[cid] += diff
+        block[0] = preds[cid] << al
+
+    def dc_refine(block):
+        if reader.read_bit():
+            block[0] |= 1 << al
+
+    def ac_first(act, block):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            block[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(act, block):
+        # T.81 G.1.2.3 (same structure as libjpeg's AC refinement):
+        # correction bits for already-nonzero coefficients interleave
+        # with run-length-coded newly-significant ±1·2^Al insertions;
+        # an EOB run covers the band tails of the next ``eobrun`` blocks
+        # (correction bits still read inside each covered tail).
+        nonlocal eobrun
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                elif s == 1:
+                    newval = p1 if reader.read_bit() else -p1
+                else:
+                    raise ValueError(
+                        "AC refinement magnitude must be 1"
+                    )
+                while k <= se:
+                    c = block[k]
+                    if c != 0:
+                        if reader.read_bit() and not (abs(c) & p1):
+                            block[k] = c + (p1 if c > 0 else -p1)
+                    else:
+                        if r == 0:
+                            if newval:
+                                block[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = block[k]
+                if c != 0:
+                    if reader.read_bit() and not (abs(c) & p1):
+                        block[k] = c + (p1 if c > 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0 and len(scan_order) > 1:
+        # interleaved DC scan: MCU traversal over the padded grid
+        for m in range(mcux * mcuy):
+            if dri and m and m % dri == 0:
+                restart()
+            my, mx = divmod(m, mcux)
+            for cid in scan_order:
+                _cid, ch, cv, _tq = byid[cid]
+                bw = mcux * ch
+                for by in range(cv):
+                    for bx in range(ch):
+                        block = coefs[cid][
+                            (my * cv + by) * bw + mx * ch + bx
+                        ]
+                        if ah == 0:
+                            dc_first(cid, block)
+                        else:
+                            dc_refine(block)
+    else:
+        # non-interleaved: raster over the component's own block grid
+        cid = scan_order[0]
+        _cid, ch, cv, _tq = byid[cid]
+        bw = mcux * ch
+        nbx, nby = _comp_block_grid(w, h, ch, cv, hmax, vmax)
+        act = None
+        if ss > 0:
+            try:
+                act = huff_ac[scan_tables[cid][1]]
+            except KeyError:
+                raise ValueError("JPEG references undefined DHT table")
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and n and n % dri == 0:
+                    restart()
+                n += 1
+                block = coefs[cid][by * bw + bx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(cid, block)
+                    else:
+                        dc_refine(block)
+                elif ah == 0:
+                    ac_first(act, block)
+                else:
+                    ac_refine(act, block)
+
+
+def _finish_progressive(frame, coefs, quant):
+    """Dequantize + IDCT every accumulated block, then reuse the shared
+    upsample/color-convert tail."""
+    w, h, comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        try:
+            qt = quant[tq]
+        except KeyError:
+            raise ValueError("JPEG references undefined DQT table")
+        bw, bh = mcux * ch, mcuy * cv
+        pw = bw * 8
+        plane = bytearray(pw * bh * 8)
+        blocks = coefs.get(cid)
+        if blocks is None:
+            raise ValueError(f"no scan data for component {cid}")
+        for bi, zz in enumerate(blocks):
+            by, bx = divmod(bi, bw)
+            coef = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[ZIGZAG[k]] = zz[k] * qt[k]
+            block = _idct_block(coef)
+            x0, y0 = bx * 8, by * 8
+            for yy in range(8):
+                row = (y0 + yy) * pw + x0
+                plane[row : row + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+        planes[cid] = plane
+    return _planes_to_pixels(w, h, comps, planes, mcux, hmax, vmax)
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -468,6 +735,44 @@ class _BitWriter:
     def flush(self) -> None:
         if self.nbits:
             self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+
+def _encode_planes(width, height, pixels, channels, hs, vs):
+    """Color convert + chroma box-subsample front end shared by the
+    baseline and progressive encoders. Returns (planes, comp_geom) with
+    comp_geom rows (cid, h, v, tq, plane_w, plane_h)."""
+    if channels == 1:
+        return [list(pixels)], [(1, hs, vs, 0, width, height)]
+    ny = [0.0] * (width * height)
+    ncb = [0.0] * (width * height)
+    ncr = [0.0] * (width * height)
+    for i in range(width * height):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        ny[i] = 0.299 * r + 0.587 * g + 0.114 * b
+        ncb[i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        ncr[i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cw = (width + hs - 1) // hs
+    chh = (height + vs - 1) // vs
+
+    def box(src):
+        out = [0.0] * (cw * chh)
+        for yy in range(chh):
+            for xx in range(cw):
+                acc, n = 0.0, 0
+                for dy in range(vs):
+                    for dx in range(hs):
+                        sy, sx = yy * vs + dy, xx * hs + dx
+                        if sy < height and sx < width:
+                            acc += src[sy * width + sx]
+                            n += 1
+                out[yy * cw + xx] = acc / n
+        return out
+
+    return [ny, box(ncb), box(ncr)], [
+        (1, hs, vs, 0, width, height),
+        (2, 1, 1, 1, cw, chh),
+        (3, 1, 1, 1, cw, chh),
+    ]
 
 
 def _fdct_block(block: list[int]) -> list[float]:
@@ -552,45 +857,7 @@ def jpeg_encode(
     if not (1 <= hs <= 2 and 1 <= vs <= 2):
         raise ValueError("subsample factors must be 1 or 2")
 
-    # color convert to per-component planes
-    if channels == 1:
-        planes = [list(pixels)]
-    else:
-        ny = [0.0] * (width * height)
-        ncb = [0.0] * (width * height)
-        ncr = [0.0] * (width * height)
-        for i in range(width * height):
-            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
-            ny[i] = 0.299 * r + 0.587 * g + 0.114 * b
-            ncb[i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-            ncr[i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        # chroma subsample by box average
-        cw = (width + hs - 1) // hs
-        chh = (height + vs - 1) // vs
-        def box(src):
-            out = [0.0] * (cw * chh)
-            for yy in range(chh):
-                for xx in range(cw):
-                    acc, n = 0.0, 0
-                    for dy in range(vs):
-                        for dx in range(hs):
-                            sy, sx = yy * vs + dy, xx * hs + dx
-                            if sy < height and sx < width:
-                                acc += src[sy * width + sx]
-                                n += 1
-                    out[yy * cw + xx] = acc / n
-            return out
-        planes = [ny, box(ncb), box(ncr)]
-
-    comp_geom = (
-        [(1, hs, vs, 0, width, height)]
-        if channels == 1
-        else [
-            (1, hs, vs, 0, width, height),
-            (2, 1, 1, 1, (width + hs - 1) // hs, (height + vs - 1) // vs),
-            (3, 1, 1, 1, (width + hs - 1) // hs, (height + vs - 1) // vs),
-        ]
-    )
+    planes, comp_geom = _encode_planes(width, height, pixels, channels, hs, vs)
     mcux = (width + 8 * hs - 1) // (8 * hs)
     mcuy = (height + 8 * vs - 1) // (8 * vs)
 
@@ -652,6 +919,285 @@ def jpeg_encode(
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _flat_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Canonical Huffman table with every symbol at one length L chosen so
+    2^L > n — valid per T.81 C.2 and the all-ones code stays unused (so
+    1-bit padding can never alias a real symbol). Fixture-grade: ~8 bits
+    per AC symbol instead of entropy-optimal, irrelevant for tests."""
+    n = len(symbols)
+    L = max(1, n.bit_length())  # smallest L with 2^L >= n + 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    vals = sorted(symbols)
+    return bits, vals, _canonical_codes(bits, vals)
+
+
+def _shrink(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al rounded
+    TOWARD ZERO (T.81 G.1.2.2) — distinct from the DC arithmetic shift."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgressiveWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with the
+    shared EOB-run machinery (pending run + buffered refinement
+    correction bits, T.81 G.1.2.2-3 / figure G.7 structure)."""
+
+    def __init__(self, ac_codes) -> None:
+        self.bw = _BitWriter()
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits riding the EOB run
+
+    def sym(self, s: int) -> None:
+        code, length = self.ac[s]
+        self.bw.write(code, length)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def count_eob(self, bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def jpeg_encode_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    channels: int = 3,
+    subsample: tuple[int, int] = (1, 1),
+    successive: bool = True,
+) -> bytes:
+    """Progressive (SOF2) JPEG from raw 8-bit interleaved pixels.
+
+    Quantizes with the same Annex K tables and FDCT as ``jpeg_encode``,
+    so the coefficient set is IDENTICAL to the baseline encoding of the
+    same pixels — which makes ``jpeg_decode`` of the two streams
+    pixel-for-pixel equal, the exactness lever the round-trip tests use.
+
+    Scan script with ``successive=True`` exercises every progressive
+    decode path: interleaved DC first at Al=1, DC refinement, per-
+    component AC spectral bands (1-5, 6-63) at Al=1 with EOB runs and
+    ZRL, then AC refinement scans (newly-significant insertion +
+    correction bits + EOB-run bit buffering). ``successive=False`` emits
+    plain spectral selection (single-precision scans, Al=0), the
+    simplest legal progressive layout. Huffman tables are flat
+    fixed-length (``_flat_table``) — EOBn symbols up to r=14 need codes
+    the Annex K tables don't carry."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    hs, vs = subsample
+    if channels == 1:
+        hs = vs = 1
+    if not (1 <= hs <= 2 and 1 <= vs <= 2):
+        raise ValueError("subsample factors must be 1 or 2")
+
+    planes, comp_geom = _encode_planes(width, height, pixels, channels, hs, vs)
+    hmax = max(g[1] for g in comp_geom)
+    vmax = max(g[2] for g in comp_geom)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficient blocks per component, padded MCU grid
+    blocks: dict[int, list[list[int]]] = {}
+    for ci, (cid, ch, cv, tq, pw, ph) in enumerate(comp_geom):
+        plane = planes[ci]
+        qt = [
+            (QUANT_LUMA if tq == 0 else QUANT_CHROMA)[ZIGZAG[k]]
+            for k in range(64)
+        ]
+        bw_, bh_ = mcux * ch, mcuy * cv
+        comp_blocks = []
+        for bi in range(bw_ * bh_):
+            by, bx = divmod(bi, bw_)
+            x0, y0 = bx * 8, by * 8
+            block = [0] * 64
+            for yy in range(8):
+                sy = min(y0 + yy, ph - 1)
+                for xx in range(8):
+                    sx = min(x0 + xx, pw - 1)
+                    block[yy * 8 + xx] = int(plane[sy * pw + sx] + 0.5)
+            coef = _fdct_block(block)
+            comp_blocks.append(
+                [int(round(coef[ZIGZAG[k]] / qt[k])) for k in range(64)]
+            )
+        blocks[cid] = comp_blocks
+
+    dc_bits, dc_vals, dc_codes = _flat_table(list(range(12)))
+    ac_bits, ac_vals, ac_codes = _flat_table(list(range(0xFF)))
+    byid = {g[0]: g for g in comp_geom}
+    cids = [g[0] for g in comp_geom]
+
+    def dc_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = {cid: 0 for cid in cids}
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid in cids:
+                _c, ch, cv, _tq, _pw, _ph = byid[cid]
+                gw = mcux * ch
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = blocks[cid][(my * cv + by) * gw + mx * ch + bx][0]
+                        d = dc >> al  # arithmetic shift (G.1.2.1)
+                        diff = d - preds[cid]
+                        preds[cid] = d
+                        t = _mag_category(diff)
+                        code, length = dc_codes[t]
+                        bw.write(code, length)
+                        if t:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid in cids:
+                _c, ch, cv, _tq, _pw, _ph = byid[cid]
+                gw = mcux * ch
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = blocks[cid][(my * cv + by) * gw + mx * ch + bx][0]
+                        bw.write((dc >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def comp_grid(cid):
+        _c, ch, cv, _tq, _pw, _ph = byid[cid]
+        gw = mcux * ch
+        nbx, nby = _comp_block_grid(width, height, ch, cv, hmax, vmax)
+        return [blocks[cid][by * gw + bx] for by in range(nby) for bx in range(nbx)]
+
+    def ac_first_scan(cid, ss, se, al) -> bytes:
+        w = _ProgressiveWriter(ac_codes)
+        for zz in comp_grid(cid):
+            av = [_shrink(zz[k], al) for k in range(64)]
+            last = max((k for k in range(ss, se + 1) if av[k]), default=None)
+            if last is None:
+                w.count_eob([])
+                continue
+            w.flush_eob()
+            run = 0
+            for k in range(ss, last + 1):
+                v = av[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.sym(0xF0)  # ZRL
+                    run -= 16
+                s = _mag_category(v)
+                w.sym((run << 4) | s)
+                w.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se:
+                w.eobrun = 1
+        w.flush_eob()
+        w.bw.flush()
+        return bytes(w.bw.out)
+
+    def ac_refine_scan(cid, ss, se, al) -> bytes:
+        # mirror of the decoder's G.1.2.3 walk (and libjpeg's
+        # encode_mcu_AC_refine): r counts zero-HISTORY positions only;
+        # correction bits buffer until the next emitted symbol; ZRLs
+        # flush only bits lying within their 16-zero advance (guaranteed
+        # because every nonzero position re-checks the r > 15 condition
+        # before buffering its own bit).
+        w = _ProgressiveWriter(ac_codes)
+        for zz in comp_grid(cid):
+            absv = [abs(_shrink(zz[k], al)) for k in range(64)]
+            eob = max(
+                (k for k in range(ss, se + 1) if absv[k] == 1), default=ss - 1
+            )
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    w.flush_eob()
+                    w.sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        w.bw.write(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: next magnitude bit
+                    br.append(t & 1)
+                    continue
+                # newly significant +-1<<al
+                w.flush_eob()
+                w.sym((r << 4) | 1)
+                w.bw.write(1 if zz[k] > 0 else 0, 1)
+                for b in br:
+                    w.bw.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                w.count_eob(br)
+        w.flush_eob()
+        w.bw.flush()
+        return bytes(w.bw.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xDB, b"\x00" + bytes(QUANT_LUMA[ZIGZAG[k]] for k in range(64)))
+    if channels == 3:
+        out += seg(
+            0xDB, b"\x01" + bytes(QUANT_CHROMA[ZIGZAG[k]] for k in range(64))
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for cid, ch, cv, tq, _pw, _ph in comp_geom:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive DCT, Huffman
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+
+    def sos(comps: list[int], ss, se, ah, al, entropy: bytes) -> bytes:
+        hdr = bytearray([len(comps)])
+        for cid in comps:
+            hdr += bytes([cid, 0x00])  # Td=0, Ta=0 (shared flat tables)
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(hdr)) + entropy
+
+    if successive:
+        out += sos(cids, 0, 0, 0, 1, dc_scan(1))
+        out += sos(cids, 0, 0, 1, 0, dc_refine_scan(0))
+        for cid in cids:
+            out += sos([cid], 1, 5, 0, 1, ac_first_scan(cid, 1, 5, 1))
+            out += sos([cid], 6, 63, 0, 1, ac_first_scan(cid, 6, 63, 1))
+        for cid in cids:
+            out += sos([cid], 1, 5, 1, 0, ac_refine_scan(cid, 1, 5, 0))
+            out += sos([cid], 6, 63, 1, 0, ac_refine_scan(cid, 6, 63, 0))
+    else:
+        out += sos(cids, 0, 0, 0, 0, dc_scan(0))
+        for cid in cids:
+            out += sos([cid], 1, 63, 0, 0, ac_first_scan(cid, 1, 63, 0))
     out += b"\xff\xd9"
     return bytes(out)
 

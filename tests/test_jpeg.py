@@ -85,11 +85,21 @@ class TestGuards:
         with pytest.raises(ValueError, match="MAX_PIXELS"):
             jpeg_decode(bytes(data))
 
-    def test_progressive_rejected_not_crashed(self):
+    def test_baseline_relabeled_progressive_rejected_not_crashed(self):
+        # a baseline stream with SOF0 rewritten to SOF2 is MALFORMED
+        # progressive (its single scan claims the full 0..63 band, which
+        # a progressive DC scan cannot) — clean error, not garbage pixels
         data = bytearray(jpeg_encode(8, 8, bytes(192)))
         sof = data.index(b"\xff\xc0")
         data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="Se=0"):
+            jpeg_decode(bytes(data))
+
+    def test_lossless_sof3_rejected_not_crashed(self):
+        data = bytearray(jpeg_encode(8, 8, bytes(192)))
+        sof = data.index(b"\xff\xc0")
+        data[sof + 1] = 0xC3  # SOF3 lossless
+        with pytest.raises(NotImplementedError, match="lossless"):
             jpeg_decode(bytes(data))
 
     def test_truncated_entropy_data_rejected(self):
@@ -179,3 +189,119 @@ class TestScanLayouts:
         w2, h2, ch, out = jpeg_decode(bytes(data))
         assert (w2, h2, ch) == (w, h, 1)
         assert max(abs(out[i] - px[i]) for i in range(len(px))) <= 4
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode: the exactness lever is that
+    ``jpeg_encode_progressive`` quantizes with the same FDCT + Annex K
+    tables as ``jpeg_encode``, so the two streams carry IDENTICAL
+    coefficients and must decode to IDENTICAL pixels — every assertion
+    here is exact equality, not lossy tolerance."""
+
+    CASES = [
+        (16, 16, 3, (1, 1), "gradient"),
+        (24, 17, 3, (2, 2), "random"),  # 4:2:0, odd height
+        (21, 13, 3, (2, 1), "random"),  # 4:2:2, odd dims
+        (19, 11, 1, (1, 1), "random"),  # grayscale, odd dims
+        (40, 33, 3, (2, 2), "random"),  # multi-MCU + padded block column
+    ]
+
+    @staticmethod
+    def _img(w, h, c, kind, seed=0):
+        if kind == "random":
+            import random
+
+            rng = random.Random(seed * 7919 + w * 31 + h)
+            return bytes(rng.randrange(256) for _ in range(w * h * c))
+        return bytes(
+            (x * 3 + y * 5 + ch * 40) % 256
+            for y in range(h)
+            for x in range(w)
+            for ch in range(c)
+        )
+
+    @pytest.mark.parametrize("case", CASES)
+    @pytest.mark.parametrize("successive", [False, True])
+    def test_pixel_exact_vs_baseline(self, case, successive):
+        from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+        w, h, c, sub, kind = case
+        img = self._img(w, h, c, kind)
+        base = jpeg_decode(jpeg_encode(w, h, img, channels=c, subsample=sub))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(
+                w, h, img, channels=c, subsample=sub, successive=successive
+            )
+        )
+        assert prog == base
+
+    def test_successive_approximation_exercises_refinement(self):
+        """The Al=1 first scans must leave a stream whose refinement
+        scans carry real information: decoding a TRUNCATED successive
+        stream (refinement scans dropped) must differ from the full
+        decode — proves the refinement paths change pixels."""
+        from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+        w, h = 24, 16
+        img = self._img(w, h, 3, "random", seed=3)
+        data = jpeg_encode_progressive(w, h, img, successive=True)
+        # drop everything from the first REFINEMENT SOS (3rd of 10 scans
+        # is the first AC scan; refinements start after 2 + 2*3 scans)
+        sos_positions = []
+        i = 2
+        while True:
+            j = data.find(b"\xff\xda", i)
+            if j < 0:
+                break
+            sos_positions.append(j)
+            i = j + 2
+        # 14 scans: DC first + DC refine + 6 AC first + 6 AC refine
+        assert len(sos_positions) == 14
+        truncated = data[: sos_positions[8]] + b"\xff\xd9"  # drop refines
+        full = jpeg_decode(data)
+        part = jpeg_decode(truncated)
+        assert part[:3] == full[:3]
+        assert part[3] != full[3]
+
+    def test_eob_run_paths(self):
+        """A mostly-flat image makes nearly every AC block empty, driving
+        EOBRUN accumulation (including the multi-block EOBn encode/decode
+        path) on both first and refinement scans."""
+        from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+        w, h = 64, 48  # 48 luma blocks, almost all AC-empty
+        img = bytearray([77] * (w * h * 3))
+        img[0] = 200  # one busy corner block
+        img = bytes(img)
+        base = jpeg_decode(jpeg_encode(w, h, img))
+        for successive in (False, True):
+            prog = jpeg_decode(
+                jpeg_encode_progressive(w, h, img, successive=successive)
+            )
+            assert prog == base
+
+    def test_golden_libjpeg_progressive_file(self):
+        """Real progressive JPEG produced by a production encoder (libjpeg
+        scan script with successive approximation), shipped in the
+        container's rust docs. Proves scan-structure compatibility beyond
+        our own encoder's dialect: interleaved DC, per-component spectral
+        bands, DC+AC refinement, per-scan DHT redefinition."""
+        import os
+
+        path = (
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+            "share/doc/rust/html/embedded-book/assets/f3.jpg"
+        )
+        if not os.path.exists(path):
+            pytest.skip("golden progressive fixture not present")
+        data = open(path, "rb").read()
+        w, h, c, px = jpeg_decode(data)
+        assert (w, h, c) == (720, 477, 3)
+        n = len(px)
+        assert n == w * h * 3
+        mean = sum(px) / n
+        sample = px[::97]
+        var = sum((p - mean) ** 2 for p in sample) / len(sample)
+        # a natural photo: mid-range mean, substantial variance
+        assert 40 < mean < 220
+        assert var ** 0.5 > 20
