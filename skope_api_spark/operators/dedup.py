@@ -141,6 +141,16 @@ def minhash_near_duplicates(
         F.col(id_col).alias("doc_id"), "shingles"
     )
     sh = sh.where(F.size("shingles") > 0)
+    # two-level hashing: the EXPENSIVE string hash runs once per shingle
+    # (sbase, materialized in the persisted table), and the per-seed
+    # family h_i = xxhash64(i, sbase) mixes cheap 8-byte longs — with 64
+    # hashes the naive form re-hashes every multi-byte shingle string 64
+    # times; this form does it once (cross-seed independence is the
+    # standard double-hashing argument, base collisions ~2^-64 are far
+    # below the banding miss bound and the verify step is exact anyway)
+    sh = sh.withColumn(
+        "sbase", F.transform("shingles", lambda s: F.xxhash64(s))
+    )
     if persist_shingles:
         from pyspark import StorageLevel
 
@@ -155,7 +165,7 @@ def minhash_near_duplicates(
     # no explode, no groupBy shuffle.
     def _mh(i: int):
         return F.array_min(
-            F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))
+            F.transform("sbase", lambda b: F.xxhash64(F.lit(i), b))
         )
 
     band_structs = [
@@ -277,8 +287,12 @@ def minhash_cross_corpus(
     rows_per_band = num_hashes // bands
 
     def _mh(i: int):
+        # two-level hashing as in minhash_near_duplicates: string-hash
+        # each shingle once (sbase — identical subtree across the 64
+        # seeds, so codegen subexpression elimination evaluates it once
+        # per row), then mix cheap longs per seed
         return F.array_min(
-            F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))
+            F.transform("sbase", lambda b: F.xxhash64(F.lit(i), b))
         )
 
     band_structs = [
@@ -290,16 +304,19 @@ def minhash_cross_corpus(
         )
         for b in range(bands)
     ]
+    sbase = F.transform("shingles", lambda s: F.xxhash64(s))
 
     sh_c = (
         with_token_shingles(corpus, text_col, shingle_n, "shingles")
         .select(F.col(id_col).alias("doc_id"), "shingles")
         .where(F.size("shingles") > 0)
+        .withColumn("sbase", sbase)
     )
     sh_p = (
         with_token_shingles(probe, text_col, shingle_n, "shingles")
         .select(F.col(id_col).alias("probe_id"), "shingles")
         .where(F.size("shingles") > 0)
+        .withColumn("sbase", sbase)
     )
 
     # corpus rows carry their shingle arrays through the BROADCAST join —
