@@ -1,7 +1,9 @@
-"""Pure-stdlib baseline JPEG codec: lossy round-trips within tolerance,
-grayscale and 4:2:0 subsampled scans, guard rails (MAX_PIXELS, progressive
-rejection, truncation), and the real-pixel feature kernel through the
-Spark mapInPandas stage."""
+"""Pure-stdlib JPEG codec: baseline lossy round-trips within tolerance,
+PROGRESSIVE (SOF2) decode pixel-exact against the baseline path on
+identical coefficients (plus a libjpeg golden file), grayscale and 4:2:0
+subsampled scans, guard rails (MAX_PIXELS, lossless/arithmetic rejection,
+truncation), and the real-pixel feature kernel through the Spark
+mapInPandas stage."""
 
 from __future__ import annotations
 
@@ -305,3 +307,20 @@ class TestProgressive:
         # a natural photo: mid-range mean, substantial variance
         assert 40 < mean < 220
         assert var ** 0.5 > 20
+
+    def test_progressive_through_spark_feature_seam(self, spark):
+        """A progressive (SOF2) JPEG must produce REAL pixel features
+        through the mapInPandas extract_features path — before round 9 it
+        fell to the hash pseudo-encoder."""
+        from skope_api_spark.operators import multimodal as mm
+        from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+        w, h = 16, 16
+        px = bytes([250, 10, 10] * (w * h))  # solid red
+        prog = jpeg_encode_progressive(w, h, px)
+        df = spark.createDataFrame(
+            [(1, bytearray(prog))], "media_id long, content binary"
+        )
+        rows = {r.media_id: r.feature for r in mm.extract_features(df).collect()}
+        assert abs(rows[1][0] - 250 / 255) < 0.05  # real red mean, not hash
+        assert rows[1] != mm.hash_pseudo_encoder()(prog)
