@@ -983,6 +983,7 @@ def jpeg_encode_progressive(
     channels: int = 3,
     subsample: tuple[int, int] = (1, 1),
     successive: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JPEG from raw 8-bit interleaved pixels.
 
@@ -999,7 +1000,11 @@ def jpeg_encode_progressive(
     plain spectral selection (single-precision scans, Al=0), the
     simplest legal progressive layout. Huffman tables are flat
     fixed-length (``_flat_table``) — EOBn symbols up to r=14 need codes
-    the Annex K tables don't carry."""
+    the Annex K tables don't carry. ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs (DC scans) / N blocks (AC scans): restart
+    boundaries reset DC predictors AND terminate EOB runs, the subtlety
+    the decoder's restart path must honor (camera/web JPEGs ship DRI
+    routinely)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
@@ -1045,11 +1050,21 @@ def jpeg_encode_progressive(
     ac_bits, ac_vals, ac_codes = _flat_table(list(range(0xFF)))
     byid = {g[0]: g for g in comp_geom}
     cids = [g[0] for g in comp_geom]
+    dri = int(restart_interval)
+
+    def _rst(bw, n):
+        # pad to a byte boundary, then the marker goes in RAW (markers
+        # are never byte-stuffed)
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + (n % 8)])
 
     def dc_scan(al: int) -> bytes:
         bw = _BitWriter()
         preds = {cid: 0 for cid in cids}
         for m in range(mcux * mcuy):
+            if dri and m and m % dri == 0:
+                _rst(bw, m // dri - 1)
+                preds = {cid: 0 for cid in cids}
             my, mx = divmod(m, mcux)
             for cid in cids:
                 _c, ch, cv, _tq, _pw, _ph = byid[cid]
@@ -1073,6 +1088,8 @@ def jpeg_encode_progressive(
     def dc_refine_scan(al: int) -> bytes:
         bw = _BitWriter()
         for m in range(mcux * mcuy):
+            if dri and m and m % dri == 0:
+                _rst(bw, m // dri - 1)
             my, mx = divmod(m, mcux)
             for cid in cids:
                 _c, ch, cv, _tq, _pw, _ph = byid[cid]
@@ -1092,7 +1109,10 @@ def jpeg_encode_progressive(
 
     def ac_first_scan(cid, ss, se, al) -> bytes:
         w = _ProgressiveWriter(ac_codes)
-        for zz in comp_grid(cid):
+        for n, zz in enumerate(comp_grid(cid)):
+            if dri and n and n % dri == 0:
+                w.flush_eob()  # an EOB run cannot span a restart
+                _rst(w.bw, n // dri - 1)
             av = [_shrink(zz[k], al) for k in range(64)]
             last = max((k for k in range(ss, se + 1) if av[k]), default=None)
             if last is None:
@@ -1126,7 +1146,10 @@ def jpeg_encode_progressive(
         # because every nonzero position re-checks the r > 15 condition
         # before buffering its own bit).
         w = _ProgressiveWriter(ac_codes)
-        for zz in comp_grid(cid):
+        for n, zz in enumerate(comp_grid(cid)):
+            if dri and n and n % dri == 0:
+                w.flush_eob()  # pending run + correction bits end here
+                _rst(w.bw, n // dri - 1)
             absv = [abs(_shrink(zz[k], al)) for k in range(64)]
             eob = max(
                 (k for k in range(ss, se + 1) if absv[k] == 1), default=ss - 1
@@ -1177,6 +1200,8 @@ def jpeg_encode_progressive(
     out += seg(0xC2, bytes(sof))  # SOF2: progressive DCT, Huffman
     out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
 
     def sos(comps: list[int], ss, se, ah, al, entropy: bytes) -> bytes:
         hdr = bytearray([len(comps)])

@@ -324,3 +324,22 @@ class TestProgressive:
         rows = {r.media_id: r.feature for r in mm.extract_features(df).collect()}
         assert abs(rows[1][0] - 250 / 255) < 0.05  # real red mean, not hash
         assert rows[1] != mm.hash_pseudo_encoder()(prog)
+
+    @pytest.mark.parametrize("dri", [1, 3])
+    @pytest.mark.parametrize("successive", [False, True])
+    def test_restart_markers_in_progressive_scans(self, dri, successive):
+        """DRI + RSTn inside progressive scans: restart boundaries reset
+        DC predictors AND terminate EOB runs mid-scan — still pixel-exact
+        against the baseline decode of the same coefficients."""
+        from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+        w, h = 40, 33
+        img = self._img(w, h, 3, "random", seed=11)
+        base = jpeg_decode(jpeg_encode(w, h, img, subsample=(2, 2)))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(
+                w, h, img, subsample=(2, 2),
+                successive=successive, restart_interval=dri,
+            )
+        )
+        assert prog == base
