@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Independent (non-DuckDB) ground truth for the sf1 oracle-capped queries.
 
-At sf1 three registry queries' DuckDB oracles exceed any reasonable
+At sf1 five registry queries' DuckDB oracles exceed any reasonable
 budget (recursive-closure / all-pairs SQL superlinearity), so their full
-sweeps record rows-only. This script closes that gap the way round 8 did
-for dedup_duplicate_clusters and dedup_minhash_near_duplicates: recompute
-the EXACT expected answer in pure Python from the raw parquet (no Spark,
-no DuckDB) and compare cell-for-cell with the Spark side:
+sweeps record rows-only. This script recomputes the EXACT expected
+answer for ALL FIVE in pure Python from the raw parquet (no Spark, no
+DuckDB) and compares cell-for-cell with the Spark side — including
+dedup_minhash_near_duplicates (recall AND precision vs the exact
+all-pairs graph) and dedup_duplicate_clusters (union-find min-member
+labels), whose round-8 verification predates the round-9 banding/hash
+family change:
 
 - dedup_minhash_cross_corpus: exact cross-set 3-shingle Jaccard via a
   shingle inverted index (full recall AND precision — every candidate
@@ -162,13 +165,54 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
-    # ---- shared all-pairs graph for the two pipeline queries ---------
+    # ---- shared all-pairs graph (also the direct oracle for the
+    # near-duplicates and clusters queries) ----------------------------
     t0 = time.time()
     all_pairs = exact_pairs(ids, shingles)
     print(
         f"[gt] all-pairs exact graph: {len(all_pairs)} edges "
         f"({time.time()-t0:.1f}s)"
     )
+
+    # ---- 1b. dedup_minhash_near_duplicates (recall AND precision) ----
+    t0 = time.time()
+    got_nd = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qs["dedup_minhash_near_duplicates"](spark, SF_DIR).collect()
+    }
+    miss = set(all_pairs) - set(got_nd)
+    extra = set(got_nd) - set(all_pairs)
+    vdiff = [
+        k for k in all_pairs if k in got_nd and all_pairs[k] != got_nd[k]
+    ]
+    ok = not (miss or extra or vdiff)
+    print(
+        f"[gt] dedup_minhash_near_duplicates: expect {len(all_pairs)} "
+        f"pairs, spark {len(got_nd)}; missing={len(miss)} "
+        f"extra={len(extra)} value_diffs={len(vdiff)} -> "
+        f"{'OK' if ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
+    # ---- 1c. dedup_duplicate_clusters (min-member labels) ------------
+    t0 = time.time()
+    clusters_all = union_find_clusters(ids, all_pairs)
+    expect_lbl = {
+        i: min(members)
+        for members in clusters_all.values()
+        for i in members
+    }
+    got_lbl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_duplicate_clusters"](spark, SF_DIR).collect()
+    }
+    ok = got_lbl == expect_lbl
+    print(
+        f"[gt] dedup_duplicate_clusters: {len(expect_lbl)} labeled nodes "
+        f"expected, {len(got_lbl)} from spark -> "
+        f"{'OK' if ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
 
     # ---- 2. pipeline_keep_best_rep -----------------------------------
     t0 = time.time()
@@ -256,7 +300,7 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
-    print(f"\n{3 - failures}/3 ground-truth checks OK")
+    print(f"\n{5 - failures}/5 ground-truth checks OK")
     return 1 if failures else 0
 
 
