@@ -94,11 +94,18 @@ FRAME_SCHEMA = StructType(
 
 
 def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
-    """Header-only dimension sniffing for PNG / GIF / BMP / JPEG (pure Python).
+    """Header-only dimension sniffing for PNG / GIF / BMP / JPEG / WebP
+    (pure Python).
 
     This part is real: PNG IHDR and GIF logical-screen headers carry
     dimensions at fixed offsets; JPEG requires walking segment markers to
-    the first SOFn. Anything else → (None, None, None).
+    the first SOFn; WebP carries dimensions in whichever of VP8X
+    (extended canvas, 24-bit minus-one), "VP8 " (lossy frame tag after
+    the 9D 01 2A sync, 14-bit) or VP8L (0x2F signature, packed 14-bit
+    minus-one) leads the RIFF payload. Anything else → (None, None,
+    None). Pixel DECODE for WebP stays out of scope (VP8 bool-coder /
+    VP8L transforms need a codec lib); dimensions are metadata the
+    curation pipeline filters on without decoding.
     """
     if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
         w, h = struct.unpack(">II", data[16:24])
@@ -121,6 +128,24 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
                 return "jpeg", w, h
             i += 2 + seg_len
         return "jpeg", None, None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 21:
+        tag, payload = data[12:16], data[20:]
+        if tag == b"VP8X" and len(payload) >= 10:
+            w = 1 + int.from_bytes(payload[4:7], "little")
+            h = 1 + int.from_bytes(payload[7:10], "little")
+            return "webp", w, h
+        if tag == b"VP8 " and len(payload) >= 10:
+            if payload[3:6] == b"\x9d\x01\x2a":  # keyframe sync code
+                w = struct.unpack("<H", payload[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
+                return "webp", w, h
+            return "webp", None, None
+        if tag == b"VP8L" and len(payload) >= 5 and payload[0] == 0x2F:
+            bits = int.from_bytes(payload[1:5], "little")
+            w = 1 + (bits & 0x3FFF)
+            h = 1 + ((bits >> 14) & 0x3FFF)
+            return "webp", w, h
+        return "webp", None, None
     return None, None, None
 
 

@@ -189,3 +189,75 @@ class TestInjectableKernels:
         assert all(len(r.feature) == mm.FEATURE_DIM for r in feats)
         frames = mm.sample_frames(media_df.where("media_id = 4")).collect()
         assert [r.byte_offset for r in frames] == [0, 4096, 8192, 12288]
+
+
+class TestWebpSniffing:
+    """WebP dimension sniffing: all three RIFF payload leads (VP8X
+    extended canvas, lossy VP8 keyframe tag, VP8L lossless signature).
+    Pixel decode stays a documented stub; dimensions are the metadata
+    a curation pipeline filters on without decoding."""
+
+    def test_golden_vp8x_file(self):
+        import os
+
+        path = (
+            "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+            "test_email/data/python.webp"
+        )
+        if not os.path.exists(path):
+            import pytest
+
+            pytest.skip("stdlib webp fixture not present")
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        fmt, w, h = _sniff_image(open(path, "rb").read())
+        assert fmt == "webp"
+        # stdlib test image is a 200x80 logo per its VP8X canvas
+        assert w and h and 10 < w < 4000 and 10 < h < 4000
+
+    def test_constructed_vp8_lossy_header(self):
+        import struct
+
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack(
+            "<HH", 320, 240
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        assert _sniff_image(data) == ("webp", 320, 240)
+
+    def test_constructed_vp8l_header(self):
+        import struct
+
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        w, h = 1024, 768
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + bits.to_bytes(4, "little")
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        assert _sniff_image(data) == ("webp", w, h)
+
+    def test_vp8x_canvas_minus_one_encoding(self):
+        import struct
+
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        w, h = 65536, 1  # 24-bit minus-one fields exceed 16-bit dims
+        payload = b"\x00\x00\x00\x00" + (w - 1).to_bytes(3, "little") + (
+            h - 1
+        ).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        assert _sniff_image(data) == ("webp", w, h)
+
+    def test_corrupt_webp_degrades_to_format_only(self):
+        import struct
+
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        payload = b"\x00\x00\x00" + b"\xff\xff\xff" + b"\x00\x00\x00\x00"
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        assert _sniff_image(data) == ("webp", None, None)
