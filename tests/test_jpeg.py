@@ -343,3 +343,43 @@ class TestProgressive:
             )
         )
         assert prog == base
+
+
+class TestProgressiveProperties:
+    """Property-based sweep: ANY (dims, channels, subsample, scan script,
+    restart interval, pixel content) must decode progressive == baseline
+    pixel-exactly, because both encoders quantize identically."""
+
+    def test_random_configs_pixel_exact(self):
+        from hypothesis import given, settings, strategies as st
+
+        from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            w=st.integers(8, 36),
+            h=st.integers(8, 36),
+            gray=st.booleans(),
+            sub=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+            successive=st.booleans(),
+            dri=st.sampled_from([0, 1, 3]),
+            seed=st.integers(0, 2**31),
+        )
+        def check(w, h, gray, sub, successive, dri, seed):
+            import random
+
+            c = 1 if gray else 3
+            rng = random.Random(seed)
+            img = bytes(rng.randrange(256) for _ in range(w * h * c))
+            base = jpeg_decode(
+                jpeg_encode(w, h, img, channels=c, subsample=sub)
+            )
+            prog = jpeg_decode(
+                jpeg_encode_progressive(
+                    w, h, img, channels=c, subsample=sub,
+                    successive=successive, restart_interval=dri,
+                )
+            )
+            assert prog == base
+
+        check()
