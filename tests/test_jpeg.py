@@ -307,6 +307,14 @@ class TestProgressive:
         # a natural photo: mid-range mean, substantial variance
         assert 40 < mean < 220
         assert var ** 0.5 > 20
+        # regression pin: future decoder refactors must reproduce this
+        # output byte-for-byte (stability guard, recorded round 9)
+        import hashlib
+
+        assert hashlib.sha256(px).hexdigest() == (
+            "5158c38d6e8df942c7c3188daf3bddb7"
+            "c2116bd330a5b6f07a3031ff650f0d94"
+        )
 
     def test_progressive_through_spark_feature_seam(self, spark):
         """A progressive (SOF2) JPEG must produce REAL pixel features
