@@ -197,13 +197,15 @@ def hash_pseudo_encoder(dim: int = FEATURE_DIM):
 
 
 def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
-    """Default kernel: REAL pixel features for PNG, baseline-JPEG and GIF
-    blobs (pure-stdlib decodes in ``operators.png`` / ``operators.jpeg``
-    / ``operators.gif`` — quadrant channel means from actual pixels),
-    hash pseudo-embedding for everything else. Unsupported variants
-    (palette/16-bit/interlaced PNG; progressive/arithmetic/CMYK JPEG)
-    AND corrupt/truncated blobs fall back rather than fail the batch —
-    at corpus scale a malformed file is data, not an error."""
+    """Default kernel: REAL pixel features for PNG, JPEG (baseline +
+    progressive), GIF and lossless-WebP (VP8L) blobs (pure-stdlib
+    decodes in ``operators.png`` / ``operators.jpeg`` / ``operators.gif``
+    / ``operators.vp8l`` — quadrant channel means from actual pixels),
+    hash pseudo-embedding for everything else (lossy-WebP VP8, audio,
+    video). Unsupported variants (palette/16-bit/interlaced PNG;
+    lossless/arithmetic/CMYK JPEG) AND corrupt/truncated blobs fall back
+    rather than fail the batch — at corpus scale a malformed file is
+    data, not an error."""
     import struct
     import zlib
 
@@ -236,6 +238,14 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
         if b[:6] in GIF_SIGNATURES:
             try:
                 return gif_pixel_features(b, dim=dim)
+            except decode_errors:
+                return fallback(b)
+        if b[:4] == b"RIFF" and b[8:16] == b"WEBPVP8L":
+            try:
+                from skope_api_spark.operators.png import quadrant_features
+                from skope_api_spark.operators.vp8l import vp8l_decode
+
+                return quadrant_features(*vp8l_decode(b), dim=dim)
             except decode_errors:
                 return fallback(b)
         return fallback(b)
