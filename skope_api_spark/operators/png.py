@@ -3,11 +3,15 @@
 Replaces the hash-stub default in ``operators.multimodal`` for PNG blobs:
 this environment has no image libraries, but PNG's format needs none —
 DEFLATE is ``zlib`` (stdlib) and the rest is chunk framing + per-scanline
-filters. Supported: 8-bit depth, color types 0 (gray), 2 (RGB),
-4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming majority of
-real-world PNGs. Palette (type 3), 16-bit and Adam7 raise
-``NotImplementedError`` with a clear message (inject a PIL-backed decoder
-for those; the seam is unchanged).
+filters. Supported: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB,
+8/16), 3 (palette, depths 1/2/4/8, PLTE + optional tRNS alpha — the icon
+/logo workhorse), 4 (gray+alpha) and 6 (RGBA) at 8/16 bits,
+non-interlaced. 16-bit samples downscale to their high byte; sub-8-bit
+samples unpack MSB-first per the spec and grayscale scales to 0..255.
+Adam7 interlacing raises ``NotImplementedError`` with a clear message
+(inject a PIL-backed decoder; the seam is unchanged). Palette and 16-bit
+decode are golden-pinned by real stdlib/IDLE icon fixtures in
+tests/test_png.py.
 
 Performance note: this is per-pixel Python inside an Arrow-batched
 ``mapInPandas`` kernel — correct-but-slow by design. The Spark plumbing is
@@ -75,6 +79,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     idat: list[bytes] = []
     width = height = channels = None
+    depth = color = 8
+    palette = trns = None
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -92,10 +98,19 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
-            if color not in _CHANNELS:
-                raise NotImplementedError(f"color type {color} (palette unsupported)")
+            valid = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
+            if color not in valid:
+                raise NotImplementedError(f"color type {color} unsupported")
+            if depth not in valid[color]:
+                raise NotImplementedError(
+                    f"bit depth {depth} invalid for color type {color}"
+                )
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlacing unsupported")
             if comp != 0 or filt != 0:
@@ -107,7 +122,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     f"PNG dimensions {width}x{height} exceed MAX_PIXELS "
                     f"({MAX_PIXELS}); refusing to decode"
                 )
-            channels = _CHANNELS[color]
+            channels = 1 if color == 3 else _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("malformed PLTE chunk")
+            palette = payload
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat.append(payload)
         elif ctype == b"IEND":
@@ -116,7 +137,11 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
 
-    stride = width * channels
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    # stride/bpp in BYTES; sub-byte samples pack MSB-first (spec 7.2)
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
     expected = (stride + 1) * height  # bounded: width*height <= MAX_PIXELS
     # cap decompression at the size IHDR promises: a crafted
     # decompression-bomb IDAT must fail cheaply (ValueError → callers'
@@ -135,20 +160,20 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         line = bytearray(raw[p + 1 : p + 1 + stride])
         p += 1 + stride
         if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pred) & 0xFF
@@ -156,7 +181,57 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown scanline filter {f}")
         out[row * stride : (row + 1) * stride] = line
         prev = line
-    return width, height, channels, bytes(out)
+    if depth == 8 and color != 3:
+        return width, height, channels, bytes(out)
+    return _postprocess(
+        bytes(out), width, height, depth, color, channels, stride,
+        palette, trns,
+    )
+
+
+def _postprocess(raw, width, height, depth, color, channels, stride,
+                 palette, trns):
+    """Non-plain layouts -> 8-bit interleaved: unpack sub-byte samples
+    (MSB-first), scale grayscale to 0..255, downscale 16-bit to the high
+    byte, expand palette indices through PLTE (+ tRNS alpha)."""
+    if depth == 16:
+        n = width * height * channels
+        return width, height, channels, bytes(
+            raw[2 * i] for i in range(n)
+        )
+    # sub-byte (or 8-bit palette) single-channel rows
+    vals = []
+    if depth == 8:
+        for row in range(height):
+            vals.extend(raw[row * stride : row * stride + width])
+    else:
+        mask = (1 << depth) - 1
+        per = 8 // depth
+        for row in range(height):
+            base = row * stride
+            rowvals = []
+            for byte_i in range(stride):
+                b = raw[base + byte_i]
+                for k in range(per):
+                    rowvals.append((b >> (8 - depth * (k + 1))) & mask)
+            vals.extend(rowvals[:width])
+    if color == 0:  # grayscale: scale to full range
+        scale = 255 // ((1 << depth) - 1)
+        return width, height, 1, bytes(v * scale for v in vals)
+    # palette
+    ncol = len(palette) // 3
+    has_alpha = trns is not None
+    och = 4 if has_alpha else 3
+    out = bytearray(width * height * och)
+    for i, idx in enumerate(vals):
+        if idx >= ncol:
+            raise ValueError("palette index out of range")
+        out[och * i] = palette[3 * idx]
+        out[och * i + 1] = palette[3 * idx + 1]
+        out[och * i + 2] = palette[3 * idx + 2]
+        if has_alpha:
+            out[och * i + 3] = trns[idx] if idx < len(trns) else 255
+    return width, height, och, bytes(out)
 
 
 def png_pixel_features(data: bytes, *, dim: int = 16) -> list[float]:

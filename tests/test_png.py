@@ -60,10 +60,22 @@ class TestRoundTrip:
         with pytest.raises(ValueError, match="signature"):
             png_decode(b"\xff\xd8not a png at all")
 
-    def test_palette_raises_not_implemented(self):
+    def test_palette_without_plte_rejected(self):
+        # palette PNGs decode since round 9; one MISSING its PLTE is
+        # malformed and must error cleanly
         ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        idat = zlib.compress(b"\x00\x00")
+        data = (
+            PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="PLTE"):
+            png_decode(data)
+
+    def test_interlaced_raises_not_implemented(self):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
         data = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
-        with pytest.raises(NotImplementedError, match="palette"):
+        with pytest.raises(NotImplementedError, match="Adam7"):
             png_decode(data)
 
     def test_decompression_bomb_capped(self):
@@ -232,3 +244,161 @@ class TestCorruptBlobRobustness:
         for cut in range(34, len(full) - 13):
             with pytest.raises(ValueError, match="truncated|missing|IDAT"):
                 png_decode(full[:cut])
+
+
+class TestExtendedLayouts:
+    """Palette, sub-8-bit and 16-bit PNGs (round 9) — golden-pinned by
+    real stdlib/IDLE icons plus constructed streams for the packings no
+    golden covers."""
+
+    PY_LOGO = (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+        "test_email/data/python.png"
+    )
+    IDLE16 = "/root/.pyenv/versions/3.7.16/lib/python3.7/idlelib/Icons/idle_16.png"
+
+    def test_golden_palette_trns_logo(self):
+        import os
+
+        if not os.path.exists(self.PY_LOGO):
+            pytest.skip("stdlib palette fixture not present")
+        w, h, c, px = png_decode(open(self.PY_LOGO, "rb").read())
+        assert (w, h, c) == (16, 16, 4)  # tRNS present -> RGBA
+        # corners transparent, snake body opaque
+        assert px[3] < 32 and px[4 * 15 + 3] < 32
+        assert px[4 * (5 * 16 + 2) + 3] > 200
+
+    def test_cross_codec_alpha_agreement(self):
+        """The SAME logo ships as palette+tRNS PNG and as lossy webp
+        with a VP8L alpha plane: two unrelated codec stacks must agree
+        on the silhouette pixel-for-pixel — mutual external validation
+        of both decoders."""
+        import os
+
+        webp = (
+            "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+            "test_email/data/python.webp"
+        )
+        if not (os.path.exists(self.PY_LOGO) and os.path.exists(webp)):
+            pytest.skip("stdlib fixtures not present")
+        from skope_api_spark.operators.vp8l import webp_alpha_plane
+
+        w, h, c, px = png_decode(open(self.PY_LOGO, "rb").read())
+        W, H, plane = webp_alpha_plane(open(webp, "rb").read())
+        assert (w, h) == (W, H)
+        png_mask = [px[4 * i + 3] > 128 for i in range(w * h)]
+        webp_mask = [plane[i] > 128 for i in range(W * H)]
+        assert png_mask == webp_mask  # 256/256 observed at record time
+
+    def test_golden_16bit_rgba(self):
+        import os
+
+        if not os.path.exists(self.IDLE16):
+            pytest.skip("IDLE 16-bit icon not present")
+        w, h, c, px = png_decode(open(self.IDLE16, "rb").read())
+        assert (w, h, c) == (16, 16, 4)
+        assert len(px) == 16 * 16 * 4
+        assert len(set(px)) > 8  # real image content, not zeros
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_constructed_palette_packings(self, depth):
+        """Sub-byte palette indices pack MSB-first (spec 7.2); odd width
+        exercises row-tail bits."""
+        import random
+
+        ncol = 1 << depth
+        rng = random.Random(depth)
+        palette = bytes(rng.randrange(256) for _ in range(3 * ncol))
+        w, h = 11, 5
+        idx = [rng.randrange(ncol) for _ in range(w * h)]
+        per = 8 // depth
+        stride = (w * depth + 7) // 8
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)  # filter None
+            rowbits = bytearray(stride)
+            for x in range(w):
+                b, k = divmod(x, per)
+                rowbits[b] |= idx[y * w + x] << (8 - depth * (k + 1))
+            raw += rowbits
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        W, H, C, px = png_decode(data)
+        assert (W, H, C) == (w, h, 3)
+        expect = b"".join(
+            palette[3 * i : 3 * i + 3] for i in idx
+        )
+        assert px == expect
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_constructed_sub8_grayscale(self, depth):
+        w, h = 9, 3
+        import random
+
+        rng = random.Random(depth + 10)
+        mx = (1 << depth) - 1
+        vals = [rng.randrange(mx + 1) for _ in range(w * h)]
+        per = 8 // depth
+        stride = (w * depth + 7) // 8
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            rowbits = bytearray(stride)
+            for x in range(w):
+                b, k = divmod(x, per)
+                rowbits[b] |= vals[y * w + x] << (8 - depth * (k + 1))
+            raw += rowbits
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        W, H, C, px = png_decode(data)
+        assert (W, H, C) == (w, h, 1)
+        scale = 255 // mx
+        assert px == bytes(v * scale for v in vals)
+
+    def test_constructed_16bit_rgb_with_filters(self):
+        """16-bit samples: the filter byte-distance is channels*2; take
+        the high byte after unfiltering."""
+        import random
+
+        rng = random.Random(99)
+        w, h = 6, 4
+        hi = [rng.randrange(256) for _ in range(w * h * 3)]
+        raw = bytearray()
+        raws = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                for ch in range(3):
+                    row += bytes([hi[(y * w + x) * 3 + ch], 0x5A])
+            raws.append(row)
+        for y in range(h):
+            if y == 0:
+                raw.append(0)
+                raw += raws[0]
+            else:
+                raw.append(2)  # Up: emit difference vs previous raw row
+                raw += bytes(
+                    (raws[y][i] - raws[y - 1][i]) & 0xFF
+                    for i in range(len(raws[y]))
+                )
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        W, H, C, px = png_decode(data)
+        assert (W, H, C) == (w, h, 3)
+        assert px == bytes(hi)
