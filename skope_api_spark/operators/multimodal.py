@@ -11,16 +11,16 @@ is a one-line swap at the call site with zero changes to the Spark
 plumbing (the same seam pattern as ``sources/geotiff.py``'s ``reader=``).
 
 Defaults in this environment (no image/audio libraries installed;
-real pure-stdlib decoders now cover PNG/JPEG/GIF images in png.py/
-jpeg.py/gif.py and WAV/PCM audio in wav.py):
+real pure-stdlib decoders now cover PNG (incl. palette/16-bit),
+JPEG (baseline + progressive), GIF and lossless-WebP images in
+png.py/jpeg.py/gif.py/vp8l.py and WAV/PCM audio in wav.py):
 
 - ``decode_image_metadata`` — REAL pure-Python header parsing
-  (PNG IHDR / GIF screen descriptor / JPEG SOFn walk).
-- ``extract_features`` — REAL pixel features for PNG blobs via the
-  pure-stdlib codec in ``operators.png`` (full DEFLATE + all five
-  scanline filters; per-quadrant channel means as a pooled-feature
-  stand-in). Non-PNG blobs fall back to a deterministic hash-derived
-  pseudo-embedding (STUB — JPEG entropy decoding needs a codec library).
+  (PNG IHDR / GIF screen descriptor / JPEG SOFn walk / WebP chunks).
+- ``extract_features`` — REAL pixel features for PNG/JPEG/GIF/VP8L
+  blobs via the pure-stdlib codecs (per-quadrant channel means as a
+  pooled-feature stand-in). Other blobs (lossy-WebP VP8, audio, video)
+  fall back to a deterministic hash-derived pseudo-embedding (STUB).
 - ``sample_frames`` — byte-stride STUB in place of keyframe offsets
   (video codecs aren't expressible in stdlib).
 
@@ -103,9 +103,9 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
     (extended canvas, 24-bit minus-one), "VP8 " (lossy frame tag after
     the 9D 01 2A sync, 14-bit) or VP8L (0x2F signature, packed 14-bit
     minus-one) leads the RIFF payload. Anything else → (None, None,
-    None). Pixel DECODE for WebP stays out of scope (VP8 bool-coder /
-    VP8L transforms need a codec lib); dimensions are metadata the
-    curation pipeline filters on without decoding.
+    None). (Lossless-WebP pixel decode lives in ``operators.vp8l``;
+    lossy VP8 stays header-only — dimensions are metadata the curation
+    pipeline filters on without decoding.)
     """
     if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
         w, h = struct.unpack(">II", data[16:24])
