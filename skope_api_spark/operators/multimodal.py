@@ -202,8 +202,8 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
     decodes in ``operators.png`` / ``operators.jpeg`` / ``operators.gif``
     / ``operators.vp8l`` — quadrant channel means from actual pixels),
     hash pseudo-embedding for everything else (lossy-WebP VP8, audio,
-    video). Unsupported variants (Adam7-interlaced PNG;
-    lossless/arithmetic/CMYK JPEG) AND corrupt/truncated blobs fall back
+    video). Unsupported variants (lossless/arithmetic/CMYK JPEG) AND
+    corrupt/truncated blobs fall back
     rather than fail the batch — at corpus scale a malformed file is
     data, not an error."""
     import struct

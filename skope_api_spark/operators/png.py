@@ -8,10 +8,9 @@ filters. Supported: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB,
 /logo workhorse), 4 (gray+alpha) and 6 (RGBA) at 8/16 bits,
 non-interlaced. 16-bit samples downscale to their high byte; sub-8-bit
 samples unpack MSB-first per the spec and grayscale scales to 0..255.
-Adam7 interlacing raises ``NotImplementedError`` with a clear message
-(inject a PIL-backed decoder; the seam is unchanged). Palette and 16-bit
-decode are golden-pinned by real stdlib/IDLE icon fixtures in
-tests/test_png.py.
+Adam7 interlacing is decoded via per-pass unfiltering + scatter,
+golden-pinned by libpng's own pngtest.png. Palette and 16-bit decode are
+golden-pinned by real stdlib/IDLE icon fixtures in tests/test_png.py.
 
 Performance note: this is per-pixel Python inside an Arrow-batched
 ``mapInPandas`` kernel — correct-but-slow by design. The Spark plumbing is
@@ -111,8 +110,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     f"bit depth {depth} invalid for color type {color}"
                 )
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlacing unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("invalid compression/filter method")
             if width == 0 or height == 0:
@@ -142,7 +141,23 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     # stride/bpp in BYTES; sub-byte samples pack MSB-first (spec 7.2)
     stride = (width * channels * depth + 7) // 8
     bpp = max(1, (channels * depth) // 8)
-    expected = (stride + 1) * height  # bounded: width*height <= MAX_PIXELS
+    if interlace == 0:
+        expected = (stride + 1) * height  # bounded: w*h <= MAX_PIXELS
+    else:
+        # Adam7: 7 consecutive reduced images, each its own scanline set
+        pass_dims = [
+            (
+                (width - x0 + dx - 1) // dx,
+                (height - y0 + dy - 1) // dy,
+                x0, y0, dx, dy,
+            )
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        expected = sum(
+            (((wp * channels * depth + 7) // 8) + 1) * hp
+            for wp, hp, *_ in pass_dims
+            if wp > 0 and hp > 0
+        )
     # cap decompression at the size IHDR promises: a crafted
     # decompression-bomb IDAT must fail cheaply (ValueError → callers'
     # fallback path), not expand unboundedly in executor memory
@@ -152,10 +167,36 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     # one more bounded call distinguishes that from surplus pixel data
     if len(raw) != expected or dobj.decompress(dobj.unconsumed_tail, 1):
         raise ValueError("IDAT length does not match dimensions")
-    out = bytearray(height * stride)
+    if interlace == 0:
+        rows, _ = _unfilter(raw, 0, height, stride, bpp)
+        out = b"".join(rows)
+    else:
+        out = _deinterlace(
+            raw, pass_dims, width, height, channels, depth, stride, bpp
+        )
+    if depth == 8 and color != 3:
+        return width, height, channels, bytes(out)
+    return _postprocess(
+        bytes(out), width, height, depth, color, channels, stride,
+        palette, trns,
+    )
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw, p, nrows, stride, bpp):
+    """Undo the five scanline filters over ``nrows`` rows starting at
+    byte ``p``; returns (rows, next position). Shared by the sequential
+    path and each Adam7 reduced image (whose filters are self-contained:
+    the first row of every pass predicts from a zero row)."""
+    rows = []
     prev = bytearray(stride)
-    p = 0
-    for row in range(height):
+    for _ in range(nrows):
         f = raw[p]
         line = bytearray(raw[p + 1 : p + 1 + stride])
         p += 1 + stride
@@ -179,14 +220,55 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 line[i] = (line[i] + pred) & 0xFF
         elif f != 0:
             raise ValueError(f"unknown scanline filter {f}")
-        out[row * stride : (row + 1) * stride] = line
+        rows.append(line)
         prev = line
-    if depth == 8 and color != 3:
-        return width, height, channels, bytes(out)
-    return _postprocess(
-        bytes(out), width, height, depth, color, channels, stride,
-        palette, trns,
-    )
+    return rows, p
+
+
+def _deinterlace(raw, pass_dims, width, height, channels, depth, stride, bpp):
+    """Reassemble the 7 Adam7 reduced images into the sequential packed
+    raster the shared postprocess tail expects. Byte-granular scatter for
+    depth >= 8; value-granular (MSB-first unpack + repack) below 8."""
+    p = 0
+    if depth >= 8:
+        unit = channels * (depth // 8)
+        full = bytearray(height * stride)
+        for wp, hp, x0, y0, dx, dy in pass_dims:
+            if wp == 0 or hp == 0:
+                continue
+            pstride = (wp * channels * depth + 7) // 8
+            rows, p = _unfilter(raw, p, hp, pstride, bpp)
+            for ry, row in enumerate(rows):
+                y = y0 + ry * dy
+                for rx in range(wp):
+                    x = x0 + rx * dx
+                    o = y * stride + x * unit
+                    full[o : o + unit] = row[rx * unit : (rx + 1) * unit]
+        return bytes(full)
+    # sub-byte samples: single channel by construction (gray or palette)
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    vals = [0] * (width * height)
+    for wp, hp, x0, y0, dx, dy in pass_dims:
+        if wp == 0 or hp == 0:
+            continue
+        pstride = (wp * depth + 7) // 8
+        rows, p = _unfilter(raw, p, hp, pstride, bpp)
+        for ry, row in enumerate(rows):
+            y = y0 + ry * dy
+            for rx in range(wp):
+                b, k = divmod(rx, per)
+                vals[y * width + x0 + rx * dx] = (
+                    row[b] >> (8 - depth * (k + 1))
+                ) & mask
+    full = bytearray(height * stride)
+    for y in range(height):
+        for x in range(width):
+            b, k = divmod(x, per)
+            full[y * stride + b] |= vals[y * width + x] << (
+                8 - depth * (k + 1)
+            )
+    return bytes(full)
 
 
 def _postprocess(raw, width, height, depth, color, channels, stride,

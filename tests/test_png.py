@@ -72,10 +72,12 @@ class TestRoundTrip:
         with pytest.raises(ValueError, match="PLTE"):
             png_decode(data)
 
-    def test_interlaced_raises_not_implemented(self):
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    def test_invalid_interlace_method_rejected(self):
+        # methods 0 (none) and 1 (Adam7) both decode since round 9;
+        # anything else is malformed
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
         data = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
-        with pytest.raises(NotImplementedError, match="Adam7"):
+        with pytest.raises(ValueError, match="interlace"):
             png_decode(data)
 
     def test_decompression_bomb_capped(self):
@@ -402,3 +404,130 @@ class TestExtendedLayouts:
         W, H, C, px = png_decode(data)
         assert (W, H, C) == (w, h, 3)
         assert px == bytes(hi)
+
+
+class TestAdam7:
+    """Interlaced PNGs (round 9): forward-interlace the same pixel data
+    in the test, then assert the Adam7 decode equals the sequential
+    decode exactly; libpng's own pngtest.png is the external golden."""
+
+    PASSES = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def _interlaced_png(self, w, h, depth, color, samples, palette=None):
+        """samples: per-pixel tuples of channel values at ``depth``."""
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        raw = bytearray()
+        for x0, y0, dx, dy in self.PASSES:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            pstride = (wp * channels * depth + 7) // 8
+            for ry in range(hp):
+                raw.append(0)  # filter None
+                row = bytearray(pstride)
+                bitpos = 0
+                for rx in range(wp):
+                    px = samples[(y0 + ry * dy) * w + (x0 + rx * dx)]
+                    for ch in range(channels):
+                        v = px[ch]
+                        for bit in range(depth - 1, -1, -1):
+                            if (v >> bit) & 1:
+                                row[bitpos // 8] |= 1 << (7 - bitpos % 8)
+                            bitpos += 1
+                raw += row
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+        data = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+        if palette is not None:
+            data += _chunk(b"PLTE", palette)
+        data += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        data += _chunk(b"IEND", b"")
+        return data
+
+    def _sequential_png(self, w, h, depth, color, samples, palette=None):
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        stride = (w * channels * depth + 7) // 8
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            row = bytearray(stride)
+            bitpos = 0
+            for x in range(w):
+                for ch in range(channels):
+                    v = samples[y * w + x][ch]
+                    for bit in range(depth - 1, -1, -1):
+                        if (v >> bit) & 1:
+                            row[bitpos // 8] |= 1 << (7 - bitpos % 8)
+                        bitpos += 1
+            raw += row
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        data = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+        if palette is not None:
+            data += _chunk(b"PLTE", palette)
+        data += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        data += _chunk(b"IEND", b"")
+        return data
+
+    @pytest.mark.parametrize(
+        "depth,color,w,h",
+        [
+            (8, 0, 13, 9),   # gray: odd dims hit empty-pass edges
+            (8, 6, 11, 7),   # RGBA
+            (4, 3, 10, 6),   # packed palette indices
+            (2, 0, 9, 5),    # 2-bit gray
+            (16, 2, 6, 10),  # 16-bit RGB
+            (8, 6, 1, 1),    # single pixel: only pass 1 non-empty
+            (8, 0, 5, 3),    # width < 8: passes 1/2 nearly empty
+        ],
+    )
+    def test_interlaced_equals_sequential(self, depth, color, w, h):
+        import random
+
+        rng = random.Random(depth * 1000 + color * 100 + w)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        mx = (1 << depth) - 1
+        palette = None
+        if color == 3:
+            palette = bytes(rng.randrange(256) for _ in range(3 * (mx + 1)))
+        samples = [
+            tuple(rng.randrange(mx + 1) for _ in range(channels))
+            for _ in range(w * h)
+        ]
+        seq = png_decode(
+            self._sequential_png(w, h, depth, color, samples, palette)
+        )
+        lac = png_decode(
+            self._interlaced_png(w, h, depth, color, samples, palette)
+        )
+        assert lac == seq
+
+    def test_golden_libpng_pngtest(self):
+        import hashlib
+        import os
+
+        path = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+        if not os.path.exists(path):
+            pytest.skip("libpng example not present")
+        w, h, c, px = png_decode(open(path, "rb").read())
+        assert (w, h, c) == (91, 69, 4)
+        # spatial coherence proves the passes were assembled in the right
+        # positions: a scrambled Adam7 has the same byte MULTISET but ~4x
+        # the neighbor difference (measured 11.4 correct vs 49.4 shuffled)
+        luma = [
+            (px[4 * i] * 3 + px[4 * i + 1] * 6 + px[4 * i + 2]) // 10
+            for i in range(w * h)
+        ]
+        coh = sum(
+            abs(luma[y * w + x + 1] - luma[y * w + x])
+            for y in range(h)
+            for x in range(w - 1)
+        ) / (h * (w - 1))
+        assert coh < 20
+        # regression pin (recorded round 9)
+        assert hashlib.sha256(px).hexdigest() == (
+            "a8adc4b0c6c6b43eb25aedcf8124c96a"
+            "4b177d29e7b5ef1e8912629ae245b6bc"
+        )
