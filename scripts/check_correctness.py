@@ -10,6 +10,9 @@ get a rows-only check (>= 0 rows, stable schema).
 Usage: python scripts/check_correctness.py [query ...]
        python scripts/check_correctness.py --exclude name [name ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01)
+       SPARK_GRAFT_MASTER — e.g. 'local-cluster[4,8,4096]' to replay the
+       whole registry on REAL worker JVMs (multi-JVM evidence mode:
+       cross-process shuffle/broadcast, executor-side Python workers)
 
 ``--exclude`` runs the whole registry MINUS the named queries — the sf1
 sweep shape, where the three documented quadratic-oracle verification

@@ -82,9 +82,23 @@ def get_spark(
     API requests on one session share executors instead of FIFO-queuing
     (serving deployments; see api/service.py)."""
     cpus = default_parallelism()
+    # SPARK_GRAFT_MASTER lets any entry point (checker, bench, tests) run
+    # against a different master without code changes — the sandbox's
+    # multi-JVM evidence mode is `local-cluster[workers,cores,memMB]`,
+    # which spawns REAL worker JVMs (cross-process shuffle/broadcast,
+    # full serialization) with no cluster manager.
+    resolved_master = (
+        master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    )
+    # Executors in separate JVMs launch their own Python workers, which
+    # must import this package by reference (cloudpickle pickles
+    # module-level pandas-UDF closures by name). A no-op in local[N]
+    # (workers inherit the driver process's sys.path).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(resolved_master)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # applies only at JVM launch; a no-op if a session already exists
         .config("spark.driver.memory", default_driver_memory())
