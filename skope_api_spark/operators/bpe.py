@@ -12,8 +12,9 @@ shrinks-in-rows as merges proceed. Plan shape per merge step:
 2. argmax pair (count desc, pair asc — the deterministic tie-break) —
    ONE driver-side scalar per step, the merge decision itself;
 3. apply the merge to every word representation with a literal,
-   token-boundary-safe string replace (see below), localCheckpoint to
-   keep lineage linear in the number of merges.
+   token-boundary-safe string replace (see below), ``checkpoint.pin``
+   (localCheckpoint / reliable-mode checkpoint) to keep lineage linear
+   in the number of merges.
 
 K merges = K passes over the vocab table, never the corpus. The corpus
 is touched exactly once (the word count).
@@ -32,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from skope_api_spark.checkpoint import pin
 
 END_OF_WORD = "</w>"
 
@@ -98,7 +101,7 @@ def bpe_train(
         raise ValueError("merges must be >= 1")
     spark = docs.sparkSession
     reprs = _initial_reprs(word_frequency_table(docs, text_col))
-    reprs = reprs.localCheckpoint(eager=True)
+    reprs = pin(reprs)
     rules = []
     for step in range(1, merges + 1):
         best = (
@@ -111,7 +114,7 @@ def bpe_train(
             break
         a, b = best["pair"].split(" ")
         rules.append((step, a, b, a + b, int(best["pc"])))
-        reprs = _apply_merge(reprs, a, b).localCheckpoint(eager=True)
+        reprs = pin(_apply_merge(reprs, a, b))
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count long"
     )

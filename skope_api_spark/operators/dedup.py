@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from skope_api_spark.checkpoint import pin
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — stays positive in a signed int64
 
 
@@ -431,22 +433,21 @@ def duplicate_clusters(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     a, b = id_cols
     raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    nodes = (
+    nodes = pin(
         raw.select(F.col("u").alias("n"))
         .union(raw.select(F.col("v").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # canonical orientation large→small; self-pairs carry no connectivity
-    edges = (
+    edges = pin(
         raw.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
     for _ in range(max_iter):
-        # localCheckpoint per round: each round's plan references the
+        # pin per round (checkpoint.pin — localCheckpoint by default,
+        # reliable checkpoint for cluster runs): each round's plan references the
         # previous one — without truncation the lineage compounds and the
         # final plan grows with round count
         sym = edges.union(
@@ -471,8 +472,8 @@ def duplicate_clusters(
             .select(F.col("su").alias("u"), F.col("sv").alias("v"))
             .union(smins.select("u", F.col("mv").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        small = pin(small)
         # convergence = edge-set equality. Count first (one trivial job
         # over the checkpointed result): unequal counts prove change with
         # no subtract; on equal counts ONE one-sided subtract suffices

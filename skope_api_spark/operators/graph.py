@@ -15,7 +15,10 @@ Scale shape:
 - the node count enters as a broadcast 1-row aggregate, keeping the whole
   K-iteration computation a single lazy plan for small K. For large K,
   pass ``checkpoint_every`` so lineage is truncated with
-  ``localCheckpoint`` (same pattern as ``dedup.duplicate_clusters``).
+  ``checkpoint.pin`` (localCheckpoint by default; reliable checkpoint
+  under SPARK_GRAFT_RELIABLE_CHECKPOINT=1 so a 1000-executor run
+  survives executor loss mid-iteration — same pattern as
+  ``dedup.duplicate_clusters``).
 
 Cross-engine determinism: each iteration's rank is rounded to 12 dp, so
 double accumulation-order noise cannot compound across iterations; the
@@ -31,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from skope_api_spark.checkpoint import pin
 
 
 def transition_edges(
@@ -108,7 +113,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = pin(ranks, eager=False)
     return ranks
 
 
@@ -134,17 +139,16 @@ def khop_distances(
       oracle for the contract query is exactly that recursive CTE, which
       is fine at test scale and is the semantic spec, not the scale plan.
     - ``visited`` is re-referenced by every later round, so each round is
-      ``localCheckpoint``-ed (eager, same pattern as ``duplicate_clusters``)
+      pinned (``checkpoint.pin``, same pattern as ``duplicate_clusters``)
       to keep the plan linear in ``max_hops`` instead of exponential.
 
     ``seeds`` must be a 1-column ``node`` DataFrame. Returns
     ``(node, dist)`` for every node within ``max_hops`` of a seed; seed
     nodes report dist 0 even when absent from the edge list.
     """
-    visited = (
+    visited = pin(
         seeds.select("node").distinct()
         .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
     )
     frontier = visited.select("node")
     for d in range(1, max_hops + 1):
@@ -153,14 +157,13 @@ def khop_distances(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        fresh = (
+        fresh = pin(
             reached.join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(d).alias("dist"))
-            .localCheckpoint(eager=True)
         )
         if not fresh.take(1):
             break
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        visited = pin(visited.unionByName(fresh))
         frontier = fresh.select("node")
     return visited
 

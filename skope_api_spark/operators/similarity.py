@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from skope_api_spark.checkpoint import pin
+
 DIM = 64
 N_PLANES = 8
 
@@ -234,7 +236,7 @@ def kmeans_centroids(
       the identical iteration trajectory.
 
     Per iteration: one broadcast of k×dim doubles + two aggregations; the
-    codebook is ``localCheckpoint``ed so iteration N+1's plan does not
+    codebook is pinned (``checkpoint.pin``) so iteration N+1's plan does not
     re-execute iteration N (same lineage-truncation pattern as the
     duplicate-cluster propagation). Returns (cell, centroid).
     """
@@ -254,8 +256,8 @@ def kmeans_centroids(
             (F.col("__rk") - 1).cast("int").alias("cell"),
             F.col("v").alias("centroid"),
         )
-        .localCheckpoint(eager=True)
     )
+    cents = pin(cents)
     for _ in range(iters):
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
@@ -277,7 +279,7 @@ def kmeans_centroids(
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
         )
-        cents = (
+        cents = pin(
             per_dim.groupBy("cell")
             .agg(
                 F.transform(
@@ -285,7 +287,6 @@ def kmeans_centroids(
                     lambda s: s.m,
                 ).alias("centroid")
             )
-            .localCheckpoint(eager=True)
         )
     return cents
 
