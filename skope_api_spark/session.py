@@ -114,6 +114,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    # real-executor masters (local-cluster / standalone) size executor
+    # heaps from spark.executor.memory (default 1g), NOT from the
+    # driver-mem knob above; sf1-scale multi-JVM runs need more
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
