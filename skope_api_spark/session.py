@@ -59,8 +59,19 @@ CLUSTER_PROFILE: dict[str, str] = {
     # operators stay authoritative — this only widens the auto threshold
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # executor loss is routine at 1000 executors; decommission gracefully
+    # (planned departures migrate blocks; for CRASH tolerance of long
+    # iterative jobs also set SPARK_GRAFT_RELIABLE_CHECKPOINT=1 — see
+    # skope_api_spark/checkpoint.py)
     "spark.decommission.enabled": "true",
     "spark.storage.decommission.shuffleBlocks.enabled": "true",
+    # at 1000 executors one slow disk/VM per stage is the norm, and a
+    # 100 TB scan stage has hours of straggler-tail exposure; once 75%
+    # of a stage is done, re-launch tasks running 3x beyond the median
+    # (safe here: every operator is a pure deterministic transform, and
+    # writes go through Spark's output-commit coordinator)
+    "spark.speculation": "true",
+    "spark.speculation.quantile": "0.75",
+    "spark.speculation.multiplier": "3",
     # AQE skew handling is on in get_spark(); at cluster scale also bound
     # the in-flight shuffle fetch so reducers over skewed maps don't OOM
     "spark.reducer.maxSizeInFlight": "96m",
