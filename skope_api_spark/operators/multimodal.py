@@ -21,8 +21,11 @@ png.py/jpeg.py/gif.py/vp8l.py and WAV/PCM audio in wav.py):
   blobs via the pure-stdlib codecs (per-quadrant channel means as a
   pooled-feature stand-in). Other blobs (lossy-WebP VP8, audio, video)
   fall back to a deterministic hash-derived pseudo-embedding (STUB).
-- ``sample_frames`` — byte-stride STUB in place of keyframe offsets
-  (video codecs aren't expressible in stdlib).
+- ``sample_frames`` — byte-stride STUB by default; pass
+  ``sampler=gif_frame_sampler()`` for REAL frames from animated GIF
+  (full GIF89a compositing in ``gif.gif_frames``; frames re-emitted as
+  BMP so the real image-feature path consumes them directly). Other
+  video codecs aren't expressible in stdlib — the ffmpeg seam stays.
 
 The Spark-side plumbing — schemas, Arrow batch iteration, partition
 sizing, fan-out shape — is real and tested with the defaults and with
@@ -198,9 +201,11 @@ def hash_pseudo_encoder(dim: int = FEATURE_DIM):
 
 def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
     """Default kernel: REAL pixel features for PNG, JPEG (baseline +
-    progressive), GIF and lossless-WebP (VP8L) blobs (pure-stdlib
+    progressive), GIF, BMP and lossless-WebP (VP8L) blobs (pure-stdlib
     decodes in ``operators.png`` / ``operators.jpeg`` / ``operators.gif``
-    / ``operators.vp8l`` — quadrant channel means from actual pixels),
+    / ``operators.bmp`` / ``operators.vp8l`` — quadrant channel means
+    from actual pixels; BMP also covers the frames
+    ``gif_frame_sampler`` emits),
     hash pseudo-embedding for everything else (lossy-WebP VP8, audio,
     video). Unsupported variants (lossless/arithmetic/CMYK JPEG) AND
     corrupt/truncated blobs fall back
@@ -240,6 +245,14 @@ def pixel_or_hash_encoder(dim: int = FEATURE_DIM):
                 return gif_pixel_features(b, dim=dim)
             except decode_errors:
                 return fallback(b)
+        if b[:2] == b"BM":
+            try:
+                from skope_api_spark.operators.bmp import bmp_decode
+                from skope_api_spark.operators.png import quadrant_features
+
+                return quadrant_features(*bmp_decode(b), dim=dim)
+            except decode_errors:
+                return fallback(b)
         if b[:4] == b"RIFF" and b[8:16] == b"WEBPVP8L":
             try:
                 from skope_api_spark.operators.png import quadrant_features
@@ -273,6 +286,32 @@ def extract_features(
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def gif_frame_sampler(every_n: int = 1, max_frames: int = 8):
+    """REAL frame-sampling kernel for animated GIF — the one video-like
+    format decodable in pure stdlib (``gif.gif_frames``: full GIF89a
+    compositing — disposal methods, transparency, local palettes,
+    sub-rect placement). Each sampled frame is emitted as a BMP blob
+    (``bmp.bmp_encode``), so the frames flow straight back through the
+    REAL image feature/pHash path: GIF → frames → features needs no
+    injected kernel anywhere. Non-GIF / malformed blobs yield no frames
+    (same contract as a keyframe extractor fed a non-video blob)."""
+    from skope_api_spark.operators.bmp import bmp_encode
+    from skope_api_spark.operators.gif import gif_frames
+
+    def sample(b: bytes) -> list[tuple[int, bytes]]:
+        try:
+            return [
+                (off, bmp_encode(w, h, rgb))
+                for off, w, h, rgb in gif_frames(
+                    b, every_n=every_n, max_frames=max_frames
+                )
+            ]
+        except (ValueError, IndexError, struct.error):
+            return []
+
+    return sample
 
 
 def byte_stride_sampler(every_n_bytes: int = 4096, max_frames: int = 8):

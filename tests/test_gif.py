@@ -147,3 +147,159 @@ def test_feature_kernel_uses_real_gif_pixels():
     # corrupt GIF falls back to the hash pseudo-embedding, not an error
     corrupt = blob[:20]
     assert pixel_or_hash_encoder(dim=12)(corrupt) == hash_pseudo_encoder(12)(corrupt)
+
+
+class TestAnimation:
+    """gif_frames compositing — hand-computed expectations (no animated
+    golden exists in this container; the constructed-fixture pattern
+    follows the VP8L predictor tests)."""
+
+    def _anim(self, frames, **kw):
+        from skope_api_spark.operators.gif import gif_encode_animation
+
+        return gif_encode_animation(4, 4, PAL, frames, **kw)
+
+    def test_two_frames_transparency_composites(self):
+        from skope_api_spark.operators.gif import gif_frames
+
+        # frame 0: all red; frame 1: 2x2 green square at (1,1) whose
+        # other pixels are transparent index 3
+        f1 = bytes([1, 3, 3, 1])  # 2x2: only (0,0) and (1,1) drawn
+        blob = self._anim(
+            [
+                {"indices": bytes([0] * 16)},
+                {
+                    "indices": f1,
+                    "left": 1,
+                    "top": 1,
+                    "w": 2,
+                    "h": 2,
+                    "transparent": 3,
+                },
+            ]
+        )
+        frames = gif_frames(blob)
+        assert len(frames) == 2
+        off0, w, h, rgb0 = frames[0]
+        assert (w, h) == (4, 4) and rgb0 == bytes(PAL[0]) * 16
+        _, _, _, rgb1 = frames[1]
+        # canvas stays red except (1,1) and (2,2) now green
+        expect = bytearray(bytes(PAL[0]) * 16)
+        for x, y in ((1, 1), (2, 2)):
+            expect[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3] = bytes(PAL[1])
+        assert rgb1 == bytes(expect)
+        # offsets: both point at an image separator
+        assert blob[off0] == 0x2C
+
+    def test_disposal_background_restores_rect(self):
+        from skope_api_spark.operators.gif import gif_frames
+
+        # bg_index=2 (blue). frame 0 red everywhere (disposal 2 over
+        # its full rect), frame 1 white single pixel at (0,0)
+        blob = self._anim(
+            [
+                {"indices": bytes([0] * 16), "disposal": 2},
+                {"indices": bytes([3]), "w": 1, "h": 1},
+            ],
+            bg_index=2,
+        )
+        frames = gif_frames(blob)
+        _, _, _, rgb1 = frames[1]
+        expect = bytearray(bytes(PAL[2]) * 16)  # rect restored to blue bg
+        expect[0:3] = bytes(PAL[3])
+        assert rgb1 == bytes(expect)
+
+    def test_disposal_previous_restores_canvas(self):
+        from skope_api_spark.operators.gif import gif_frames
+
+        # frame 0 red; frame 1 green overlay with disposal 3
+        # (restore-to-previous); frame 2 single white pixel at (3,3):
+        # the green from frame 1 must be GONE under frame 2
+        blob = self._anim(
+            [
+                {"indices": bytes([0] * 16)},
+                {"indices": bytes([1] * 16), "disposal": 3},
+                {
+                    "indices": bytes([3]),
+                    "left": 3,
+                    "top": 3,
+                    "w": 1,
+                    "h": 1,
+                },
+            ]
+        )
+        frames = gif_frames(blob)
+        assert frames[1][3] == bytes(PAL[1]) * 16
+        expect = bytearray(bytes(PAL[0]) * 16)
+        expect[(3 * 4 + 3) * 3 :] = bytes(PAL[3])
+        assert frames[2][3] == bytes(expect)
+
+    def test_local_palette_and_interlace(self):
+        from skope_api_spark.operators.gif import gif_frames
+
+        lp = [(10, 20, 30), (40, 50, 60)]
+        rows = bytes([0, 0, 0, 0, 1, 1, 1, 1, 0, 1, 0, 1, 1, 0, 1, 0])
+        blob = self._anim(
+            [
+                {"indices": bytes([0] * 16)},
+                {"indices": rows, "local_palette": lp, "interlace": True},
+            ]
+        )
+        frames = gif_frames(blob)
+        expect = b"".join(bytes(lp[i]) for i in rows)
+        assert frames[1][3] == expect
+
+    def test_stride_and_cap_thin_output_not_compositing(self):
+        from skope_api_spark.operators.gif import gif_frames
+
+        # 5 frames, each paints one pixel across the top row
+        fr = [{"indices": bytes([0] * 16)}]
+        for k in range(1, 5):
+            fr.append(
+                {"indices": bytes([1]), "left": k, "top": 0, "w": 1, "h": 1}
+            )
+        blob = self._anim(fr)
+        sampled = gif_frames(blob, every_n=2)
+        assert [f[0] for f in sampled] == [
+            f[0] for f in gif_frames(blob)[::2]
+        ]
+        # frame 4 (sampled index 2) must include frames 1-3's pixels;
+        # frame 4's own paint at x=4 falls off the 4-wide canvas (clip)
+        rgb4 = sampled[2][3]
+        top = [rgb4[i * 3 : i * 3 + 3] for i in range(4)]
+        assert top == [bytes(PAL[0])] + [bytes(PAL[1])] * 3
+        assert len(gif_frames(blob, max_frames=2)) == 2
+
+    def test_animation_bomb_cap_is_cross_frame(self):
+        from skope_api_spark.operators.gif import gif_encode_animation, gif_frames
+
+        # each frame is small, but many frames exceed MAX_PIXELS total
+        n = MAX_PIXELS // (4 * 4) + 1
+        # don't actually build 4M frames — synthesize a small one and
+        # check the guard triggers by constructing just past the cap
+        # with a big logical screen per-frame rect instead
+        big = 6000  # 6000*6000 = 36M < 64M, two frames cross it
+        idx = bytes(big * big)
+        blob = gif_encode_animation(
+            big, big, PAL, [{"indices": idx}, {"indices": idx}]
+        )
+        with pytest.raises(ValueError, match="across frames"):
+            gif_frames(blob)
+        assert n > 0  # silence the unused synthesis arithmetic
+
+    def test_sampler_end_to_end_bmp_frames(self):
+        from skope_api_spark.operators.bmp import bmp_decode
+        from skope_api_spark.operators.multimodal import gif_frame_sampler
+
+        blob = self._anim(
+            [
+                {"indices": bytes([0] * 16)},
+                {"indices": bytes([1] * 16)},
+            ]
+        )
+        out = gif_frame_sampler()(blob)
+        assert len(out) == 2
+        w, h, ch, rgb = bmp_decode(out[1][1])
+        assert (w, h, ch) == (4, 4, 3) and rgb == bytes(PAL[1]) * 16
+        # non-GIF blob: no frames, no exception (keyframe-extractor contract)
+        assert gif_frame_sampler()(b"not a gif at all") == []

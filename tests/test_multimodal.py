@@ -183,6 +183,40 @@ class TestInjectableKernels:
                 sampler=lambda b: [(0, b[:8])],
             )
 
+    def test_gif_frame_sampler_spark_end_to_end(self, spark):
+        """Animated GIF → REAL composited frames as BMP rows through the
+        mapInPandas fan-out, feature-extractable by the REAL pixel path
+        (no injected fake anywhere in the chain)."""
+        from skope_api_spark.operators.bmp import bmp_decode
+        from skope_api_spark.operators.gif import gif_encode_animation
+
+        pal = [(255, 0, 0), (0, 255, 0)]
+        anim = gif_encode_animation(
+            4,
+            4,
+            pal,
+            [
+                {"indices": bytes([0] * 16)},
+                {"indices": bytes([1] * 16)},
+                {"indices": bytes([0] * 16)},
+            ],
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(anim)), (2, bytearray(b"not media"))],
+            "media_id int, content binary",
+        )
+        rows = mm.sample_frames(
+            df, sampler=mm.gif_frame_sampler(max_frames=2)
+        ).collect()
+        # GIF row fans out to 2 frames; non-GIF row yields none
+        assert [(r.media_id, r.frame_idx) for r in rows] == [(1, 0), (1, 1)]
+        w, h, ch, rgb = bmp_decode(bytes(rows[1].frame_bytes))
+        assert (w, h, ch) == (4, 4, 3)
+        assert rgb == bytes(pal[1]) * 16
+        # frames feed the REAL feature path: all-green → (0,1,0) quadrants
+        feats = mm.pixel_or_hash_encoder(dim=12)(bytes(rows[1].frame_bytes))
+        assert feats == [0.0, 1.0, 0.0] * 4
+
     def test_default_kernels_unchanged(self, media_df):
         """The no-arg path still runs the documented stubs."""
         feats = mm.extract_features(media_df).collect()
