@@ -303,3 +303,100 @@ class TestAnimation:
         assert (w, h, ch) == (4, 4, 3) and rgb == bytes(PAL[1]) * 16
         # non-GIF blob: no frames, no exception (keyframe-extractor contract)
         assert gif_frame_sampler()(b"not a gif at all") == []
+
+
+class TestAnimationProperty:
+    """Randomized compositing vs an INDEPENDENT reference compositor:
+    the decoder's disposal/transparency/clipping logic against a
+    straight-line numpy-free reimplementation (the codec/LZW layer is
+    shared and pinned by the deterministic tests above; this pins the
+    ANIMATION semantics)."""
+
+    @staticmethod
+    def _reference_composite(sw, sh, palette, frames, bg_index):
+        bg = palette[bg_index] if bg_index < len(palette) else (0, 0, 0)
+        canvas = [[bg for _ in range(sw)] for _ in range(sh)]
+        out = []
+        for f in frames:
+            left, top = f.get("left", 0), f.get("top", 0)
+            w, h = f.get("w", sw), f.get("h", sh)
+            pal = f.get("local_palette") or palette
+            tr = f.get("transparent")
+            saved = [row[:] for row in canvas] if f.get("disposal", 0) == 3 else None
+            for y in range(h):
+                for x in range(w):
+                    if top + y >= sh or left + x >= sw:
+                        continue
+                    i = f["indices"][y * w + x]
+                    if i == tr:
+                        continue
+                    canvas[top + y][left + x] = tuple(pal[i])
+            out.append(
+                b"".join(bytes(c) for row in canvas for c in row)
+            )
+            d = f.get("disposal", 0)
+            if d == 2:
+                for y in range(h):
+                    for x in range(w):
+                        if top + y < sh and left + x < sw:
+                            canvas[top + y][left + x] = bg
+            elif d == 3:
+                canvas = saved
+        return out
+
+    def test_random_animations_match_reference(self):
+        import random
+
+        from skope_api_spark.operators.gif import (
+            gif_encode_animation,
+            gif_frames,
+        )
+
+        rng = random.Random(424242)
+        for trial in range(60):
+            sw, sh = rng.randint(1, 9), rng.randint(1, 9)
+            n_pal = rng.randint(2, 6)
+            palette = [
+                tuple(rng.randrange(256) for _ in range(3))
+                for _ in range(n_pal)
+            ]
+            bg_index = rng.randrange(n_pal)
+            frames = []
+            for _ in range(rng.randint(1, 5)):
+                w = rng.randint(1, sw)
+                h = rng.randint(1, sh)
+                # deliberately allow rects that overhang the canvas
+                left = rng.randint(0, sw)
+                top = rng.randint(0, sh)
+                lp = (
+                    [
+                        tuple(rng.randrange(256) for _ in range(3))
+                        for _ in range(rng.randint(2, 5))
+                    ]
+                    if rng.random() < 0.3
+                    else None
+                )
+                npal = len(lp) if lp else n_pal
+                frames.append(
+                    {
+                        "indices": bytes(
+                            rng.randrange(npal) for _ in range(w * h)
+                        ),
+                        "left": left,
+                        "top": top,
+                        "w": w,
+                        "h": h,
+                        "disposal": rng.choice([0, 1, 2, 3]),
+                        "transparent": (
+                            rng.randrange(npal) if rng.random() < 0.5 else None
+                        ),
+                        "local_palette": lp,
+                        "interlace": rng.random() < 0.25,
+                    }
+                )
+            blob = gif_encode_animation(
+                sw, sh, palette, frames, bg_index=bg_index
+            )
+            got = [rgb for _, _, _, rgb in gif_frames(blob)]
+            want = self._reference_composite(sw, sh, palette, frames, bg_index)
+            assert got == want, f"trial {trial} sw={sw} sh={sh}"
