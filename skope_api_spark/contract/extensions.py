@@ -2456,21 +2456,24 @@ def spatial_grid_density_clusters(
 
 @query(
     "funnel_time_to_convert_quantiles",
-    oracle="""
+    oracle=f"""
 WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ), c AS (
   SELECT user_id, ts FROM events WHERE event_type = 'click'
-), matched AS (
+), matched AS MATERIALIZED (
   SELECT epoch_ms(p.ts) - epoch_ms(c.ts) AS ms
   FROM p ASOF JOIN c
     ON p.user_id = c.user_id AND p.ts >= c.ts
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
-       ROUND(quantile_cont(ms / 60000.0, 0.50), 4) AS p50_minutes,
-       ROUND(quantile_cont(ms / 60000.0, 0.90), 4) AS p90_minutes,
-       ROUND(quantile_cont(ms / 60000.0, 0.99), 4) AS p99_minutes
-FROM matched
+), br AS MATERIALIZED ({int_bracket_sql('matched', 'ms', [50, 90, 99], 100)})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_conversions,
+       (100 * br.t[1].vlo + br.t[1].rem * (br.t[1].vhi - br.t[1].vlo)) // 600
+         AS p50_min_e4,
+       (100 * br.t[2].vlo + br.t[2].rem * (br.t[2].vhi - br.t[2].vlo)) // 600
+         AS p90_min_e4,
+       (100 * br.t[3].vlo + br.t[3].rem * (br.t[3].vhi - br.t[3].vlo)) // 600
+         AS p99_min_e4
+FROM br
 """,
 )
 def funnel_time_to_convert_quantiles(
@@ -2478,12 +2481,18 @@ def funnel_time_to_convert_quantiles(
 ) -> DataFrame:
     """Time-to-convert distribution — the funnel-latency report: each
     purchase as-of-joined to the user's latest preceding click (the
-    union-merge operator, one shuffle), then exact distributed quantiles
-    of the minute deltas (p50/p90/p99). Deltas are exact integer
-    milliseconds over 60000.0 — identical doubles into identical
-    interpolation on both sides (operators/asof.py + stats.py)."""
+    union-merge operator, one shuffle), then exact quantiles of the
+    integer millisecond deltas via the bracket form
+    (stats.py:exact_quantile_brackets — percentile_cont rank brackets
+    plus remainder, all BIGINT). Reported as minutes ×10⁴, floored:
+    p_min_e4 = (100·vlo + rem·(vhi−vlo)) div 600 — the exact rational
+    q_ms/60000 at 1e-4 precision with ZERO floats anywhere, closing the
+    last convertible member of the r8 quantile-boundary class (the
+    prior form ROUNDed an engine-interpolated double whose exact value
+    can land on the 5e-5 half-grid: ms/60000 has a factor-3 denominator,
+    so half-grid ties are reachable on exact data)."""
     from skope_api_spark.operators.asof import asof_join
-    from skope_api_spark.operators.stats import exact_quantiles
+    from skope_api_spark.operators.stats import exact_quantile_brackets
 
     ev = load(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -2495,22 +2504,21 @@ def funnel_time_to_convert_quantiles(
     m = asof_join(
         purchases, clicks, on=("user_id",), right_cols=("ts",), suffix="_c"
     ).where(F.col("ts_c").isNotNull())
-    mins = m.select(
-        (
-            (F.unix_millis("ts") - F.unix_millis("ts_c")) / 60000.0
-        ).alias("minutes")
+    ms = m.select(
+        (F.unix_millis("ts") - F.unix_millis("ts_c")).alias("ms")
     )
-    n = mins.agg(F.count(F.lit(1)).alias("n_conversions"))
-    qs = exact_quantiles(mins, "minutes", [0.5, 0.9, 0.99])
-    wide = qs.agg(
+    n = ms.agg(F.count(F.lit(1)).alias("n_conversions"))
+    br = exact_quantile_brackets(ms, "ms", [50, 90, 99], 100)
+    # BIGINT `div`, not `/`: e4 reaches ~1e11 and a double quotient
+    # would reintroduce the rounding surface this form removes
+    e4_div = F.expr("(vlo * 100 + rem * (vhi - vlo)) div 600")
+    wide = br.agg(
         *[
-            F.round(
-                F.min(F.when(F.col("prob") == pv, F.col("value"))), 4
-            ).alias(alias)
-            for pv, alias in [
-                (0.5, "p50_minutes"),
-                (0.9, "p90_minutes"),
-                (0.99, "p99_minutes"),
+            F.min(F.when(F.col("num") == k, e4_div)).alias(alias)
+            for k, alias in [
+                (50, "p50_min_e4"),
+                (90, "p90_min_e4"),
+                (99, "p99_min_e4"),
             ]
         ]
     )
