@@ -152,7 +152,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments",
     "text_linear_quality_score",
     "hist_equi_depth_price",
-    "funnel_conversion_events",
+    # r09 late rotation: funnel_conversion_events (r8-driver-verified)
+    # cedes to its family sibling funnel_time_to_convert_quantiles,
+    # which carries this round's LAST quantile-boundary conversion
+    # (integer-ms brackets, minutes ×1e4 by BIGINT div) and has never
+    # been driver-checked — same pattern as top_parts_by_revenue in r8:
+    #   funnel_conversion_events -> funnel_time_to_convert_quantiles
+    "funnel_time_to_convert_quantiles",
     "skope_summary_stats",
     "skope_catalog_metadata_join",
     "skope_polygon_zonal_stats",
