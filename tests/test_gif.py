@@ -270,22 +270,21 @@ class TestAnimation:
         assert top == [bytes(PAL[0])] + [bytes(PAL[1])] * 3
         assert len(gif_frames(blob, max_frames=2)) == 2
 
-    def test_animation_bomb_cap_is_cross_frame(self):
+    def test_animation_bomb_cap_is_cross_frame(self, monkeypatch):
+        import skope_api_spark.operators.gif as gifmod
         from skope_api_spark.operators.gif import gif_encode_animation, gif_frames
 
-        # each frame is small, but many frames exceed MAX_PIXELS total
-        n = MAX_PIXELS // (4 * 4) + 1
-        # don't actually build 4M frames — synthesize a small one and
-        # check the guard triggers by constructing just past the cap
-        # with a big logical screen per-frame rect instead
-        big = 6000  # 6000*6000 = 36M < 64M, two frames cross it
-        idx = bytes(big * big)
+        # each frame is small and individually under the cap, but their
+        # SUM crosses it — patch the cap down so the test is instant
+        # instead of decoding tens of megapixels in pure Python
+        monkeypatch.setattr(gifmod, "MAX_PIXELS", 500)
+        idx = bytes(16 * 16)  # 256 px/frame; two frames cross 500
         blob = gif_encode_animation(
-            big, big, PAL, [{"indices": idx}, {"indices": idx}]
+            16, 16, PAL, [{"indices": idx}, {"indices": idx}]
         )
+        assert len(gif_frames(blob, max_frames=1)) == 1  # one frame fine
         with pytest.raises(ValueError, match="across frames"):
             gif_frames(blob)
-        assert n > 0  # silence the unused synthesis arithmetic
 
     def test_sampler_end_to_end_bmp_frames(self):
         from skope_api_spark.operators.bmp import bmp_decode
