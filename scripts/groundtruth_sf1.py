@@ -31,6 +31,7 @@ import os
 import sys
 import time
 from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
 from itertools import combinations
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -278,8 +279,20 @@ def main() -> int:
         a[0] += 1
         a[1] += len(toks[i])
         a[2] += len(text[i])
+    # Spark's F.round is HALF_UP; Python round() is half-even — compute
+    # the expectation with the same HALF_UP convention (cross-engine
+    # rounding trap, see memory/cross-engine-traps).
     expect_stats = {
-        lg: (n, tt, round(ch / n, 4)) for lg, (n, tt, ch) in agg.items()
+        lg: (
+            n,
+            tt,
+            float(
+                (Decimal(ch) / Decimal(n)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for lg, (n, tt, ch) in agg.items()
     }
     got_stats = {
         r["lang"]: (r["n_docs"], r["total_tokens"], r["avg_chars"])

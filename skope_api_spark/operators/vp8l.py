@@ -39,16 +39,19 @@ from skope_api_spark.operators.png import MAX_PIXELS
 
 # distance codes 1..120 map to 2D offsets, ordered by increasing
 # euclidean distance, ties: larger yoffset first, then positive xoffset
-# before negative (RFC 9649 §4.2.2's dist_map table, reproduced by rule)
+# before negative (RFC 9649 §4.2.2's dist_map table, reproduced by rule).
+# Domain is dy in 0..7, dx in -7..8 — exactly the 120 plane codes libwebp's
+# kCodeToPlane nibble encoding (y = code >> 4, x = 8 - (code & 0xF)) can
+# express; tests pin all 120 entries against that byte table.
 _DIST_MAP: list[tuple[int, int]] = sorted(
     (
         (dx, dy)
-        for dy in range(9)
-        for dx in range(-8, 9)
+        for dy in range(8)
+        for dx in range(-7, 9)
         if not (dy == 0 and dx <= 0)
     ),
     key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], 0 if p[0] > 0 else 1),
-)[:120]
+)
 
 # code-length-code symbol order (RFC 9649 §4.2.1.1)
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
@@ -420,7 +423,10 @@ def _inverse_predictor(res, w, h, bits, sub):
                 L = out[i - 1]
                 T = out[i - w]
                 TL = out[i - w - 1]
-                TR = out[i - w + 1] if x + 1 < w else out[i - w]
+                # Linear addressing per spec/libwebp: for x == w-1 the
+                # "top-right" wraps to the CURRENT row's first pixel
+                # out[y*w] (already decoded), not the top pixel.
+                TR = out[i - w + 1]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:

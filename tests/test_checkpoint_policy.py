@@ -24,9 +24,11 @@ def test_pin_default_is_local(spark):
     assert not reliable_mode()
     df = pin(spark.range(10))
     assert df.count() == 10
-    # localCheckpoint truncates lineage without touching the
-    # checkpoint dir
-    assert "ExistingRDD" in df._jdf.queryExecution().toString() or True
+    # localCheckpoint truncates lineage: the post-pin plan is a scan of
+    # the checkpointed RDD, not the original Range operator
+    plan = df._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Range (0, 10" not in plan
 
 
 def test_pin_reliable_writes_checkpoint_dir(spark, reliable, tmp_path):

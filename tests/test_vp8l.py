@@ -79,6 +79,27 @@ class TestRoundTrip:
             )
 
 
+# libwebp's kCodeToPlane table (src/dsp/lossless_common.h domain): each
+# byte encodes (yoffset = code >> 4, xoffset = 8 - (code & 0xF)).  This is
+# the authoritative 120-entry mapping for distance codes 1..120; pinning
+# ALL entries catches domain errors that only diverge in the tail (codes
+# 97-120), where dy == 8 / dx == -8 candidates would otherwise sneak in.
+_K_CODE_TO_PLANE = [
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+]
+
+
 class TestDistanceMap:
     def test_first_entries_match_spec(self):
         """RFC 9649's dist_map opening sequence (xoffset, yoffset)."""
@@ -90,6 +111,15 @@ class TestDistanceMap:
         ]
         assert len(_DIST_MAP) == 120
         assert len(set(_DIST_MAP)) == 120
+
+    def test_all_120_entries_match_libwebp_plane_codes(self):
+        """Every entry pinned against libwebp's kCodeToPlane byte table —
+        in particular the tail: (8,0),(4,7),(-4,7),(7,4)... at codes
+        97-100 and (7,7),(-7,7),(8,6),(8,7) at codes 117-120."""
+        expected = [(8 - (c & 0xF), c >> 4) for c in _K_CODE_TO_PLANE]
+        assert _DIST_MAP == expected
+        assert _DIST_MAP[96:100] == [(8, 0), (4, 7), (-4, 7), (7, 4)]
+        assert _DIST_MAP[-4:] == [(7, 7), (-7, 7), (8, 6), (8, 7)]
 
 
 def _decode_constructed(bw: _LsbWriter, w: int, h: int):
@@ -138,7 +168,8 @@ class TestTransforms:
                 return actual[i - w]
             m = modes[(y >> bits) * sw + (x >> bits)]
             L, T, TL = actual[i - 1], actual[i - w], actual[i - w - 1]
-            TR = actual[i - w + 1] if x + 1 < w else actual[i - w]
+            # linear addressing: x == w-1 wraps to actual[y*w] (spec rule)
+            TR = actual[i - w + 1]
             return [
                 lambda: 0xFF000000, lambda: L, lambda: T, lambda: TR,
                 lambda: TL, lambda: V._avg2(V._avg2(L, TR), T),
