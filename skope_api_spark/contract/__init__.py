@@ -34,6 +34,51 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r10 rotation (VERDICT r9 item 1): fourteen r9-driver-VERIFIED,
+    # family-redundant entries cede their slots to the judge's
+    # risk-triaged never-driver-checked list — led by the two remaining
+    # VALUE-class double-hash surfaces (ts_value_percentiles_by_type,
+    # ts_rolling_correlation_events), then sketch/stats/feature/battery
+    # first-timers. Every ceded query remains covered by the full
+    # check_correctness replay and its family keeps gated
+    # representatives (dq_psi_order_totals_by_segment is NOT ceded — it
+    # is the dq family's only gated rep; hist_equi_depth_price cedes
+    # because its family sibling hist_equi_width_price rotates in):
+    #   sketch_gk_quantiles_price        -> ts_value_percentiles_by_type
+    #   quantile_approx_accuracy         -> ts_rolling_correlation_events
+    #   stats_moments_battery            -> sketch_cms_token_counts
+    #   sql_recursive_reachability       -> sketch_kmv_overlap_langs
+    #   json_variant_battery             -> stats_weighted_quantiles_price_by_qty
+    #   string_collation_battery         -> stats_calibration_chars_vs_lang
+    #   pipeline_curation_manifest       -> feature_rank_normalize_price
+    #   ts_seasonal_decompose_orders     -> hist_equi_width_price
+    #   spatial_grid_density_clusters    -> stats_gini_order_revenue
+    #   stats_kaplan_meier_user_lifetime -> ts_autocorrelation_daily_revenue
+    #   feature_winsorize_price          -> hof_array_sweep
+    #   feature_robust_scale_price       -> map_functions_battery
+    #   stats_robust_price_summary       -> date_interval_edges_battery
+    #   hist_equi_depth_price            -> sql_udf_margin_classifier
+    #
+    # GATE-ORDER PLAN, r11 (VERDICT r9 item 2): next rotation drives the
+    # TPC-H q-shape suite through the gate — q2/q4/q7/q8/q10/q11/q12/
+    # q16/q17/q18/q20/q22 (+ q6 if slots allow) have never been
+    # driver-checked; they are the queries a reference user hits first.
+    # They are exact-decimal surfaces (low hash risk), hence scheduled
+    # one round behind the risk-triaged set per the judge's triage.
+    "ts_value_percentiles_by_type",
+    "ts_rolling_correlation_events",
+    "sketch_cms_token_counts",
+    "sketch_kmv_overlap_langs",
+    "stats_weighted_quantiles_price_by_qty",
+    "stats_calibration_chars_vs_lang",
+    "feature_rank_normalize_price",
+    "hist_equi_width_price",
+    "stats_gini_order_revenue",
+    "ts_autocorrelation_daily_revenue",
+    "hof_array_sweep",
+    "map_functions_battery",
+    "date_interval_edges_battery",
+    "sql_udf_margin_classifier",
     # r09 rotation (VERDICT r8 item 4): fourteen r8-driver-VERIFIED,
     # family-redundant entries cede their slots to (a) the ten
     # never-driver-checked, engine-version-sensitive surfaces the judge
@@ -58,20 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   ts_mann_kendall_monthly_revenue -> feature_winsorize_price
     #   sample_dsir_selection       -> feature_robust_scale_price
     #   feature_loo_target_encode   -> stats_robust_price_summary
-    "sketch_gk_quantiles_price",
-    "quantile_approx_accuracy",
-    "stats_moments_battery",
-    "sql_recursive_reachability",
-    "json_variant_battery",
-    "string_collation_battery",
-    "pipeline_curation_manifest",
-    "ts_seasonal_decompose_orders",
-    "spatial_grid_density_clusters",
-    "stats_kaplan_meier_user_lifetime",
     "dq_psi_order_totals_by_segment",
-    "feature_winsorize_price",
-    "feature_robust_scale_price",
-    "stats_robust_price_summary",
     # r08 rotation (VERDICT r7 item 3): eleven r7-driver-VERIFIED,
     # family-redundant entries cede their slots to never-driver-checked
     # flagships — the five the judge named plus six cross-family report/
@@ -151,7 +183,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "graph_triangle_top_nodes",
     "rfm_customer_segments",
     "text_linear_quality_score",
-    "hist_equi_depth_price",
     # r09 late rotation: funnel_conversion_events (r8-driver-verified)
     # cedes to its family sibling funnel_time_to_convert_quantiles,
     # which carries this round's LAST quantile-boundary conversion

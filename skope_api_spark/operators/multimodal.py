@@ -97,8 +97,8 @@ FRAME_SCHEMA = StructType(
 
 
 def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
-    """Header-only dimension sniffing for PNG / GIF / BMP / JPEG / WebP
-    (pure Python).
+    """Header-only dimension sniffing for PNG / GIF / BMP / JPEG / WebP /
+    ICO / TIFF (pure Python).
 
     This part is real: PNG IHDR and GIF logical-screen headers carry
     dimensions at fixed offsets; JPEG requires walking segment markers to
@@ -149,6 +149,54 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
             h = 1 + ((bits >> 14) & 0x3FFF)
             return "webp", w, h
         return "webp", None, None
+    # ICO: ICONDIR (reserved=0, type=1, count), then 16-byte entries whose
+    # first two bytes are width/height (0 encodes 256). Like PIL, report
+    # the largest-area entry — multi-size icons lead with small sizes.
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 6:
+        count = struct.unpack("<H", data[4:6])[0]
+        best: tuple[int, int, int] | None = None
+        for k in range(count):
+            off = 6 + 16 * k
+            if off + 16 > len(data):  # require the full directory entry
+                break
+            w = data[off] or 256
+            h = data[off + 1] or 256
+            if best is None or w * h > best[0]:
+                best = (w * h, w, h)
+        if best is None:
+            return "ico", None, None
+        return "ico", best[1], best[2]
+    # TIFF (matters for the SKOPE domain: GeoTIFF rasters): byte-order
+    # mark + magic 42, 4-byte offset to IFD0, whose 12-byte entries carry
+    # ImageWidth (256) / ImageLength (257) as SHORT or LONG values
+    # inlined left-justified in the 4-byte value field.
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "<" if data[:2] == b"II" else ">"
+        if len(data) < 8:
+            return "tiff", None, None
+        ifd = struct.unpack(bo + "I", data[4:8])[0]
+        if ifd + 2 > len(data):
+            return "tiff", None, None
+        n_entries = struct.unpack(bo + "H", data[ifd : ifd + 2])[0]
+        w = h = None
+        for k in range(min(n_entries, 512)):
+            off = ifd + 2 + 12 * k
+            if off + 12 > len(data):
+                break
+            tag_id, typ = struct.unpack(bo + "HH", data[off : off + 4])
+            if tag_id not in (256, 257):
+                continue
+            if typ == 3:  # SHORT, left-justified in the value field
+                val = struct.unpack(bo + "H", data[off + 8 : off + 10])[0]
+            elif typ == 4:  # LONG
+                val = struct.unpack(bo + "I", data[off + 8 : off + 12])[0]
+            else:
+                continue
+            if tag_id == 256:
+                w = val
+            else:
+                h = val
+        return "tiff", w, h
     return None, None, None
 
 

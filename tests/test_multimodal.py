@@ -295,3 +295,83 @@ class TestWebpSniffing:
         chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
         data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
         assert _sniff_image(data) == ("webp", None, None)
+
+
+def ico_bytes(entries):
+    """ICONDIR + 16-byte directory entries; (w, h) with 0 encoding 256."""
+    import struct
+
+    out = b"\x00\x00\x01\x00" + struct.pack("<H", len(entries))
+    for w, h in entries:
+        out += bytes([w % 256, h % 256]) + b"\x00" * 14
+    return out
+
+
+def tiff_bytes(w, h, *, big_endian=False, long_type=False):
+    """Minimal single-IFD TIFF with ImageWidth/ImageLength entries."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        bo + "I", 8
+    )
+    typ, fmt = (4, "I") if long_type else (3, "H")
+
+    def entry(tag, val):
+        raw = struct.pack(bo + fmt, val)
+        return struct.pack(bo + "HHI", tag, typ, 1) + raw + b"\x00" * (
+            4 - len(raw)
+        )
+
+    ifd = struct.pack(bo + "H", 2) + entry(256, w) + entry(257, h) + b"\x00" * 4
+    return header + ifd
+
+
+class TestIcoTiffSniffing:
+    """Header-level ICO/TIFF classification (VERDICT r9 item 8): the
+    quarantine path classifies these formats instead of rejecting them;
+    pixel decode is out of scope (no codec libs here), dimensions are
+    the curation-filter metadata."""
+
+    def test_ico_single_entry(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        assert _sniff_image(ico_bytes([(48, 48)])) == ("ico", 48, 48)
+
+    def test_ico_multi_size_reports_largest(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        data = ico_bytes([(16, 16), (32, 32), (0, 0), (48, 48)])
+        # 0 encodes 256: the 256x256 entry wins
+        assert _sniff_image(data) == ("ico", 256, 256)
+
+    def test_ico_truncated_directory(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        data = ico_bytes([(64, 64)])[:8]  # count says 1, entry missing
+        assert _sniff_image(data) == ("ico", None, None)
+
+    def test_tiff_little_endian_short(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        assert _sniff_image(tiff_bytes(640, 480)) == ("tiff", 640, 480)
+
+    def test_tiff_big_endian_long(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        data = tiff_bytes(70000, 12, big_endian=True, long_type=True)
+        assert _sniff_image(data) == ("tiff", 70000, 12)
+
+    def test_tiff_truncated_ifd(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        assert _sniff_image(b"II*\x00\x08\x00\x00\x00") == (
+            "tiff",
+            None,
+            None,
+        )
+
+    def test_non_image_still_unknown(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        assert _sniff_image(b"\x00\x01" * 64) == (None, None, None)
