@@ -1920,3 +1920,55 @@ def text_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.sum("n").cast("double"), 6
         ).alias("type_token_ratio"),
     )
+
+
+@query(
+    "mm_media_sniff_quarantine",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+           WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp' WHEN 5 THEN 'ico'
+           WHEN 6 THEN 'tiff' ELSE 'unknown' END AS format,
+         16 + doc_id % 100 AS w,
+         16 + doc_id % 77 AS h
+  FROM documents
+)
+SELECT format,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(CASE WHEN format = 'unknown' THEN NULL ELSE SUM(w) END
+            AS BIGINT) AS sum_width,
+       CAST(CASE WHEN format = 'unknown' THEN NULL ELSE SUM(h) END
+            AS BIGINT) AS sum_height
+FROM m GROUP BY format ORDER BY format
+""",
+)
+def mm_media_sniff_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sniff/quarantine contract (VERDICT r9 item 8): deterministic
+    synthetic blobs covering all eight sniffer classes (png/gif/jpeg/
+    bmp/webp/ico/tiff/unknown) flow through the REAL mapInPandas
+    header-sniff stage; per-format counts + integer dimension sums
+    prove the quarantine path CLASSIFIES (typed row, NULL dims for
+    unknown) rather than rejects. The oracle recomputes the expectation
+    arithmetically from doc_id — any sniffer parse bug breaks the hash."""
+    from skope_api_spark.operators.multimodal import (
+        build_synthetic_media,
+        decode_image_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    meta = decode_image_metadata(build_synthetic_media(docs))
+    return (
+        meta.groupBy(
+            F.coalesce(F.col("format"), F.lit("unknown")).alias("format")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+        )
+        .orderBy("format")
+    )

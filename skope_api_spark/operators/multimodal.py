@@ -438,3 +438,91 @@ def binary_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
         F.sha2(F.col(content_col), 256).alias("content_sha256"),
         F.crc32(F.col(content_col)).alias("content_crc32"),
     )
+
+
+def synthetic_media_blob(media_id: int) -> bytes:
+    """Deterministic fake media blob for fixtures/contract queries.
+
+    Cycles through the eight sniffer classes by ``media_id % 8`` —
+    png / gif / jpeg / bmp / webp(VP8L) / ico / tiff / unknown — with
+    header dimensions ``w = 16 + id % 100``, ``h = 16 + id % 77``.
+    Headers are REAL (the sniffer parses them by the same rules as
+    wild files); pixel payloads are filler. This is the documented
+    deterministic-fake seam for environments without codec libraries.
+    """
+    fmt = media_id % 8
+    w = 16 + media_id % 100
+    h = 16 + media_id % 77
+    if fmt == 0:  # PNG IHDR
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x02\x00\x00\x00"
+            + b"\x00" * 16
+        )
+    if fmt == 1:  # GIF logical screen
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 16
+    if fmt == 2:  # JPEG SOI + APP0 + SOF0
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x03\x01\x02\x03"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\x00" * 8
+    if fmt == 3:  # BMP header (dims at offset 18, signed)
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 8
+    if fmt == 4:  # lossless WebP (VP8L 14-bit minus-one dims)
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    if fmt == 5:  # ICO, single full 16-byte directory entry (w,h < 256)
+        return (
+            b"\x00\x00\x01\x00\x01\x00"
+            + bytes([w % 256, h % 256])
+            + b"\x00" * 14
+        )
+    if fmt == 6:  # TIFF, little-endian, SHORT width/length
+        def entry(tag: int, val: int) -> bytes:
+            return struct.pack("<HHI", tag, 3, 1) + struct.pack("<H", val) + b"\x00\x00"
+
+        return (
+            b"II*\x00"
+            + struct.pack("<I", 8)
+            + struct.pack("<H", 2)
+            + entry(256, w)
+            + entry(257, h)
+            + b"\x00" * 4
+        )
+    return b"\xde\xad\xbe\xef" + media_id.to_bytes(8, "big")  # unknown
+
+
+def build_synthetic_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) → (media_id, content binary) via Arrow-batched mapInPandas —
+    the blob-construction stage of the sniff/quarantine contract query.
+    At 100 TB the analogous stage is the raw-bytes scan; here it is a
+    deterministic generator so the downstream sniff plumbing (schema,
+    batching, NULL-dim quarantine) is cross-engine checkable."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [synthetic_media_blob(int(i)) for i in ids],
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
