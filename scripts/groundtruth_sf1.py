@@ -4,12 +4,12 @@
 At sf1 five registry queries' DuckDB oracles exceed any reasonable
 budget (recursive-closure / all-pairs SQL superlinearity), so their full
 sweeps record rows-only. This script recomputes the EXACT expected
-answer for ALL FIVE in pure Python from the raw parquet (no Spark, no
-DuckDB) and compares cell-for-cell with the Spark side — including
-dedup_minhash_near_duplicates (recall AND precision vs the exact
-all-pairs graph) and dedup_duplicate_clusters (union-find min-member
-labels), whose round-8 verification predates the round-9 banding/hash
-family change:
+answer for all of them in pure Python/numpy from the raw parquet (no
+Spark, no DuckDB) and compares cell-for-cell with the Spark side —
+including dedup_minhash_near_duplicates AND (round 10)
+dedup_simhash_near_duplicates, each checked for recall AND precision vs
+an exact all-pairs graph with no banding anywhere, plus
+dedup_duplicate_clusters (union-find min-member labels):
 
 - dedup_minhash_cross_corpus: exact cross-set 3-shingle Jaccard via a
   shingle inverted index (full recall AND precision — every candidate
@@ -215,6 +215,94 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
+    # ---- 1d. dedup_simhash_near_duplicates (recall AND precision) ----
+    # The minhash lesson applies verbatim to the pigeonhole path: banded
+    # candidate generation could silently miss pairs. Recompute the
+    # EXACT all-pairs Hamming<=3 graph: signatures rebuilt independently
+    # in numpy (same md5-token contract), then a chunked SWAR-popcount
+    # over all 1.25e9 sf1 pairs — no banding anywhere.
+    t0 = time.time()
+    import hashlib
+
+    import numpy as np
+
+    bits = 60
+    th_cache: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        v = th_cache.get(tok)
+        if v is None:
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            th_cache[tok] = v
+        return v
+
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    sigs = np.empty(len(ids), dtype=np.uint64)
+    for k, i in enumerate(ids):
+        th = np.fromiter(
+            (tok_hash(t) for t in toks[i]), dtype=np.uint64, count=len(toks[i])
+        )
+        # per-bit vote: +1 per occurrence with the bit set, else -1
+        votes = ((th[:, None] >> bit_idx) & 1).astype(np.int32)
+        bal = 2 * votes.sum(axis=0) - len(th)
+        sigs[k] = np.sum((bal > 0).astype(np.uint64) << bit_idx)
+    print(
+        f"[gt] simhash signatures: {len(sigs)} docs, vocab {len(th_cache)} "
+        f"({time.time()-t0:.1f}s)"
+    )
+
+    def popcount64(v: np.ndarray) -> np.ndarray:
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h01 = np.uint64(0x0101010101010101)
+        v = v - ((v >> np.uint64(1)) & m1)
+        v = (v & m2) + ((v >> np.uint64(2)) & m2)
+        v = (v + (v >> np.uint64(4))) & m4
+        return (v * h01) >> np.uint64(56)
+
+    t0 = time.time()
+    id_arr = np.asarray(ids, dtype=np.int64)
+    expect_sh: dict[tuple[int, int], int] = {}
+    chunk = 512
+    n = len(sigs)
+    for s in range(0, n - 1, chunk):
+        e = min(s + chunk, n - 1)
+        # rows s..e-1 against all strictly-later columns
+        x = sigs[s:e, None] ^ sigs[None, :]
+        d = popcount64(x)
+        rr, cc = np.nonzero(d <= 3)
+        for r, c in zip(rr.tolist(), cc.tolist()):
+            gi = s + r
+            if c > gi:
+                a, b = int(id_arr[gi]), int(id_arr[c])
+                if a > b:
+                    a, b = b, a
+                expect_sh[(a, b)] = int(d[r, c])
+    print(
+        f"[gt] exact all-pairs Hamming graph: {len(expect_sh)} edges "
+        f"({time.time()-t0:.1f}s)"
+    )
+
+    t0 = time.time()
+    got_sh = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in qs["dedup_simhash_near_duplicates"](spark, SF_DIR).collect()
+    }
+    miss = set(expect_sh) - set(got_sh)
+    extra = set(got_sh) - set(expect_sh)
+    vdiff = [
+        k for k in expect_sh if k in got_sh and expect_sh[k] != got_sh[k]
+    ]
+    ok = not (miss or extra or vdiff)
+    print(
+        f"[gt] dedup_simhash_near_duplicates: expect {len(expect_sh)} "
+        f"pairs, spark {len(got_sh)}; missing={len(miss)} "
+        f"extra={len(extra)} value_diffs={len(vdiff)} -> "
+        f"{'OK' if ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
     # ---- 2. pipeline_keep_best_rep -----------------------------------
     t0 = time.time()
     clusters = union_find_clusters(ids, all_pairs)
@@ -313,7 +401,7 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
-    print(f"\n{5 - failures}/5 ground-truth checks OK")
+    print(f"\n{6 - failures}/6 ground-truth checks OK")
     return 1 if failures else 0
 
 
