@@ -68,62 +68,80 @@ def test_pagerank_completes_after_executor_sigkill(tmp_path, monkeypatch):
         edges = edges.persist()
         edges.count()
 
-        def run() -> dict[int, float]:
+        def run(group: str) -> dict[int, float]:
+            # job group tags every job of this run so the kill can be
+            # timed by JOB PROGRESS, not wall-clock (the killed run is
+            # much faster than baseline — codegen/JIT warm)
+            sc.setJobGroup(group, group)
             rows = pagerank(
                 edges, iterations=8, checkpoint_every=1
             ).collect()
             return {r["node"]: r["rank"] for r in rows}
 
+        tracker = sc.statusTracker()
         t0 = time.time()
-        baseline = run()
+        baseline = run("baserun")
         base_dur = time.time() - t0
-        print(f"\n[kill-test] baseline run: {base_dur:.1f}s")
+        base_jobs = len(tracker.getJobIdsForGroup("baserun"))
+        print(f"\n[kill-test] baseline run: {base_dur:.1f}s, {base_jobs} jobs")
+        assert base_jobs >= 5, "expected a multi-job cascade to kill into"
 
         result: dict = {}
         err: list = []
+        done_at: list = []
 
         def target() -> None:
             try:
-                result.update(run())
+                result.update(run("killrun"))
+                done_at.append(time.time())
             except Exception as ex:  # surfaced by the main thread
                 err.append(ex)
 
         worker = threading.Thread(target=target)
         worker.start()
 
-        # wait for the job to be genuinely mid-flight, then kill one
-        # executor JVM outright
-        tracker = sc.statusTracker()
-        deadline = time.time() + 60
-        while not tracker.getActiveJobsIds() and time.time() < deadline:
-            time.sleep(0.05)
-        assert tracker.getActiveJobsIds(), "job never started"
-        time.sleep(max(0.5, base_dur * 0.3))
+        # kill once ~40% of the baseline's job cascade has launched —
+        # progress-based, so run-speed variance cannot overshoot the end
+        target_jobs = max(2, int(base_jobs * 0.4))
+        deadline = time.time() + 120
+        while (
+            len(tracker.getJobIdsForGroup("killrun")) < target_jobs
+            and not done_at
+            and time.time() < deadline
+        ):
+            time.sleep(0.02)
+        assert (
+            len(tracker.getJobIdsForGroup("killrun")) >= target_jobs
+        ), f"run never reached job {target_jobs} (done={bool(done_at)})"
         pids = _executor_pids(sc.applicationId)
         assert pids, "no executor JVMs found to kill"
         victim = pids[0]
-        still_running = bool(tracker.getActiveJobsIds())
+        # the run is a cascade of jobs (one per pinned iteration +
+        # checkpoint writes) with idle gaps between them, so "any job
+        # active right now" is the wrong mid-flight probe — what must
+        # hold is that the RUN (the worker thread) had not finished
+        # when the kill landed
+        mid_flight = worker.is_alive() and not done_at
         os.kill(victim, signal.SIGKILL)
         kill_t = time.time()
         print(
             f"[kill-test] SIGKILLed executor pid={victim} at "
-            f"t+{kill_t - t0 - base_dur:.1f}s (job active: {still_running})"
+            f"t+{kill_t - t0 - base_dur:.1f}s (run mid-flight: {mid_flight})"
         )
 
         worker.join(timeout=300)
         assert not worker.is_alive(), "killed run did not finish in 300s"
         assert not err, f"killed run failed: {err}"
-        finish_t = time.time()
-        assert finish_t > kill_t
-        assert still_running, (
-            "kill landed after the job finished — enlarge the graph"
+        assert mid_flight, (
+            "kill landed after the run finished — enlarge the graph"
         )
+        assert done_at and done_at[0] > kill_t
 
         # the relaunched-executor run must produce the same ranks
         assert set(result) == set(baseline)
         worst = max(abs(result[n] - baseline[n]) for n in baseline)
         print(
-            f"[kill-test] completed {finish_t - kill_t:.1f}s after kill; "
+            f"[kill-test] completed {done_at[0] - kill_t:.1f}s after kill; "
             f"{len(result)} nodes, max |Δrank| = {worst:.2e}"
         )
         assert worst < 1e-9
