@@ -379,3 +379,72 @@ class TestSparkSeam:
         assert rows[2] == [
             pytest.approx(v) for v in mm.hash_pseudo_encoder()(bytes(lossy))
         ]
+
+
+class TestTailDistanceCodes:
+    """Decode-path coverage for the 2D distance-map TAIL (codes 97-120)
+    — the region the r10 domain fix changed. Streams are constructed
+    bit-for-bit: literals, then one LZ77 backref whose distance prefix
+    symbol is 13 (_prefix_value: 97 + 5 extra bits -> dcodes 97..128).
+    Under the old (dy<=8, dx>=-8) map these copies either read the
+    wrong offset or threw out-of-range."""
+
+    @staticmethod
+    def _emit_body(bw, literals, n_tail, length_sym, dist_extra):
+        from skope_api_spark.operators import vp8l as V
+
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no meta prefix
+        V._emit_green_code(bw)
+        V._emit_all8_code(bw)  # red
+        V._emit_all8_code(bw)  # blue
+        V._emit_all8_code(bw)  # alpha
+        V._emit_single_symbol_code(bw, 13)  # distance prefix symbol 13
+
+        def emit_literal(p):
+            c, ln = V._green_code((p >> 8) & 0xFF)
+            bw.write_code(c, ln)
+            bw.write_code((p >> 16) & 0xFF, 8)
+            bw.write_code(p & 0xFF, 8)
+            bw.write_code((p >> 24) & 0xFF, 8)
+
+        for p in literals:
+            emit_literal(p)
+        # LZ77 copy: green length symbol, then the 5 distance extra bits
+        c, ln = V._green_code(length_sym)
+        bw.write_code(c, ln)
+        bw.write(dist_extra, 5)
+        for p in n_tail:
+            emit_literal(p)
+
+    def test_dcode_97_copies_dist_8(self):
+        """dcode 97 -> plane (8,0) -> dist = 0*w + 8 (the first entry
+        the buggy map displaced: old (0,8) meant dist 128, out of range
+        here)."""
+        from skope_api_spark.operators.vp8l import _LsbWriter
+
+        w, h = 16, 2
+        lits = _rand_argb(24, seed=7)
+        tail = _rand_argb(4, seed=8)
+        bw = _LsbWriter()
+        # length 4 = green sym 259 (code 3, no extra); extra bits 0 -> 97
+        self._emit_body(bw, lits, tail, 259, 0)
+        out = vp8l_decode_stream(_wrap_stream(bw), w, h)
+        expect = lits + [lits[16], lits[17], lits[18], lits[19]] + tail
+        assert out == expect
+
+    def test_dcode_120_copies_dist_120(self):
+        """dcode 120 (the map's last entry) -> plane (8,7) -> dist =
+        7*16 + 8 = 120."""
+        from skope_api_spark.operators.vp8l import _LsbWriter
+
+        w, h = 16, 10
+        lits = _rand_argb(128, seed=9)
+        tail = _rand_argb(28, seed=10)
+        bw = _LsbWriter()
+        # extra bits 23 -> dcode 97 + 23 = 120
+        self._emit_body(bw, lits, tail, 259, 23)
+        out = vp8l_decode_stream(_wrap_stream(bw), w, h)
+        expect = lits + [lits[8], lits[9], lits[10], lits[11]] + tail
+        assert out == expect
