@@ -11,6 +11,7 @@ from skope_api_spark.contract.registry import (
     int_bracket_sql,
     query,
     round_nz,
+    safe_corr,
 )
 from skope_api_spark.operators.asof import asof_join
 from skope_api_spark.tables import load
@@ -1548,11 +1549,14 @@ def ts_rolling_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("purchase_v"),
     )
     w = W.orderBy("h").rowsBetween(-23, 0)
+    # safe_corr, not F.corr: a 24-hour window where one series is
+    # constant (e.g. zero purchases at small SF / quiet shards at scale)
+    # must yield NULL, not an ANSI DIVIDE_BY_ZERO job failure
     out = hourly.withColumn(
         "rolling_corr",
         F.when(
             F.count(F.lit(1)).over(w) == 24,
-            F.corr("click_v", "purchase_v").over(w),
+            safe_corr("click_v", "purchase_v", over=w),
         ),
     )
     return out.select(

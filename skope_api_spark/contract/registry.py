@@ -118,6 +118,46 @@ def round_nz(col: Column | str, scale: int) -> Column:
     """
     return F.round(col, scale) + F.lit(0.0)
 
+
+def safe_corr(x: Column | str, y: Column | str, over=None) -> Column:
+    """Pearson correlation that returns NULL (not an ANSI
+    DIVIDE_BY_ZERO error) when either series has zero variance.
+
+    ``F.corr`` divides by the variance product INSIDE the aggregate, so
+    a constant window/group throws under Spark-4 ANSI mode and a
+    ``F.when`` guard around it cannot help — the window/aggregate
+    processor evaluates the aggregate before the projection. Composing
+    from ``covar_pop`` / ``stddev_pop`` (each divides only by n) with
+    ``try_divide`` keeps the whole thing aggregate-safe; the value is
+    the same Welford co-moment ratio ``ck / sqrt(xMk * yMk)`` modulo
+    last-ulp rounding, and matching oracles (DuckDB ``CORR``) return
+    NULL in exactly the same zero-variance case. At 100 TB a
+    zero-variance group is a certainty, not an edge case — never use
+    raw ``F.corr`` in a contract query.
+
+    ``over``: optional Window spec — applied to each component aggregate
+    (``try_divide(...)`` itself is a projection, not a window function).
+
+    Pairwise completeness: ``corr`` restricts BOTH moment computations
+    to rows where both inputs are non-NULL; a bare ``stddev_pop(x)``
+    would also count rows where only ``y`` is NULL (e.g. lag columns),
+    so both inputs are masked to the pairwise-complete subset first.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    both = xc.isNotNull() & yc.isNotNull()
+    xm = F.when(both, xc)
+    ym = F.when(both, yc)
+
+    def _ov(c: Column) -> Column:
+        return c.over(over) if over is not None else c
+
+    return F.try_divide(
+        _ov(F.covar_pop(xm, ym)),
+        _ov(F.stddev_pop(xm)) * _ov(F.stddev_pop(ym)),
+    )
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skope_api_spark.contract.registry import money_ticks, query, round_nz
+from skope_api_spark.contract.registry import (
+    money_ticks,
+    query,
+    round_nz,
+    safe_corr,
+)
 from skope_api_spark.tables import load
 
 
@@ -495,7 +500,7 @@ def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            F.round(safe_corr("l_quantity", "l_extendedprice"), 6).alias(
                 "qty_price_corr"
             ),
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(

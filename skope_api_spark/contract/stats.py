@@ -10,6 +10,7 @@ from skope_api_spark.contract.registry import (
     int_bracket_sql,
     query,
     round_nz,
+    safe_corr,
 )
 from skope_api_spark.tables import load
 
@@ -341,7 +342,7 @@ def ts_autocorrelation_daily_revenue(
     return lagged.agg(
         F.count(F.lit(1)).alias("n_days"),
         *[
-            round_nz(F.corr("v", f"v_{k}"), 6).alias(f"acf_{k}")
+            round_nz(safe_corr("v", f"v_{k}"), 6).alias(f"acf_{k}")
             for k in _ACF_LAGS
         ],
     )

@@ -132,3 +132,53 @@ class TestEngineRules:
         for mod in pathlib.Path("skope_api_spark").rglob("*.py"):
             src = mod.read_text()
             assert "F.udf(" not in src and "functions.udf(" not in src, str(mod)
+
+
+class TestSafeCorr:
+    """safe_corr: NULL (not ANSI DIVIDE_BY_ZERO) on zero variance, and
+    pairwise-complete moments exactly like F.corr (the lag-column case
+    that a bare stddev_pop composition gets wrong)."""
+
+    def test_zero_variance_group_yields_null_not_error(self, spark):
+        from skope_api_spark.contract.registry import safe_corr
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 5.0), (1, 1.0, 6.0), (2, 1.0, 5.0), (2, 2.0, 7.0)],
+            "g int, x double, y double",
+        )
+        rows = {
+            r["g"]: r["c"]
+            for r in df.groupBy("g")
+            .agg(safe_corr("x", "y").alias("c"))
+            .collect()
+        }
+        assert rows[1] is None  # x constant in group 1
+        assert abs(rows[2] - 1.0) < 1e-12
+
+    def test_windowed_zero_variance_yields_null(self, spark):
+        from pyspark.sql import Window as W
+
+        from skope_api_spark.contract.registry import safe_corr
+
+        df = spark.createDataFrame(
+            [(i, 3.0, float(i)) for i in range(5)], "i int, x double, y double"
+        )
+        w = W.orderBy("i").rowsBetween(-2, 0)
+        out = df.select(safe_corr("x", "y", over=w).alias("c")).collect()
+        assert all(r["c"] is None for r in out)  # x constant everywhere
+
+    def test_pairwise_null_alignment_matches_f_corr(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.contract.registry import safe_corr
+
+        # y has NULLs (the lag-column shape); corr must use only
+        # pairwise-complete rows for BOTH moments
+        data = [
+            (1.0, None), (2.0, 4.0), (3.0, 1.0), (4.0, 9.0),
+            (100.0, None), (5.0, 2.0),
+        ]
+        df = spark.createDataFrame(data, "x double, y double")
+        got = df.agg(safe_corr("x", "y").alias("c")).collect()[0]["c"]
+        ref = df.agg(F.corr("x", "y").alias("c")).collect()[0]["c"]
+        assert abs(got - ref) < 1e-12
