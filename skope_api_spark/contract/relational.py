@@ -480,22 +480,44 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "statistical_aggregates",
     oracle="""
-SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-       ROUND(skewness(l_extendedprice), 5) AS price_skew,
-       ROUND(kurtosis(l_extendedprice), 4) AS price_kurt,
-       ROUND(var_pop(l_discount), 8) AS disc_var
-FROM lineitem
-GROUP BY l_returnflag
+WITH mu AS (
+  SELECT l_returnflag, AVG(l_extendedprice) AS mp
+  FROM lineitem GROUP BY l_returnflag
+), mom AS (
+  -- two-pass POPULATION central moments: DuckDB's skewness()/kurtosis()
+  -- are the bias-corrected SAMPLE estimators while Spark's are
+  -- population, a ~1/n divergence that rounding hides at sf0.01 but
+  -- not at sf0.001 (same trap stats_moments_battery documents)
+  SELECT l.l_returnflag,
+         AVG(POWER(l.l_extendedprice - mu.mp, 2)) AS m2,
+         AVG(POWER(l.l_extendedprice - mu.mp, 3)) AS m3,
+         AVG(POWER(l.l_extendedprice - mu.mp, 4)) AS m4
+  FROM lineitem l JOIN mu USING (l_returnflag)
+  GROUP BY l.l_returnflag
+), base AS (
+  SELECT l_returnflag,
+         corr(l_quantity, l_extendedprice) AS c,
+         covar_pop(l_quantity, l_extendedprice) AS cv,
+         var_pop(l_discount) AS dv
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT b.l_returnflag,
+       ROUND(b.c, 6) AS qty_price_corr,
+       ROUND(b.cv, 4) AS qty_price_covar,
+       ROUND(m.m3 / POWER(m.m2, 1.5), 5) AS price_skew,
+       ROUND(m.m4 / (m.m2 * m.m2) - 3.0, 4) AS price_kurt,
+       ROUND(b.dv, 8) AS disc_var
+FROM base b JOIN mom m USING (l_returnflag)
 ORDER BY l_returnflag
 """,
 )
 def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-/higher-moment aggregates: corr, population covariance and
-    variance, skewness, excess kurtosis (verified cross-engine; kurtosis
-    rounds at 4 — the two engines' accumulation orders differ in the last
-    digit)."""
+    variance, skewness, excess kurtosis. Oracle recomputes skew/kurt
+    from two-pass POPULATION central moments — DuckDB's builtins are
+    the bias-corrected sample estimators (a ~1/n divergence that
+    sf0.001 exposes); corr via safe_corr (NULL, not ANSI error, on a
+    zero-variance group)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
