@@ -1235,12 +1235,12 @@ def dq_constraint_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orderkey_unique", F.countDistinct("o_orderkey"),
              F.col("orderkey_unique") == F.col("row_count_floor")),
             ("price_complete",
-             F.count("o_totalprice") / F.count(F.lit(1)),
+             F.try_divide(F.count("o_totalprice"), F.count(F.lit(1))),
              F.col("price_complete") == 1.0),
             ("price_non_negative", F.min("o_totalprice"),
              F.col("price_non_negative") >= 0.0),
             ("date_in_range",
-             F.sum(in_range) / F.count(F.lit(1)),
+             F.try_divide(F.sum(in_range), F.count(F.lit(1))),
              F.col("date_in_range") == 1.0),
         ],
     )
@@ -2283,7 +2283,9 @@ def sketch_kmv_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_estimate",
         F.round("jaccard_estimate", 6).alias("jaccard_estimate"),
         "intersection_estimate",
-        F.round(F.col("n_int") / F.col("n_un"), 6).alias("exact_jaccard"),
+        F.round(F.try_divide(F.col("n_int"), F.col("n_un")), 6).alias(
+            "exact_jaccard"
+        ),
         F.col("n_un").cast("long").alias("exact_union"),
     )
 

@@ -1912,12 +1912,14 @@ def text_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("vocab_size"),
         F.count(F.when(F.col("n") == 1, 1)).alias("hapax_count"),
         F.round(
-            F.count(F.when(F.col("n") == 1, 1))
-            / F.count(F.lit(1)).cast("double"),
+            F.try_divide(
+                F.count(F.when(F.col("n") == 1, 1)),
+                F.count(F.lit(1)).cast("double"),
+            ),
             6,
         ).alias("hapax_ratio"),
         F.round(
-            F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+            F.try_divide(F.count(F.lit(1)), F.sum("n").cast("double")), 6
         ).alias("type_token_ratio"),
     )
 

@@ -739,12 +739,12 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
-        (
-            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
-            / F.count(F.lit(1))
+        F.try_divide(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double"),
+            F.count(F.lit(1)),
         ).alias("bounce_rate"),
-        (
-            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        F.try_divide(
+            F.sum("n_events").cast("double"), F.count(F.lit(1))
         ).alias("avg_session_events"),
     )
 

@@ -298,8 +298,8 @@ def column_profile(
                 else float_decimal
             add(c, "min", F.min(col).cast("double"))
             add(c, "max", F.max(col).cast("double"))
-            add(c, "mean", F.sum(col.cast(dec)).cast("double")
-                / F.count(col))
+            add(c, "mean", F.try_divide(
+                F.sum(col.cast(dec)).cast("double"), F.count(col)))
         elif t.startswith("timestamp"):
             add(c, "min_epoch", F.min(F.unix_timestamp(col)).cast("double"))
             add(c, "max_epoch", F.max(F.unix_timestamp(col)).cast("double"))
@@ -307,17 +307,16 @@ def column_profile(
             ln = F.length(col)
             add(c, "min_length", F.min(ln).cast("double"))
             add(c, "max_length", F.max(ln).cast("double"))
-            add(c, "avg_length",
-                F.sum(ln.cast("decimal(38,0)")).cast("double")
-                / F.count(col))
+            add(c, "avg_length", F.try_divide(
+                F.sum(ln.cast("decimal(38,0)")).cast("double"),
+                F.count(col)))
     row = df.agg(*aggs)
     structs = [
         F.struct(
             F.lit(c).alias("column"),
             F.lit("completeness").alias("metric"),
-            (
-                (F.col("__n") - F.col(alias)).cast("double")
-                / F.col("__n")
+            F.try_divide(
+                (F.col("__n") - F.col(alias)).cast("double"), F.col("__n")
             ).alias("value"),
         )
         if metric == "n_nulls"

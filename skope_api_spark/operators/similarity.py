@@ -461,7 +461,10 @@ def _recall_row(
         F.lit(k).alias("k"),
         "n_hits",
         "n_exact",
-        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        # try_divide: an empty corpus has n_exact = 0 and a plain
+        # division is an ANSI job failure; NULL recall is the right
+        # empty answer (DuckDB x/0 is NULL too)
+        F.round(F.try_divide("n_hits", "n_exact"), 6).alias("recall"),
     )
 
 

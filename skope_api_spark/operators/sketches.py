@@ -155,12 +155,17 @@ def kmv_overlap(
         F.max("hv").alias("__kth"),
         F.count(F.when(F.col("in_both"), 1)).alias("__shared"),
     )
+    # try_divide throughout: on EMPTY sketches __n = 0 and a plain
+    # division is an ANSI DIVIDE_BY_ZERO job failure; NULL estimates are
+    # the correct empty-input answer (DuckDB x/0 is NULL too)
     full = F.col("__n") >= k
     union_est = F.when(
         full,
-        F.round((k - 1) / (F.col("__kth") / F.lit(float(1 << 60)))),
+        F.round(
+            F.try_divide(F.lit(k - 1), F.col("__kth") / F.lit(float(1 << 60)))
+        ),
     ).otherwise(F.col("__n").cast("double"))
-    rho = F.col("__shared").cast("double") / F.col("__n")
+    rho = F.try_divide(F.col("__shared").cast("double"), F.col("__n"))
     return agg.select(
         union_est.cast("long").alias("union_estimate"),
         rho.alias("jaccard_estimate"),

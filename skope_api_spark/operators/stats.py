@@ -463,10 +463,14 @@ def robust_summary(
     if not 0.0 <= trim < 0.5:
         raise ValueError("trim must be in [0, 0.5)")
     v = F.col(col).cast("double")
-    qs = exact_quantiles(
-        df, col, [0.25, 0.5, 0.75, trim, 1.0 - trim], partitions=partitions
-    )
-    bounds = qs.groupBy().pivot("prob").agg(F.first("value"))
+    probs = [0.25, 0.5, 0.75, trim, 1.0 - trim]
+    qs = exact_quantiles(df, col, probs, partitions=partitions)
+    # explicit pivot values: with an EMPTY input exact_quantiles returns
+    # zero rows and a value-less pivot would create zero columns, making
+    # the `0.5` selection an AnalysisException instead of a NULL row
+    bounds = qs.groupBy().pivot(
+        "prob", sorted({float(p) for p in probs})
+    ).agg(F.first("value"))
     lo_c, hi_c = str(float(trim)), str(float(1.0 - trim))
     lo_raw, hi_raw = F.col(f"`{lo_c}`"), F.col(f"`{hi_c}`")
     if boundary_decimals is not None:
@@ -482,8 +486,11 @@ def robust_summary(
     inside = (v >= F.col("__lo")) & (v <= F.col("__hi"))
     if value_decimals is not None:
         dec = F.col(col).cast(f"decimal(18,{value_decimals})")
-        tmean = F.sum(F.when(inside, dec)).cast("double") / F.count(
-            F.when(inside, 1)
+        # try_divide: zero in-bounds rows (empty input) must yield a
+        # NULL trimmed mean, not an ANSI DIVIDE_BY_ZERO job failure
+        tmean = F.try_divide(
+            F.sum(F.when(inside, dec)).cast("double"),
+            F.count(F.when(inside, 1)),
         )
     else:
         tmean = F.avg(F.when(inside, v))

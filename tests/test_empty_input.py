@@ -1,0 +1,94 @@
+"""Empty-input robustness: every contract query must handle EMPTY tables
+(empty shards / filters that match nothing are routine at 100 TB) by
+returning rows or an empty frame — never by throwing.
+
+Round-10 finding: 8 of 258 queries crashed on empty input — six ANSI
+DIVIDE_BY_ZERO ratios (bounce rate, TTR/hapax, KMV estimates, dq
+completeness, ANN recall), one value-less pivot that dropped its
+columns (robust_summary's `0.5` selection), and the documented
+dimension-unknowable error in the embedding covariance. All but the
+last are fixed with try_divide / explicit pivot values; DuckDB's x/0
+is NULL, so the oracles agree on the degenerate case too.
+
+The fast test covers the previously-crashing set; the full 258-query
+sweep is env-gated (SPARK_GRAFT_SLOW=1) and also part of the round
+protocol via /tmp scripts (see PERF.md round 10).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+FIXED = [
+    "sketch_kmv_overlap_langs",
+    "dq_constraint_report_orders",
+    "dq_column_profile_orders",
+    "sim_recall_report",
+    "stats_robust_price_summary",
+    "text_vocabulary_richness",
+    "session_bounce_rate",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    from skope_api_spark.tables import load
+
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        df = load(spark, "/root/testdata/sf0.001", t).limit(0)
+        tmp = f"{out}/_tmp_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{out}/{t}.parquet")
+        shutil.rmtree(tmp)
+    return out
+
+
+def test_previously_crashing_queries_survive_empty_input(spark, empty_dir):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in FIXED:
+        rows = qs[name](spark, empty_dir).collect()  # must not raise
+        # ratio cells on empty input are NULL, never -0.0 / inf / error
+        for r in rows:
+            for v in r:
+                if isinstance(v, float):
+                    assert v == v and abs(v) != float("inf"), (name, r)
+
+
+def test_embedding_covariance_raises_the_documented_error(spark, empty_dir):
+    import __spark_entry__ as e
+
+    with pytest.raises(ValueError, match="empty column"):
+        e.queries()["sim_embedding_covariance"](spark, empty_dir)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW") != "1",
+    reason="full 258-query empty sweep is opt-in (SPARK_GRAFT_SLOW=1)",
+)
+def test_full_registry_survives_empty_input(spark, empty_dir):
+    import __spark_entry__ as e
+
+    allowed = {"sim_embedding_covariance"}  # documented clear error
+    bad = []
+    for name, fn in e.queries().items():
+        if name in allowed:
+            continue
+        try:
+            fn(spark, empty_dir).collect()
+        except Exception as ex:  # noqa: BLE001
+            bad.append((name, f"{type(ex).__name__}: {str(ex)[:120]}"))
+    assert bad == []
