@@ -1128,8 +1128,14 @@ def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         F.col("n").cast("long").alias("n"),
         F.round(mu, 4).alias("mean"),
-        round_nz(m3 / F.pow(m2, 1.5), 4).alias("pop_skewness"),
-        round_nz(m4 / (m2 * m2) - 3.0, 4).alias("pop_excess_kurtosis"),
+        # try_divide: a single-row (or constant) group has m2 = 0 and
+        # undefined skew/kurt — NULL, not an ANSI job failure
+        round_nz(F.try_divide(m3, F.pow(m2, 1.5)), 4).alias(
+            "pop_skewness"
+        ),
+        round_nz(F.try_divide(m4, m2 * m2) - 3.0, 4).alias(
+            "pop_excess_kurtosis"
+        ),
     ).orderBy("grp")
 
 
@@ -1231,10 +1237,18 @@ def feature_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     iqr4 = F.any_value("__iqr4")
     return scaled.agg(
         F.count(F.lit(1)).alias("n"),
-        round_nz(F.min("zn").cast("double") / iqr4, 6).alias("min_z"),
-        round_nz(F.max("zn").cast("double") / iqr4, 6).alias("max_z"),
+        # try_divide: a constant-price (or single-row) shard has
+        # iqr4 = 0 — scaled z undefined → NULL, not an ANSI job failure
+        round_nz(F.try_divide(F.min("zn").cast("double"), iqr4), 6).alias(
+            "min_z"
+        ),
+        round_nz(F.try_divide(F.max("zn").cast("double"), iqr4), 6).alias(
+            "max_z"
+        ),
         round_nz(
-            F.sum("zn").cast("double") / iqr4 / F.count(F.lit(1)), 6
+            F.try_divide(F.sum("zn").cast("double"), iqr4)
+            / F.count(F.lit(1)),
+            6,
         ).alias("mean_z"),
         F.count(
             F.when(F.abs(F.col("zn")) > 2 * F.col("__iqr4"), 1)

@@ -1673,7 +1673,12 @@ def stats_langid_confusion_report(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
         F.round(po, 6).alias("accuracy"),
-        F.round((po - pe_v) / (1.0 - pe_v), 6).alias("cohens_kappa"),
+        # try_divide: pe_v == 1 (all rows one marginal cell — e.g. a
+        # single-row shard) makes kappa undefined → NULL, not a job
+        # failure; DuckDB's x/0 → NULL matches
+        F.round(F.try_divide(po - pe_v, 1.0 - pe_v), 6).alias(
+            "cohens_kappa"
+        ),
     ).orderBy("lang")
 
 

@@ -92,3 +92,40 @@ def test_full_registry_survives_empty_input(spark, empty_dir):
         except Exception as ex:  # noqa: BLE001
             bad.append((name, f"{type(ex).__name__}: {str(ex)[:120]}"))
     assert bad == []
+
+
+FIXED_ONEROW = [
+    "stats_moments_battery",      # m2 = 0 for a 1-row group
+    "feature_robust_scale_price", # IQR = 0
+    "stats_langid_confusion_report",  # pe_v = 1 -> kappa undefined
+]
+
+
+@pytest.fixture(scope="module")
+def onerow_dir(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    from skope_api_spark.tables import load
+
+    out = str(tmp_path_factory.mktemp("sf_onerow"))
+    for t in TABLES:
+        df = load(spark, "/root/testdata/sf0.001", t).limit(1)
+        tmp = f"{out}/_tmp_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{out}/{t}.parquet")
+        shutil.rmtree(tmp)
+    return out
+
+
+def test_previously_crashing_queries_survive_single_row_input(
+    spark, onerow_dir
+):
+    """n=1 degenerates: zero variance, zero IQR, chance-agreement 1 —
+    undefined statistics must come back NULL, not ANSI errors."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in FIXED_ONEROW:
+        qs[name](spark, onerow_dir).collect()  # must not raise
