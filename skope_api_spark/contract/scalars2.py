@@ -369,7 +369,8 @@ def hof_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per AS (
   SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders GROUP BY o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY o_orderstatus, o_orderpriority
 )
 SELECT o_orderstatus,
   string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
@@ -388,8 +389,13 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives identical scalars relationally, proving the map semantics
     (insertion-ordered keys from the sorted entry list, lookup, fold)."""
     orders = load(spark, sf_dir, "orders")
-    per = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
+    # NULL priorities cannot be map keys (NULL_MAP_KEY is a runtime
+    # error, not a NULL entry) — exclude them on BOTH sides; a defined
+    # "NULL keys are dropped" contract beats a job failure on dirty data
+    per = (
+        orders.where(F.col("o_orderpriority").isNotNull())
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     m = per.groupBy("o_orderstatus").agg(
         F.map_from_entries(

@@ -888,8 +888,12 @@ def stats_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
     nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
     pool = (ca + cb) / (na + nb)
-    z = (ca / na - cb / nb) / F.sqrt(
-        pool * (1 - pool) * (1.0 / na + 1.0 / nb)
+    # try_divide: pooled rate 0 or 1 (e.g. zero conversions in a dirty
+    # shard) makes the standard error 0 and z undefined — NULL, not an
+    # ANSI job failure (DuckDB x/0 is NULL, so the oracle agrees)
+    z = F.try_divide(
+        ca / na - cb / nb,
+        F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)),
     )
     return w.select(
         "n_a",

@@ -129,3 +129,46 @@ def test_previously_crashing_queries_survive_single_row_input(
     qs = e.queries()
     for name in FIXED_ONEROW:
         qs[name](spark, onerow_dir).collect()  # must not raise
+
+
+FIXED_NULLS = ["map_functions_battery", "stats_two_proportion_ab"]
+KEEP_COLS = ("key", "doc_id", "vec_id", "event_id", "user_id", "ts", "id")
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.tables import load
+
+    out = str(tmp_path_factory.mktemp("sf_nulls"))
+    for t in TABLES:
+        df = load(spark, "/root/testdata/sf0.001", t).limit(20)
+        cols = [
+            F.col(f.name)
+            if any(k in f.name for k in KEEP_COLS)
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        tmp = f"{out}/_tmp_{t}"
+        df.select(*cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{out}/{t}.parquet")
+        shutil.rmtree(tmp)
+    return out
+
+
+def test_previously_crashing_queries_survive_null_payloads(
+    spark, nulls_dir
+):
+    """NULL-poisoned rows (keys kept, payloads NULL): NULL map keys are
+    dropped by contract, zero-conversion z-tests yield NULL — no
+    NULL_MAP_KEY / DIVIDE_BY_ZERO job failures."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in FIXED_NULLS:
+        qs[name](spark, nulls_dir).collect()  # must not raise
