@@ -1895,8 +1895,12 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+       CAST(SUM(CAST(json_extract(
+           CASE WHEN json_valid(props) THEN props END, '$.k') AS INT))
+         AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(
+           CASE WHEN json_valid(props) THEN props END, '$.k') AS INT))
+         AS INT) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1909,8 +1913,11 @@ def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated get_json_object string parsing. Oracle reads the same
     payloads through DuckDB's JSON extraction."""
     ev = load(spark, sf_dir, "events")
+    # try_parse_json: malformed payloads are a certainty in real event
+    # streams — NULL variant (skipped by the aggregates) on both
+    # engines (oracle guards with json_valid), never a parse failure
     v = ev.select(
-        "event_type", F.parse_json("props").alias("__v")
+        "event_type", F.try_parse_json("props").alias("__v")
     )
     k = F.variant_get("__v", "$.k", "int")
     return (

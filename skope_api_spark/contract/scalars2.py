@@ -113,7 +113,7 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     "regexp_battery",
     oracle="""
 SELECT c_custkey,
-       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS extracted_id,
+       TRY_CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS extracted_id,
        regexp_replace(c_name, '^Customer#0*', '')                   AS short_id,
        CAST(regexp_matches(c_name, '0{3,}') AS BOOLEAN)             AS has_zero_run,
        CAST(LENGTH(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT) AS n_digits
@@ -131,8 +131,11 @@ def regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.where(F.col("c_custkey") % 13 == 0)
         .select(
             "c_custkey",
+            # try_cast: a non-matching name extracts '' and a plain
+            # ANSI cast is a job failure on dirty data; NULL on both
+            # engines (TRY_CAST in the oracle)
             F.regexp_extract("c_name", r"Customer#(\d+)", 1)
-            .cast("bigint")
+            .try_cast("bigint")
             .alias("extracted_id"),
             F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
             F.col("c_name").rlike("0{3,}").alias("has_zero_run"),

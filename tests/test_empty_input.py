@@ -172,3 +172,35 @@ def test_previously_crashing_queries_survive_null_payloads(
     qs = e.queries()
     for name in FIXED_NULLS:
         qs[name](spark, nulls_dir).collect()  # must not raise
+
+
+def test_malformed_payload_queries_survive(spark, tmp_path):
+    """Dirty-payload class: non-JSON props and non-matching names must
+    quarantine to NULL, not fail the job (try_parse_json / try_cast)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.tables import load
+
+    out = str(tmp_path)
+    for t, col, lit in (
+        ("events", "props", "not json"),
+        ("customer", "c_name", "Totally#Unrelated"),
+    ):
+        df = load(spark, "/root/testdata/sf0.001", t).limit(20)
+        df = df.withColumn(col, F.lit(lit))
+        tmpd = f"{out}/_tmp_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        part = glob.glob(f"{tmpd}/part-*.parquet")[0]
+        shutil.copy(part, f"{out}/{t}.parquet")
+        shutil.rmtree(tmpd)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    rows = qs["json_variant_battery"](spark, out).collect()
+    assert all(r["sum_k"] is None for r in rows)  # quarantined, counted
+    assert all(r["n_events"] > 0 for r in rows)
+    rows = qs["regexp_battery"](spark, out).collect()
+    assert all(r["extracted_id"] is None for r in rows)
