@@ -274,6 +274,7 @@ def gap_fill_interpolate(
     ts_col: str = "ts",
     key_col: str = "user_id",
     value_col: str = "value",
+    max_span_days: int = 36_525,
 ) -> DataFrame:
     """Daily gap filling with linear interpolation — the time-series
     regularization step (sparse per-key daily observations → a dense
@@ -290,6 +291,15 @@ def gap_fill_interpolate(
 
     Returns (key, day, value, interpolated) — ``value`` is the observed
     daily sum or the interpolated estimate, ``interpolated`` marks fills.
+
+    ``max_span_days`` (default 100 years) is the date-spine bomb guard:
+    ONE sentinel timestamp (epoch 0, 9999-12-31) in a key stretches that
+    key's spine to tens of thousands of rows — and at real key counts a
+    silently exploding spine is a quadrillion-row output, the gap-fill
+    analogue of the decompressed-pixel bomb (png.MAX_PIXELS) and the
+    too-large-polygon guard. A key over the cap fails LOUDLY with its
+    key and span in the message; pre-filter sentinels or raise the cap
+    deliberately.
     """
     daily = (
         df.select(
@@ -300,12 +310,28 @@ def gap_fill_interpolate(
         .groupBy("key", "day")
         .agg(F.round(F.sum("__v"), 4).alias("v"))
     )
+    span = F.datediff(F.col("d1"), F.col("d0"))
+    d1_checked = F.when(span <= max_span_days, F.col("d1")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "gap_fill_interpolate: key %s spans %s days (> "
+                f"max_span_days={max_span_days}) — likely sentinel "
+                "timestamps; filter them or raise max_span_days",
+                F.col("key").cast("string"),
+                span.cast("string"),
+            )
+        ).cast("date")
+    )
     spine = (
         daily.groupBy("key")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
         .select(
             "key",
-            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+            F.explode(
+                F.sequence(
+                    F.col("d0"), d1_checked, F.expr("interval 1 day")
+                )
+            ).alias("day"),
         )
     )
     j = spine.join(daily, ["key", "day"], "left")

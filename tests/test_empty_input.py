@@ -204,3 +204,22 @@ def test_malformed_payload_queries_survive(spark, tmp_path):
     assert all(r["n_events"] > 0 for r in rows)
     rows = qs["regexp_battery"](spark, out).collect()
     assert all(r["extracted_id"] is None for r in rows)
+
+
+def test_gap_fill_sentinel_span_guard(spark):
+    """Date-spine bomb guard: one sentinel timestamp (epoch 0 / 9999)
+    must fail LOUDLY with the key and span in the message, not silently
+    materialize a 100k-row-per-key spine (at real key counts that is a
+    quadrillion-row output)."""
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.windows import gap_fill_interpolate
+
+    df = spark.createDataFrame(
+        [(1, "1970-01-01 00:00:00", 1.0), (1, "2260-01-05 00:00:00", 5.0)],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(Exception, match="max_span_days"):
+        gap_fill_interpolate(df).count()
+    # explicit opt-in still works
+    assert gap_fill_interpolate(df, max_span_days=200_000).count() > 100_000
