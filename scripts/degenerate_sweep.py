@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Degenerate-input sweeps: run EVERY registry query against hostile
+fixture variants and report anything that throws.
+
+At 100 TB the degenerate cases are not edge cases — empty shards,
+single-row groups, NULL-poisoned payloads, malformed JSON, sentinel
+timestamps and negated money columns all occur by volume. Round 10 ran
+these seven classes and fixed 16 real ANSI/semantic job-killers plus
+one silent data bomb (see PERF.md "degenerate-input campaign" and
+"hostile-payload sweeps"); this script makes the sweep a repeatable
+protocol.
+
+Usage:
+    python scripts/degenerate_sweep.py MODE [query ...]
+
+MODE in: empty | onerow | nulls | const | unicode | extremets | negmoney
+
+Two queries fail BY DESIGN with clear errors (asserted by
+tests/test_empty_input.py): sim_embedding_covariance on zero rows
+(dimension unknowable) and ts_gap_fill_interpolate on sentinel spans
+(max_span_days bomb guard) — the report marks them EXPECTED.
+
+Each query runs under a 90 s job-group watchdog so one pathological
+plan cannot stall the sweep.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+KEEP = ("key", "doc_id", "vec_id", "event_id", "user_id", "ts", "id")
+BASE = "/root/testdata/sf0.001"
+
+# (mode, query) pairs that fail by design with a clear, documented error
+EXPECTED = {
+    ("empty", "sim_embedding_covariance"),
+    ("nulls", "sim_embedding_covariance"),
+    ("extremets", "ts_gap_fill_interpolate"),
+}
+
+UNI = "éß中文 \U0001F600\U0001F680 שלום x y"
+
+
+def mutate(df, mode):
+    from pyspark.sql import functions as F
+
+    if mode == "empty":
+        return df.limit(0)
+    if mode == "onerow":
+        return df.limit(1)
+    df = df.limit(200 if mode != "nulls" else 20)
+    if mode == "nulls":
+        cols = [
+            F.col(f.name)
+            if any(k in f.name for k in KEEP)
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        return df.select(*cols)
+    if mode == "const":
+        from pyspark.sql.types import (
+            ArrayType, DateType, DecimalType, DoubleType, FloatType,
+            IntegerType, LongType, ShortType, StringType, TimestampType,
+        )
+
+        def c_for(dt):
+            if isinstance(dt, StringType):
+                return F.lit("x")
+            if isinstance(dt, (DoubleType, FloatType, DecimalType)):
+                return F.lit(1.0).cast(dt)
+            if isinstance(dt, (LongType, IntegerType, ShortType)):
+                return F.lit(1).cast(dt)
+            if isinstance(dt, DateType):
+                return F.to_date(F.lit("1995-06-15"))
+            if isinstance(dt, TimestampType):
+                return F.to_timestamp(F.lit("1995-06-15 12:00:00"))
+            if isinstance(dt, ArrayType):
+                el = dt.elementType
+                return F.array(F.lit(0.5).cast(el), F.lit(0.5).cast(el))
+            return F.lit(None).cast(dt)
+
+        cols = [
+            F.col(f.name)
+            if any(k in f.name for k in KEEP)
+            else c_for(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        return df.select(*cols)
+    if mode == "unicode":
+        for c, typ in df.dtypes:
+            if typ != "string":
+                continue
+            if c in ("event_type", "lang"):
+                df = df.withColumn(c, F.concat(F.lit("中"), F.col(c)))
+            elif c == "props":
+                df = df.withColumn(c, F.lit('{"k": 1, "s": "中\U0001F600"}'))
+            elif c in ("text", "c_name", "source"):
+                df = df.withColumn(c, F.concat(F.lit(UNI + " "), F.col(c)))
+        return df
+    if mode == "extremets":
+        for c, typ in df.dtypes:
+            if typ.startswith("timestamp"):
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.rand(7) < 0.5,
+                        F.to_timestamp(F.lit("1901-12-13 20:45:52")),
+                    ).otherwise(F.to_timestamp(F.lit("2261-04-11 23:47:16"))),
+                )
+            if typ == "date":
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.rand(11) < 0.5, F.to_date(F.lit("1901-12-13"))
+                    ).otherwise(F.to_date(F.lit("2261-04-11"))),
+                )
+        return df
+    if mode == "negmoney":
+        for c in df.columns:
+            if any(
+                k in c
+                for k in ("price", "totalprice", "acctbal", "value",
+                          "discount", "tax", "quantity")
+            ):
+                df = df.withColumn(c, -F.abs(F.col(c)))
+        return df
+    raise SystemExit(f"unknown mode {mode}")
+
+
+def main() -> int:
+    mode = sys.argv[1]
+    selected = sys.argv[2:]
+    from skope_api_spark.session import get_spark
+    from skope_api_spark.tables import load
+
+    spark = get_spark(
+        f"degenerate_{mode}", master="local[8]", shuffle_partitions=8
+    )
+    out = f"/tmp/sf_degenerate_{mode}"
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(f"{out}/embeddings.parquet"):
+        for t in TABLES:
+            df = mutate(load(spark, BASE, t), mode)
+            tmp = f"{out}/_tmp_{t}"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.copy(part, f"{out}/{t}.parquet")
+            shutil.rmtree(tmp)
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = selected or list(qs)
+    sc = spark.sparkContext
+    unexpected = []
+    for name in names:
+        sc.setJobGroup(name, name)
+        timer = threading.Timer(90.0, lambda n=name: sc.cancelJobGroup(n))
+        timer.start()
+        t0 = time.time()
+        try:
+            qs[name](spark, out).collect()
+            status = "OK"
+        except Exception as ex:  # noqa: BLE001
+            if (mode, name) in EXPECTED:
+                status = "EXPECTED-ERR"
+            else:
+                status = f"THROW {type(ex).__name__}: {str(ex)[:110]}"
+                unexpected.append(name)
+        finally:
+            timer.cancel()
+        print(f"{time.time()-t0:7.1f}s {status} {name}", flush=True)
+    print(
+        f"\n{mode}: {len(names) - len(unexpected)}/{len(names)} survive, "
+        f"{len(unexpected)} unexpected throw: {unexpected}"
+    )
+    return 1 if unexpected else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
