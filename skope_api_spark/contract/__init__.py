@@ -59,26 +59,68 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   stats_robust_price_summary       -> date_interval_edges_battery
     #   hist_equi_depth_price            -> sql_udf_margin_classifier
     #
-    # GATE-ORDER PLAN, r11 (VERDICT r9 item 2): next rotation drives the
-    # TPC-H q-shape suite through the gate — q2/q4/q7/q8/q10/q11/q12/
-    # q16/q17/q18/q20/q22 (+ q6 if slots allow) have never been
-    # driver-checked; they are the queries a reference user hits first.
-    # They are exact-decimal surfaces (low hash risk), hence scheduled
-    # one round behind the risk-triaged set per the judge's triage.
+    # r11 rotation (VERDICT r10 items 1-2, executing the recorded r11
+    # gate-order plan): eighteen r10-driver-VERIFIED, family-redundant
+    # entries cede their slots to (a) the full never-driver-checked
+    # TPC-H q-shape suite — q2/q4/q7/q8/q10/q11/q12/q16/q17/q18/q20/q22
+    # (q6/q14 already driver-checked in prior rounds) — the queries a
+    # reference user hits first, and (b) three dq_* and three sample_*
+    # first-timers so both families get real gate exposure beyond their
+    # single anchors. Per VERDICT item 6, ts_value_percentiles_by_type
+    # and ts_rolling_correlation_events stay PINNED one more window
+    # (highest-entropy VALUE-class hash surfaces, first exposure r10);
+    # dq_psi_order_totals_by_segment stays as the dq anchor. Every
+    # ceded query remains covered by the full check_correctness replay
+    # and its family keeps gated representatives (stats: auc_by_source;
+    # sketch: kmv; ts: percentiles/rolling_corr/theil_sen; dedup:
+    # exact/minhash/simhash; sim: cosine/lsh/decontaminate/bucketed;
+    # text: quality_stats/bpe_train; sample: 3 new first-timers):
+    #   sketch_cms_token_counts          -> q2_min_cost_supplier
+    #   stats_weighted_quantiles_price_by_qty -> q4_order_priority_check
+    #   stats_calibration_chars_vs_lang  -> q7_nation_volume_shipping
+    #   hist_equi_width_price            -> q8_market_share
+    #   stats_gini_order_revenue         -> q10_returned_item_customers
+    #   ts_autocorrelation_daily_revenue -> q11_important_part_value
+    #   hof_array_sweep                  -> q12_priority_line_counts
+    #   map_functions_battery            -> q16_supplier_diversity
+    #   date_interval_edges_battery      -> q17_small_quantity_revenue
+    #   sql_udf_margin_classifier        -> q18_large_volume_customers
+    #   graph_triangle_top_nodes         -> q20_part_supplier_shortlist
+    #   rfm_customer_segments            -> q22_dormant_rich_customers
+    #   text_linear_quality_score        -> dq_constraint_report_orders
+    #   funnel_time_to_convert_quantiles -> dq_column_profile_orders
+    #   stats_auc_chars_vs_lang          -> dq_sequence_gaps_orderkeys
+    #   sample_unimax_mixing             -> sample_stratified_by_lang
+    #   sim_embedding_covariance         -> sample_hash_split
+    #   dedup_duplicate_clusters         -> sample_cap_per_source
+    #
+    # GATE-ORDER PLAN, r12: with the q-shape suite driven through,
+    # the largest never-checked families are text_* (~20) and ts_*
+    # report queries (~12); next rotation should cede this round's
+    # q-shape slots (exact-decimal, low re-check value once green) to
+    # a text_*/ts_* first-timer block, keeping one q-shape rep gated.
     "ts_value_percentiles_by_type",
     "ts_rolling_correlation_events",
-    "sketch_cms_token_counts",
     "sketch_kmv_overlap_langs",
-    "stats_weighted_quantiles_price_by_qty",
-    "stats_calibration_chars_vs_lang",
     "feature_rank_normalize_price",
-    "hist_equi_width_price",
-    "stats_gini_order_revenue",
-    "ts_autocorrelation_daily_revenue",
-    "hof_array_sweep",
-    "map_functions_battery",
-    "date_interval_edges_battery",
-    "sql_udf_margin_classifier",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q10_returned_item_customers",
+    "q11_important_part_value",
+    "q12_priority_line_counts",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_part_supplier_shortlist",
+    "q22_dormant_rich_customers",
+    "dq_constraint_report_orders",
+    "dq_column_profile_orders",
+    "dq_sequence_gaps_orderkeys",
+    "sample_stratified_by_lang",
+    "sample_hash_split",
+    "sample_cap_per_source",
     # r09 rotation (VERDICT r8 item 4): fourteen r8-driver-VERIFIED,
     # family-redundant entries cede their slots to (a) the ten
     # never-driver-checked, engine-version-sensitive surfaces the judge
@@ -180,16 +222,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   skope_rolling_zscore             -> sim_sq8_topk
     #   skope_fixed_zscore               -> fuzzy_join_part_terms
     #   sim_embedding_near_dup_multiprobe -> mv_incremental_rollup
-    "graph_triangle_top_nodes",
-    "rfm_customer_segments",
-    "text_linear_quality_score",
     # r09 late rotation: funnel_conversion_events (r8-driver-verified)
     # cedes to its family sibling funnel_time_to_convert_quantiles,
     # which carries this round's LAST quantile-boundary conversion
     # (integer-ms brackets, minutes ×1e4 by BIGINT div) and has never
     # been driver-checked — same pattern as top_parts_by_revenue in r8:
     #   funnel_conversion_events -> funnel_time_to_convert_quantiles
-    "funnel_time_to_convert_quantiles",
     "skope_summary_stats",
     "skope_catalog_metadata_join",
     "skope_polygon_zonal_stats",
@@ -203,15 +241,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # lag_lead_deltas, running_cumulative_sum) ceded to the round's
     # flagship pipeline operators; the battery stays regression-covered
     # by the full check_correctness replay
-    "sim_embedding_covariance",
     # r07 session-3b rotation: two more r06-driver-verified family
     # redundants cede to the session's hardest new flagships (both
     # families keep >=4 gated representatives):
     #   dedup_minhash_cross_corpus -> text_bpe_train_merges
     #   text_chunk_documents       -> stats_auc_chars_vs_lang
     "text_bpe_train_merges",
-    "stats_auc_chars_vs_lang",
-    "sample_unimax_mixing",
     # r06: sessionize_native_session_window's and text_bottomk_fingerprint's
     # slots ceded to the round's flagships (C4 line filter, bloom-pruned
     # join); both stay regression-covered by the full check_correctness
@@ -229,7 +264,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
     "dedup_simhash_near_duplicates",
-    "dedup_duplicate_clusters",
     "pipeline_clean_corpus_stats",
     # similarity / ANN
     "sim_cosine_topk",
