@@ -27,6 +27,7 @@ plan cannot stall the sweep.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 import sys
@@ -147,7 +148,15 @@ def main() -> int:
     spark = get_spark(
         f"degenerate_{mode}", master="local[8]", shuffle_partitions=8
     )
-    out = f"/tmp/sf_degenerate_{mode}"
+    # Fixture cache key covers this script's content (mutate() logic) and
+    # the base tables' mtimes, so editing either regenerates fixtures
+    # automatically instead of silently reusing stale ones (ADVICE r10).
+    stamp = hashlib.sha256()
+    with open(os.path.abspath(__file__), "rb") as fh:
+        stamp.update(fh.read())
+    for t in TABLES:
+        stamp.update(str(os.path.getmtime(f"{BASE}/{t}.parquet")).encode())
+    out = f"/tmp/sf_degenerate_{mode}_{stamp.hexdigest()[:10]}"
     os.makedirs(out, exist_ok=True)
     if not os.path.exists(f"{out}/embeddings.parquet"):
         for t in TABLES:
@@ -164,16 +173,28 @@ def main() -> int:
     names = selected or list(qs)
     sc = spark.sparkContext
     unexpected = []
+    timeouts = []
     for name in names:
         sc.setJobGroup(name, name)
-        timer = threading.Timer(90.0, lambda n=name: sc.cancelJobGroup(n))
+        timed_out = threading.Event()
+
+        def watchdog(n=name, flag=timed_out):
+            flag.set()
+            sc.cancelJobGroup(n)
+
+        timer = threading.Timer(90.0, watchdog)
         timer.start()
         t0 = time.time()
         try:
             qs[name](spark, out).collect()
             status = "OK"
         except Exception as ex:  # noqa: BLE001
-            if (mode, name) in EXPECTED:
+            if timed_out.is_set():
+                # Watchdog cancellation: slow, not provably wrong —
+                # report separately from a real crasher (ADVICE r10).
+                status = "TIMEOUT >90s (job group cancelled)"
+                timeouts.append(name)
+            elif (mode, name) in EXPECTED:
                 status = "EXPECTED-ERR"
             else:
                 status = f"THROW {type(ex).__name__}: {str(ex)[:110]}"
@@ -181,11 +202,13 @@ def main() -> int:
         finally:
             timer.cancel()
         print(f"{time.time()-t0:7.1f}s {status} {name}", flush=True)
+    bad = len(unexpected) + len(timeouts)
     print(
-        f"\n{mode}: {len(names) - len(unexpected)}/{len(names)} survive, "
-        f"{len(unexpected)} unexpected throw: {unexpected}"
+        f"\n{mode}: {len(names) - bad}/{len(names)} survive, "
+        f"{len(unexpected)} unexpected throw: {unexpected}, "
+        f"{len(timeouts)} timeout: {timeouts}"
     )
-    return 1 if unexpected else 0
+    return 1 if (unexpected or timeouts) else 0
 
 
 if __name__ == "__main__":

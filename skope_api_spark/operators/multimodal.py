@@ -152,7 +152,11 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
     # ICO: ICONDIR (reserved=0, type=1, count), then 16-byte entries whose
     # first two bytes are width/height (0 encodes 256). Like PIL, report
     # the largest-area entry — multi-size icons lead with small sizes.
-    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 6:
+    if data[:4] == b"\x00\x00\x01\x00":
+        if len(data) < 6:
+            # Header truncated before the entry count: still ICO (same
+            # treatment as a truncated directory), dims unknowable.
+            return "ico", None, None
         count = struct.unpack("<H", data[4:6])[0]
         best: tuple[int, int, int] | None = None
         for k in range(count):
@@ -179,6 +183,11 @@ def _sniff_image(data: bytes) -> tuple[str | None, int | None, int | None]:
             return "tiff", None, None
         n_entries = struct.unpack(bo + "H", data[ifd : ifd + 2])[0]
         w = h = None
+        # Bomb guard: a hostile IFD can claim up to 65535 entries; cap the
+        # scan at 512. Real IFD0s have <100 entries, but if width/length
+        # tags sit beyond entry 512 the dims come back NULL — downstream
+        # quarantine treats NULL dims as "sniff inconclusive", not "not a
+        # TIFF", so the guard degrades safely.
         for k in range(min(n_entries, 512)):
             off = ifd + 2 + 12 * k
             if off + 12 > len(data):

@@ -351,6 +351,15 @@ class TestIcoTiffSniffing:
         data = ico_bytes([(64, 64)])[:8]  # count says 1, entry missing
         assert _sniff_image(data) == ("ico", None, None)
 
+    def test_ico_truncated_header(self):
+        # ADVICE r10: a valid ICO signature cut before the entry count
+        # (len 4-5) must classify as ico like the truncated-directory
+        # case, not fall through to unknown.
+        from skope_api_spark.operators.multimodal import _sniff_image
+
+        assert _sniff_image(b"\x00\x00\x01\x00") == ("ico", None, None)
+        assert _sniff_image(b"\x00\x00\x01\x00\x01") == ("ico", None, None)
+
     def test_tiff_little_endian_short(self):
         from skope_api_spark.operators.multimodal import _sniff_image
 
