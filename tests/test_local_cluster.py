@@ -122,3 +122,46 @@ def test_pandas_udf_worker_on_real_executor(lc_spark):
     qs = e.queries()
     rows = qs["mm_binary_stats"](lc_spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0
+
+
+def test_gap_fill_guard_fails_fast_keyed_on_real_executors(lc_spark):
+    """VERDICT r10 item 7: the date-spine bomb guard must fail FAST with
+    the offending key and span in the driver-visible message when the
+    raise_error fires inside a REAL executor JVM (not a driver thread),
+    and sibling keys must complete via the explicit opt-in path."""
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.windows import gap_fill_interpolate
+
+    rows = [
+        # two healthy keys: short spans, one interior gap each
+        (1, "2020-01-01 00:00:00", 1.0),
+        (1, "2020-01-03 00:00:00", 3.0),
+        (2, "2020-02-01 00:00:00", 2.0),
+        (2, "2020-02-04 00:00:00", 8.0),
+        # key 99 carries an epoch-0 sentinel -> ~106k-day span
+        (99, "1970-01-01 00:00:00", 0.0),
+        (99, "2260-01-05 00:00:00", 5.0),
+    ]
+    df = lc_spark.createDataFrame(
+        rows, "user_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with pytest.raises(Exception) as exc:
+        gap_fill_interpolate(df).count()
+    msg = str(exc.value)
+    # keyed, actionable message surfaced across the JVM boundary
+    assert "key 99" in msg and "105924 days" in msg
+    assert "max_span_days" in msg
+
+    # opt-in path: pre-filtering the sentinel lets the siblings finish
+    healthy = gap_fill_interpolate(
+        df.filter(F.year("ts") >= 2000)
+    ).collect()
+    by_key = {}
+    for r in healthy:
+        by_key.setdefault(r["key"], []).append(r)
+    assert sorted(by_key) == [1, 2, 99]
+    assert len(by_key[1]) == 3 and len(by_key[2]) == 4
+    interp = [r for r in by_key[1] if r["interpolated"]]
+    assert len(interp) == 1 and interp[0]["value"] == 2.0
