@@ -9,7 +9,10 @@ Spark, no DuckDB) and compares cell-for-cell with the Spark side —
 including dedup_minhash_near_duplicates AND (round 10)
 dedup_simhash_near_duplicates, each checked for recall AND precision vs
 an exact all-pairs graph with no banding anywhere, plus
-dedup_duplicate_clusters (union-find min-member labels):
+dedup_duplicate_clusters (union-find min-member labels) and (round 11)
+dedup_jaccard_prefix_join — PPJoin completeness vs the same exact pair
+graph, closing the last quadratic-oracle baseline without an
+independent recall check:
 
 - dedup_minhash_cross_corpus: exact cross-set 3-shingle Jaccard via a
   shingle inverted index (full recall AND precision — every candidate
@@ -303,6 +306,32 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
+    # ---- 1e. dedup_jaccard_prefix_join (completeness AND precision) --
+    # (round 11) The prefix-filter route was the one quadratic-oracle
+    # baseline without an independent recall check: the prefix lemma
+    # guarantees completeness only if the implementation derives the
+    # prefix length and the shared global order correctly. Same 3-shingle
+    # J >= 0.7 contract as the shared exact graph, so compare pair-for-
+    # pair and value-for-value (both sides are one int/int IEEE division).
+    t0 = time.time()
+    got_pj = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qs["dedup_jaccard_prefix_join"](spark, SF_DIR).collect()
+    }
+    miss = set(all_pairs) - set(got_pj)
+    extra = set(got_pj) - set(all_pairs)
+    vdiff = [
+        k for k in all_pairs if k in got_pj and all_pairs[k] != got_pj[k]
+    ]
+    ok = not (miss or extra or vdiff)
+    print(
+        f"[gt] dedup_jaccard_prefix_join: expect {len(all_pairs)} pairs, "
+        f"spark {len(got_pj)}; missing={len(miss)} extra={len(extra)} "
+        f"value_diffs={len(vdiff)} -> {'OK' if ok else 'MISMATCH'} "
+        f"({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
     # ---- 2. pipeline_keep_best_rep -----------------------------------
     t0 = time.time()
     clusters = union_find_clusters(ids, all_pairs)
@@ -401,7 +430,7 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
-    print(f"\n{6 - failures}/6 ground-truth checks OK")
+    print(f"\n{7 - failures}/7 ground-truth checks OK")
     return 1 if failures else 0
 
 
