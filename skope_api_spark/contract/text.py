@@ -1979,3 +1979,92 @@ def mm_media_sniff_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+@query(
+    "mm_geotiff_header_sniff",
+    oracle="""
+WITH files AS (
+  SELECT d.dataset_id, d.variable_id, r.range AS band
+  FROM (VALUES
+    ('annual_5x5x5_dataset', 'float32_variable', 5),
+    ('annual_5x5x5_dataset', 'uint16_variable', 5),
+    ('monthly_5x5x60_dataset', 'float32_variable', 60),
+    ('monthly_5x5x60_dataset', 'int16_variable', 60)
+  ) d(dataset_id, variable_id, n_bands), range(0, 60) r
+  WHERE r.range < d.n_bands
+)
+SELECT dataset_id, variable_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_tiff,
+       CAST(COUNT(*) AS BIGINT) AS n_dims_match,
+       CAST(5 * COUNT(*) AS BIGINT) AS sum_width,
+       CAST(5 * COUNT(*) AS BIGINT) AS sum_height
+FROM files GROUP BY dataset_id, variable_id
+ORDER BY dataset_id, variable_id
+""",
+)
+def mm_geotiff_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF ↔ multimodal tie-in (VERDICT r10 item 8): the reference's
+    own file format (one single-band GeoTIFF per time step, read via
+    rasterio at `timeseries/app/core/services.py:150-151`) flows through
+    the SAME header-sniff ladder as wild media. One header per
+    (dataset, variable, band) of the dev catalog — alternating byte
+    order and SHORT/LONG dimension encodings, GeoKeyDirectoryTag
+    present — is built executor-side and sniffed by the real
+    mapInPandas decode stage; the contract asserts every file
+    classifies as tiff with dimensions equal to the catalog grid. The
+    oracle regenerates the expectation from the same catalog constants
+    (FIXTURES.md §1: 5×5 grids, 5/60 bands)."""
+    from skope_api_spark.operators.multimodal import decode_image_metadata
+    from skope_api_spark.plans.catalog import DEV_CATALOG
+    from skope_api_spark.sources.geotiff import build_geotiff_band_headers
+
+    pairs = [(m, v) for m in DEV_CATALOG.values() for v in m.variables]
+    combos = [
+        (idx, m.dataset_id, v, m.n_bands(), m.grid_cols, m.grid_rows)
+        for idx, (m, v) in enumerate(pairs)
+    ]
+    dims = spark.createDataFrame(
+        combos,
+        "combo_idx int, dataset_id string, variable_id string, "
+        "n_bands int, grid_cols int, grid_rows int",
+    )
+    files = dims.select(
+        "combo_idx",
+        "dataset_id",
+        "variable_id",
+        "grid_cols",
+        "grid_rows",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_bands") - 1)
+        ).alias("band"),
+    ).withColumn(
+        "media_id",
+        (F.col("combo_idx").cast("long") * 1000 + F.col("band")),
+    )
+    meta = decode_image_metadata(
+        build_geotiff_band_headers(
+            files.select("media_id", "grid_cols", "grid_rows", "band")
+        )
+    )
+    joined = files.join(meta, "media_id")
+    return (
+        joined.groupBy("dataset_id", "variable_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.when(F.col("format") == "tiff", 1).otherwise(0)
+            ).alias("n_tiff"),
+            F.sum(
+                F.when(
+                    (F.col("width") == F.col("grid_cols"))
+                    & (F.col("height") == F.col("grid_rows")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dims_match"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+        )
+        .orderBy("dataset_id", "variable_id")
+    )

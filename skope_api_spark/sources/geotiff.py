@@ -181,3 +181,73 @@ def ingest_geotiff(
         .partitionBy("dataset_id", "variable_id")
         .parquet(out_path)
     )
+
+
+def geotiff_band_header(width: int, height: int, band: int) -> bytes:
+    """Real single-band GeoTIFF header bytes for one time-step file of the
+    reference's per-band layout (one ``{dataset}/{variable}/{step}.tif``
+    per band — reference deploy layout; see also
+    ``timeseries/app/core/services.py`` raster-open path).
+
+    The header is a genuine TIFF IFD0 the multimodal sniffer ladder
+    (``operators.multimodal._sniff_image``) must parse by wild-file rules:
+    even bands are written little-endian with SHORT dimension tags, odd
+    bands big-endian with LONG tags (both legal TIFF encodings), and a
+    GeoKeyDirectoryTag (34735) entry precedes the dimension tags so the
+    sniffer's skip-unknown-tag path is exercised on every blob.
+    """
+    import struct
+
+    le = band % 2 == 0
+    bo = "<" if le else ">"
+    magic = b"II*\x00" if le else b"MM\x00*"
+    dim_type, dim_fmt = (3, "H") if le else (4, "I")
+
+    def entry(tag: int, typ: int, fmt: str, val: int) -> bytes:
+        raw = struct.pack(bo + fmt, val)
+        return struct.pack(bo + "HHI", tag, typ, 1) + raw.ljust(4, b"\x00")
+
+    ents = [
+        entry(254, 4, "I", 0),  # NewSubfileType
+        entry(256, dim_type, dim_fmt, width),  # ImageWidth
+        entry(257, dim_type, dim_fmt, height),  # ImageLength
+        entry(339, 3, "H", 3),  # SampleFormat: IEEE float
+        entry(34735, 3, "H", 1),  # GeoKeyDirectoryTag (GeoTIFF marker)
+    ]
+    return (
+        magic
+        + struct.pack(bo + "I", 8)  # IFD0 at byte 8
+        + struct.pack(bo + "H", len(ents))
+        + b"".join(ents)
+        + struct.pack(bo + "I", 0)  # next-IFD terminator
+    )
+
+
+def build_geotiff_band_headers(files_df: DataFrame) -> DataFrame:
+    """(media_id, grid_cols, grid_rows, band) → (media_id, content) —
+    the blob stage of the GeoTIFF sniff contract: per-band header bytes
+    constructed inside Arrow-batched tasks, never on the driver."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        geotiff_band_header(int(w), int(h), int(b))
+                        for w, h, b in zip(
+                            pdf["grid_cols"], pdf["grid_rows"], pdf["band"]
+                        )
+                    ],
+                }
+            )
+
+    return files_df.mapInPandas(batches, schema)

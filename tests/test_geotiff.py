@@ -117,3 +117,23 @@ class TestMonthArithmetic:
         assert _add_months(dt.date(2000, 1, 31), 1) == dt.date(2000, 2, 29)
         assert _add_months(dt.date(1999, 1, 31), 1) == dt.date(1999, 2, 28)
         assert _add_months(dt.date(2000, 3, 31), 1) == dt.date(2000, 4, 30)
+
+
+class TestGeoTiffHeaderSniff:
+    """The per-band GeoTIFF headers (contract mm_geotiff_header_sniff)
+    must parse under the multimodal sniffer's wild-file rules in both
+    legal TIFF encodings, with the GeoKeyDirectoryTag skipped."""
+
+    def test_even_band_little_endian_short(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+        from skope_api_spark.sources.geotiff import geotiff_band_header
+
+        assert _sniff_image(geotiff_band_header(5, 5, 0)) == ("tiff", 5, 5)
+
+    def test_odd_band_big_endian_long(self):
+        from skope_api_spark.operators.multimodal import _sniff_image
+        from skope_api_spark.sources.geotiff import geotiff_band_header
+
+        data = geotiff_band_header(115, 50, 7)  # lbda_v2 CONUS shape
+        assert data[:4] == b"MM\x00*"
+        assert _sniff_image(data) == ("tiff", 115, 50)
