@@ -34,3 +34,63 @@ def test_no_query_plans_a_cartesian_product(spark):
     assert offenders == [], (
         f"queries planning a CartesianProduct: {offenders}"
     )
+
+
+def test_no_query_plans_row_python_udf(spark):
+    """Registry-wide: no query may plan a BatchEvalPython stage — the
+    row-at-a-time Python UDF executor (each row round-trips through
+    pickle, ~10-100× slower than Arrow batches). Vectorized boundaries
+    (ArrowEvalPython, MapInPandas, FlatMapGroupsInPandas) stay legal;
+    the ban is specifically on the per-row interpreter loop, which has
+    been an engine-wide invariant since round 1 but was only enforced
+    by grep until now."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        plan = (
+            fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == [], (
+        f"queries planning a row-Python UDF stage: {offenders}"
+    )
+
+
+def test_qshape_scan_pushdown_and_topk_shapes(spark):
+    """Pins the r11 plan audit of the newly-gated TPC-H q-shapes: the
+    selective predicates must reach the parquet scan (PushedFilters) and
+    the top-k queries must compile to TakeOrderedAndProject — a refactor
+    that wraps a filtered column in an expression (killing pushdown) or
+    replaces limit-after-sort (materializing a global sort) fails here
+    before it costs anything at scale."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # predicate -> scan pushdown (representatives of each pushdown kind
+    # seen in the audit: date range, equality, string prefix)
+    p = plan_of("q4_order_priority_check")
+    assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
+    p = plan_of("q10_returned_item_customers")
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "TakeOrderedAndProject" in p
+    p = plan_of("q20_part_supplier_shortlist")
+    assert "StringStartsWith(p_name,red)" in p
+    p = plan_of("q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in p
+    # scalar-subquery thresholds stay 1-row broadcasts, not cartesians
+    p = plan_of("q22_dormant_rich_customers")
+    assert "CartesianProduct" not in p
