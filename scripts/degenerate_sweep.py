@@ -14,6 +14,12 @@ Usage:
     python scripts/degenerate_sweep.py MODE [query ...]
 
 MODE in: empty | onerow | nulls | const | unicode | extremets | negmoney
+         | hotkey
+
+hotkey (r11): 90% of rows collapse their foreign-key / grouping values
+to one hot value (identity keys untouched) — the Zipf-head shape every
+100 TB corpus has. At fixture scale it is a semantics check: giant
+single groups, one dominant join key, two-distinct-value columns.
 
 Two queries fail BY DESIGN with clear errors (asserted by
 tests/test_empty_input.py): sim_embedding_covariance on zero rows
@@ -126,6 +132,35 @@ def mutate(df, mode):
                         F.rand(11) < 0.5, F.to_date(F.lit("1901-12-13"))
                     ).otherwise(F.to_date(F.lit("2261-04-11"))),
                 )
+        return df
+    if mode == "hotkey":
+        # 90% of rows take the hot value; the hot value is each column's
+        # own min so FK integrity with the (unmutated) dimension tables
+        # holds. Identity keys (KEEP) stay unique.
+        from pyspark.sql import Window as W
+
+        hot_cols = [
+            c
+            for c, typ in df.dtypes
+            if (
+                c.endswith(("custkey", "suppkey", "partkey", "nationkey",
+                            "regionkey", "orderkey"))
+                and not any(k in c for k in KEEP)
+            )
+            or c in ("event_type", "lang", "source", "o_orderpriority",
+                     "l_returnflag", "l_linestatus", "p_brand", "p_type",
+                     "o_orderstatus", "l_shipmode", "c_mktsegment")
+        ]
+        # l_orderkey/o_orderkey are join identities for line-level joins;
+        # collapsing them makes order-grain joins quadratic by design —
+        # keep them out (the realistic hot entity is a customer/supplier/
+        # part/category, not an order id).
+        hot_cols = [c for c in hot_cols if not c.endswith("orderkey")]
+        for c in hot_cols:
+            hot = F.min(c).over(W.partitionBy())
+            df = df.withColumn(
+                c, F.when(F.rand(13) < 0.9, hot).otherwise(F.col(c))
+            )
         return df
     if mode == "negmoney":
         for c in df.columns:
