@@ -135,27 +135,36 @@ def mutate(df, mode):
         return df
     if mode == "hotkey":
         # 90% of rows take the hot value; the hot value is each column's
-        # own min so FK integrity with the (unmutated) dimension tables
-        # holds. Identity keys (KEEP) stay unique.
+        # own min so FK integrity with the dimension tables holds (the
+        # hot value is an existing key and dimension PKs stay unique).
+        # Identity columns are excluded by EXACT name (ADVICE r11: the
+        # old `any(k in c for k in KEEP)` substring test matched "key"
+        # against every FK column, so no join key was ever skewed):
+        #   - per-table PKs (r_regionkey .. o_orderkey) stay unique;
+        #   - l_orderkey/o_orderkey stay out as join identities for
+        #     line-level joins — collapsing them makes order-grain joins
+        #     quadratic by design (the realistic hot entity is a
+        #     customer/supplier/part/category, not an order id);
+        #   - every OTHER FK (o_custkey, l_partkey, l_suppkey,
+        #     c_nationkey, s_nationkey, n_regionkey) DOES skew.
         from pyspark.sql import Window as W
 
+        identity_cols = {
+            "r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
+            "p_partkey", "o_orderkey", "l_orderkey",
+        }
         hot_cols = [
             c
             for c, typ in df.dtypes
             if (
                 c.endswith(("custkey", "suppkey", "partkey", "nationkey",
-                            "regionkey", "orderkey"))
-                and not any(k in c for k in KEEP)
+                            "regionkey"))
+                and c not in identity_cols
             )
             or c in ("event_type", "lang", "source", "o_orderpriority",
                      "l_returnflag", "l_linestatus", "p_brand", "p_type",
                      "o_orderstatus", "l_shipmode", "c_mktsegment")
         ]
-        # l_orderkey/o_orderkey are join identities for line-level joins;
-        # collapsing them makes order-grain joins quadratic by design —
-        # keep them out (the realistic hot entity is a customer/supplier/
-        # part/category, not an order id).
-        hot_cols = [c for c in hot_cols if not c.endswith("orderkey")]
         for c in hot_cols:
             hot = F.min(c).over(W.partitionBy())
             df = df.withColumn(
@@ -192,6 +201,11 @@ def main() -> int:
     for t in TABLES:
         stamp.update(str(os.path.getmtime(f"{BASE}/{t}.parquet")).encode())
     out = f"/tmp/sf_degenerate_{mode}_{stamp.hexdigest()[:10]}"
+    # Drop fixture dirs from older script/base-table versions so edits
+    # don't accumulate orphans in /tmp (ADVICE r11).
+    for stale in glob.glob(f"/tmp/sf_degenerate_{mode}_*"):
+        if stale != out:
+            shutil.rmtree(stale, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     if not os.path.exists(f"{out}/embeddings.parquet"):
         for t in TABLES:
@@ -226,8 +240,14 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             if timed_out.is_set():
                 # Watchdog cancellation: slow, not provably wrong —
-                # report separately from a real crasher (ADVICE r10).
-                status = "TIMEOUT >90s (job group cancelled)"
+                # report separately from a real crasher (ADVICE r10),
+                # but keep the surfaced exception so cancellation vs a
+                # genuine post-cancel failure stays diagnosable
+                # (ADVICE r11).
+                status = (
+                    f"TIMEOUT >90s (job group cancelled; surfaced "
+                    f"{type(ex).__name__}: {str(ex)[:80]})"
+                )
                 timeouts.append(name)
             elif (mode, name) in EXPECTED:
                 status = "EXPECTED-ERR"

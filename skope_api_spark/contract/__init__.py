@@ -94,33 +94,83 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   sim_embedding_covariance         -> sample_hash_split
     #   dedup_duplicate_clusters         -> sample_cap_per_source
     #
-    # GATE-ORDER PLAN, r12: with the q-shape suite driven through,
-    # the largest never-checked families are text_* (~20) and ts_*
-    # report queries (~12); next rotation should cede this round's
-    # q-shape slots (exact-decimal, low re-check value once green) to
-    # a text_*/ts_* first-timer block, keeping one q-shape rep gated.
+    # r12 rotation (VERDICT r11 items 1-2, executing the recorded r12
+    # gate-order plan): twenty r11-driver-VERIFIED, family-redundant
+    # entries cede their slots to the two largest never-driver-checked
+    # blocks — (a) eight text_* first-timers (led by the judge-named
+    # text_redact_pii / text_repetition_stats / text_unicode_normalize —
+    # the mapInPandas one — text_char_entropy / text_readability_scores),
+    # (b) eight ts_* report first-timers (led by ts_gap_fill_interpolate,
+    # which carries the r11 span guard, ts_mom_yoy_revenue_growth,
+    # ts_rolling_distinct_users_24h, ts_dau_wau_mau_stickiness), plus
+    # (c) both mm_* sniff queries — the registry's only
+    # Arrow-mapInPandas-over-binary surfaces (VERDICT item 2) — and two
+    # family swaps that gate a first-timer while keeping the family
+    # represented (sessionize_events -> session_top_paths,
+    # skew_salted_event_rollup -> skew_hot_key_report). All 12 q-shapes
+    # cede (exact-decimal, low re-check value once green; q9/q15 stay as
+    # the gated q-shape reps). Per VERDICT item 6, the two VALUE-class
+    # pins ts_value_percentiles_by_type / ts_rolling_correlation_events
+    # stay PINNED one final (third) window; after a third green they can
+    # safely cede in r13. Every ceded query remains covered by the full
+    # check_correctness replay and its family keeps gated
+    # representatives (dq: psi anchor; sample: hash_split; dedup:
+    # minhash/simhash; session: top_paths; skew: hot_key_report):
+    #   q2_min_cost_supplier        -> text_redact_pii
+    #   q4_order_priority_check     -> text_repetition_stats
+    #   q7_nation_volume_shipping   -> text_unicode_normalize
+    #   q8_market_share             -> text_char_entropy
+    #   q10_returned_item_customers -> text_readability_scores
+    #   q11_important_part_value    -> text_zipf_slope
+    #   q12_priority_line_counts    -> text_unigram_logprob
+    #   q16_supplier_diversity      -> text_vocabulary_richness
+    #   q17_small_quantity_revenue  -> ts_gap_fill_interpolate
+    #   q18_large_volume_customers  -> ts_mom_yoy_revenue_growth
+    #   q20_part_supplier_shortlist -> ts_rolling_distinct_users_24h
+    #   q22_dormant_rich_customers  -> ts_dau_wau_mau_stickiness
+    #   dq_constraint_report_orders -> ts_level_shift_monthly_revenue
+    #   dq_column_profile_orders    -> ts_seasonal_anomaly_flags
+    #   dq_sequence_gaps_orderkeys  -> ts_cumulative_unique_users_daily
+    #   sample_stratified_by_lang   -> ts_hampel_filter_events
+    #   sample_cap_per_source       -> mm_media_sniff_quarantine
+    #   dedup_exact_documents       -> mm_geotiff_header_sniff
+    #   sessionize_events           -> session_top_paths
+    #   skew_salted_event_rollup    -> skew_hot_key_report
+    #
+    # GATE-ORDER PLAN, r13: after this window the never-driver-checked
+    # residue is ~64 queries, largest blocks stats_* (8), sim_* (5),
+    # text_* (8 remaining: decontaminate_probe/boilerplate/domain_profile/
+    # bigram/bpe_encode/keyness/ctfidf/js_divergence), sample_* (4,
+    # incl. the never-checked token-budget/temperature mixers), graph_*
+    # (3), report-style one-offs (~20). Next rotation: cede the 16 r12
+    # text_*/ts_* greens (keep one text + one ts rep each) plus the two
+    # VALUE-class pins (third green recorded) to a stats_*/sim_*/
+    # sample_*/report first-timer block.
     "ts_value_percentiles_by_type",
     "ts_rolling_correlation_events",
     "sketch_kmv_overlap_langs",
     "feature_rank_normalize_price",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q10_returned_item_customers",
-    "q11_important_part_value",
-    "q12_priority_line_counts",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_part_supplier_shortlist",
-    "q22_dormant_rich_customers",
-    "dq_constraint_report_orders",
-    "dq_column_profile_orders",
-    "dq_sequence_gaps_orderkeys",
-    "sample_stratified_by_lang",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_unicode_normalize",
+    "text_char_entropy",
+    "text_readability_scores",
+    "text_zipf_slope",
+    "text_unigram_logprob",
+    "text_vocabulary_richness",
+    "ts_gap_fill_interpolate",
+    "ts_mom_yoy_revenue_growth",
+    "ts_rolling_distinct_users_24h",
+    "ts_dau_wau_mau_stickiness",
+    "ts_level_shift_monthly_revenue",
+    "ts_seasonal_anomaly_flags",
+    "ts_cumulative_unique_users_daily",
+    "ts_hampel_filter_events",
+    "mm_media_sniff_quarantine",
+    "mm_geotiff_header_sniff",
+    "session_top_paths",
+    "skew_hot_key_report",
     "sample_hash_split",
-    "sample_cap_per_source",
     # r09 rotation (VERDICT r8 item 4): fourteen r8-driver-VERIFIED,
     # family-redundant entries cede their slots to (a) the ten
     # never-driver-checked, engine-version-sensitive surfaces the judge
@@ -250,8 +300,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r06: sessionize_native_session_window's and text_bottomk_fingerprint's
     # slots ceded to the round's flagships (C4 line filter, bloom-pruned
     # join); both stay regression-covered by the full check_correctness
-    # replay, and sessionization itself stays gated via sessionize_events
-    "sessionize_events",
+    # replay. r12: sessionize_events itself (9× driver-green) cedes to
+    # family sibling session_top_paths (first-timer, gated above).
     # text / multimodal battery (r07 session 2: text_token_counts cedes
     # its slot to the grid spatial join — the geo-domain scale flagship;
     # token counting stays regression-covered by the full replay)
@@ -260,8 +310,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_auc_by_source",
     "ts_theil_sen_monthly_revenue",
     "top_parts_by_revenue",
-    # dedup scale paths
-    "dedup_exact_documents",
+    # dedup scale paths (r12: dedup_exact_documents, 10× driver-green,
+    # cedes to mm_geotiff_header_sniff; minhash/simhash stay gated)
     "dedup_minhash_near_duplicates",
     "dedup_simhash_near_duplicates",
     "pipeline_clean_corpus_stats",
@@ -276,9 +326,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # as-of joins, skew (KMV's slot went to multiprobe in r03; the HLL
     # sketch's slot goes to the recall contract in r04 — both sketches stay
     # regression-covered by the full check_correctness replay)
+    # r12: skew_salted_event_rollup (10× driver-green) cedes to family
+    # sibling skew_hot_key_report (first-timer, gated above)
     "asof_join_purchase_to_click",
     "q15_top_supplier",
-    "skew_salted_event_rollup",
 )
 
 

@@ -2014,8 +2014,10 @@ def mm_geotiff_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     present — is built executor-side and sniffed by the real
     mapInPandas decode stage; the contract asserts every file
     classifies as tiff with dimensions equal to the catalog grid. The
-    oracle regenerates the expectation from the same catalog constants
-    (FIXTURES.md §1: 5×5 grids, 5/60 bands)."""
+    oracle PINS the dev-catalog constants as of r11 in a literal VALUES
+    list (FIXTURES.md §1: 5×5 grids, 5/60 bands, hardcoded dataset ids)
+    — a DEV_CATALOG change fails this check loudly and the VALUES list
+    must be updated to match (ADVICE r11 wording fix)."""
     from skope_api_spark.operators.multimodal import decode_image_metadata
     from skope_api_spark.plans.catalog import DEV_CATALOG
     from skope_api_spark.sources.geotiff import build_geotiff_band_headers

@@ -170,3 +170,88 @@ class TestMalformedPayloads422:
         )
         assert status == 422
         assert "transforms" in body["detail"][0]["msg"]
+
+
+class TestReferenceRequestFixtures:
+    """VERDICT r11 item 3: replay the reference's LITERAL shipped request
+    fixtures (`/root/reference/timeseries/data/requests/*.json`) through
+    the façade and pin the golden outcomes the reference's own code
+    yields for them against its dev catalog
+    (`timeseries/app/tests/routers/test_datasets.py:68-88`'s band·100(+
+    cell offset) law, `schemas/dataset.py:49-72`'s containment errors,
+    `routers/v1/api.py:11-30`'s response shape)."""
+
+    BASE = "/root/reference/timeseries/data/requests"
+
+    def _load(self, name):
+        import os
+
+        path = f"{self.BASE}/{name}.json"
+        if not os.path.exists(path):
+            pytest.skip("reference request fixtures not present")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def test_yearly_int_year_coercion_and_containment_422(self, service):
+        """yearly.json uses BARE-INT years (`gte: 2, lte: 6`). The int→
+        0002-01-01 coercion must parse, and then — exactly like the
+        reference's `find_band_range` (`schemas/dataset.py:56-63`) —
+        lte=0006 beyond the annual dataset's 0001..0005 range must raise
+        TimeRangeContainmentError, not clip."""
+        status, body = H.handle_timeseries_v2(service, self._load("yearly"))
+        assert status == 422
+        err = body["detail"][0]
+        assert err["type"] == "TimeRangeContainmentError"
+        # both ints coerced to real dates before containment was checked
+        assert "datetime.date(2, 1, 1)" in err["msg"]
+        assert "datetime.date(6, 1, 1)" in err["msg"]
+
+    def test_yearly_prod_dataset_absent_in_dev_catalog_422(self, service):
+        """yearly_prod.json targets the production `lbda-v2` dataset,
+        which the dev catalog (deploy/metadata/dev.yml mirror) does not
+        carry — a clean DatasetNotFoundError 422, not a 500."""
+        status, body = H.handle_timeseries_v2(
+            service, self._load("yearly_prod")
+        )
+        assert status == 422
+        assert body["detail"][0]["type"] == "DatasetNotFoundError"
+        assert "lbda-v2" in body["detail"][0]["msg"]
+
+    def test_monthly_two_series_golden_values(self, service):
+        """monthly.json: point (−120, 42.5) → cell value law
+        b*100 + 23.3 (FIXTURES.md §1); original series spans the
+        requested 0001-02..0003-01 (bands 2..25); the trailing-width-7
+        series starts at band 8 (first band with 7 predecessors in the
+        DATA, current row excluded — W2 semantics) and keeps the
+        requested lte."""
+        status, body = H.handle_timeseries_v2(service, self._load("monthly"))
+        assert status == 200
+        series = {s["name"]: s for s in body["series"]}
+        assert set(series) == {"original", "transformed"}
+
+        orig = series["original"]
+        assert orig["time_range"] == {"gte": "0001-02-01", "lte": "0003-01-01"}
+        assert orig["values"] == pytest.approx(
+            [b * 100 + 23.3 for b in range(2, 26)], rel=1e-5
+        )
+
+        tma = series["transformed"]
+        assert tma["time_range"] == {"gte": "0001-08-01", "lte": "0003-01-01"}
+        # trailing mean of bands b-7..b-1 under the linear law = (b-4)
+        assert tma["values"] == pytest.approx(
+            [(b - 4) * 100 + 23.3 for b in range(8, 26)], rel=1e-5
+        )
+
+    def test_timeseriesv1_bare_int_start_end(self, service):
+        """timeseriesv1.json: v1 shape with BARE-INT start/end (1, 5) —
+        the int→str→date chain must coerce, and the uint16 variable obeys
+        the b*100 law at (−123, 45) (r=0, c=0 cell)."""
+        status, body = H.handle_timeseries_v1(
+            service, self._load("timeseriesv1")
+        )
+        assert status == 200
+        assert body["datasetId"] == "annual_5x5x5_dataset"
+        assert body["variableName"] == "uint16_variable"
+        assert body["start"] == "0001-01-01"
+        assert body["end"] == "0005-01-01"
+        assert body["values"] == [100.0, 200.0, 300.0, 400.0, 500.0]
