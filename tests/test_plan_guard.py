@@ -106,3 +106,76 @@ def test_qshape_scan_pushdown_and_topk_shapes(spark):
     # scalar-subquery thresholds stay 1-row broadcasts, not cartesians
     p = plan_of("q22_dormant_rich_customers")
     assert "CartesianProduct" not in p
+
+
+def test_r12_rotation_block_plan_shapes(spark):
+    """Pins the r12 gate-rotation block's plan audit (VERDICT r11 item 7),
+    the same way the q-shapes got pushdown/top-k pins in r11:
+
+    - WINDOW FRAMES: every ts_* first-timer that uses a window must plan
+      the BOUNDED RowFrame its semantics allow — a refactor that widens a
+      lag/rolling frame to an unbounded sort-the-world frame fails here
+      before it costs a full-partition materialization at 100 TB.
+      (ts_cumulative_unique_users_daily and ts_gap_fill_interpolate are
+      the two documented unbounded exceptions: running totals and
+      next-valid-value interpolation are genuinely cumulative.)
+    - PYTHON BOUNDARIES: within the block, only the documented Arrow
+      surfaces may plan one — text_unicode_normalize (one mapInPandas:
+      Python's unicodedata has no JVM equivalent) and the two mm_*
+      binary sniffs (decode ladder). Every other text_*/ts_* first-timer
+      must stay whole-stage-codegen JVM (zero MapInPandas /
+      ArrowEvalPython / FlatMapGroupsInPandas)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # bounded-frame pins (frame text is stable lowercase catalyst form)
+    p = plan_of("ts_hampel_filter_events")
+    assert "specifiedwindowframe(RowFrame, -3, 3)" in p
+    assert "unboundedfollowing" not in p
+    p = plan_of("ts_mom_yoy_revenue_growth")
+    assert "specifiedwindowframe(RowFrame, -1, -1)" in p
+    assert "specifiedwindowframe(RowFrame, -12, -12)" in p
+    assert "unboundedfollowing" not in p
+    p = plan_of("ts_level_shift_monthly_revenue")
+    assert "specifiedwindowframe(RowFrame, -5, -1)" in p
+    assert "unboundedfollowing" not in p
+    p = plan_of("ts_seasonal_anomaly_flags")
+    assert "specifiedwindowframe(RowFrame, -6, 6)" in p
+    assert "unboundedfollowing" not in p
+
+    # Python-boundary budget: documented Arrow surfaces only
+    PY_MARKS = ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "BatchEvalPython")
+    documented = {"text_unicode_normalize", "mm_media_sniff_quarantine",
+                  "mm_geotiff_header_sniff"}
+    block = [
+        "text_redact_pii", "text_repetition_stats", "text_unicode_normalize",
+        "text_char_entropy", "text_readability_scores", "text_zipf_slope",
+        "text_unigram_logprob", "text_vocabulary_richness",
+        "ts_gap_fill_interpolate", "ts_mom_yoy_revenue_growth",
+        "ts_rolling_distinct_users_24h", "ts_dau_wau_mau_stickiness",
+        "ts_level_shift_monthly_revenue", "ts_seasonal_anomaly_flags",
+        "ts_cumulative_unique_users_daily", "ts_hampel_filter_events",
+        "mm_media_sniff_quarantine", "mm_geotiff_header_sniff",
+        "session_top_paths", "skew_hot_key_report",
+    ]
+    offenders = []
+    for name in block:
+        p = plan_of(name)
+        has_py = any(m in p for m in PY_MARKS)
+        if has_py and name not in documented:
+            offenders.append(name)
+        if name in documented:
+            assert "MapInPandas" in p, f"{name} lost its Arrow decode stage"
+    assert offenders == [], (
+        f"undocumented Python boundary in r12 block: {offenders}"
+    )
