@@ -14,12 +14,21 @@ Usage:
     python scripts/degenerate_sweep.py MODE [query ...]
 
 MODE in: empty | onerow | nulls | const | unicode | extremets | negmoney
-         | hotkey
+         | hotkey | dupident
 
-hotkey (r11): 90% of rows collapse their foreign-key / grouping values
-to one hot value (identity keys untouched) — the Zipf-head shape every
-100 TB corpus has. At fixture scale it is a semantics check: giant
-single groups, one dominant join key, two-distinct-value columns.
+hotkey (r11, FK clause fixed r12): 90% of rows collapse their
+foreign-key / grouping values to one hot value (identity keys
+untouched) — the Zipf-head shape every 100 TB corpus has. At fixture
+scale it is a semantics check: giant single groups, one dominant join
+key, two-distinct-value columns.
+
+dupident (r12): at-least-once delivery replays — the first 30 rows are
+appended again VERBATIM (exact duplicate rows, identity keys included)
+and the next 30 reappear with the SAME identity keys but perturbed
+payloads (numeric +1, strings suffixed, timestamps +1s) — breaking the
+key→payload functional dependency every idempotent-ingest assumption
+rests on. PK joins fan out, "1 row per key" invariants break, dedup and
+merge surfaces must absorb rather than throw.
 
 Two queries fail BY DESIGN with clear errors (asserted by
 tests/test_empty_input.py): sim_embedding_covariance on zero rows
@@ -171,6 +180,42 @@ def mutate(df, mode):
                 c, F.when(F.rand(13) < 0.9, hot).otherwise(F.col(c))
             )
         return df
+    if mode == "dupident":
+        # At-least-once replays. Base sample + (a) 30 rows duplicated
+        # verbatim (exact dup rows, identity keys included) + (b) 30
+        # rows re-delivered with the SAME identity columns (anything
+        # matching KEEP) but perturbed payloads — the corrected-replay
+        # shape that breaks key->payload functional dependency.
+        from pyspark.sql.types import (
+            DateType, DecimalType, DoubleType, FloatType, IntegerType,
+            LongType, ShortType, StringType, TimestampType,
+        )
+
+        base = df  # already limit(200) above
+        exact_dups = base.limit(30)
+
+        def perturb(f):
+            c = F.col(f.name)
+            if any(k in f.name for k in KEEP):
+                return c
+            dt = f.dataType
+            if isinstance(dt, (DoubleType, FloatType, DecimalType,
+                               IntegerType, LongType, ShortType)):
+                return (c + F.lit(1).cast(dt)).cast(dt).alias(f.name)
+            if isinstance(dt, StringType):
+                return F.concat(c, F.lit("_replay")).alias(f.name)
+            if isinstance(dt, TimestampType):
+                return (c + F.expr("INTERVAL 1 SECOND")).alias(f.name)
+            if isinstance(dt, DateType):
+                return F.date_add(c, 1).alias(f.name)
+            return c
+
+        # Same 30 rows, perturbed: those identity keys now carry THREE
+        # deliveries each (original, exact dup, corrected replay).
+        replays = base.limit(30).select(
+            *[perturb(f) for f in base.schema.fields]
+        )
+        return base.unionAll(exact_dups).unionAll(replays)
     if mode == "negmoney":
         for c in df.columns:
             if any(
