@@ -65,7 +65,15 @@ VARIABLE_RULES: dict[tuple[str, str], dict] = {
     ("annual_5x5x5_dataset", "uint16_variable"): {
         "value": "b * 100 + r * 10 + c",
         "f32": False,
-        "null": "FALSE",
+        # r12 parity fix: the reference's REAL shipped raster
+        # (timeseries/data/annual_5x5x5_dataset_uint16_variable.tif)
+        # carries GDAL_NODATA=65535 with sentinel cells at (3,4) in every
+        # band and (2,4) in band 3 — the same holes as float32_variable;
+        # 65535 IS representable in uint16, so the reference's read-time
+        # nulling (schemas/geometry.py:95) masks them. Verified by
+        # decoding the actual file bytes (sources/geotiff.py:
+        # read_baseline_tiff; tests/test_reference_rasters.py).
+        "null": "(r = 3 AND c = 4) OR (b = 3 AND r = 2 AND c = 4)",
     },
     ("monthly_5x5x60_dataset", "float32_variable"): {
         "value": "b * 100 + r * 10 + c * 1.1",

@@ -72,6 +72,119 @@ def _read_with_rasterio(path: str):
             yield b, data, (t.a, t.c, t.e, t.f)  # px_w, origin_lon, px_h, origin_lat
 
 
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+
+
+def _tiff_tag_values(data: bytes, bo: str, entry: bytes):
+    """Decode one 12-byte IFD entry to (tag, list-of-values)."""
+    import struct as _s
+
+    tag, typ, cnt = _s.unpack(bo + "HHI", entry[:8])
+    size = _TIFF_TYPE_SIZE.get(typ)
+    if size is None:  # unknown type: keep raw offset, caller ignores
+        return tag, []
+    total = size * cnt
+    raw = entry[8 : 8 + total] if total <= 4 else None
+    if raw is None:
+        off = _s.unpack(bo + "I", entry[8:12])[0]
+        raw = data[off : off + total]
+    if typ == 2:  # ASCII
+        return tag, [raw.split(b"\x00", 1)[0].decode("ascii", "replace")]
+    return tag, list(_s.unpack(bo + str(cnt) + _TIFF_TYPE_FMT[typ], raw))
+
+
+def read_baseline_tiff(data: bytes):
+    """Pure-stdlib/NumPy decode of a BASELINE TIFF 6.0 raster — the subset
+    GDAL writes for the reference's shipped dev cubes
+    (``/root/reference/timeseries/data/*.tif``: single IFD, uncompressed,
+    strip-organized, chunky ``PlanarConfiguration=1`` with one SAMPLE per
+    band, uint/int/float samples, GDAL_NODATA ascii tag, geotransform from
+    ModelPixelScaleTag+ModelTiepointTag). Multi-page (one band per IFD)
+    files are also handled. Yields the same protocol as the rasterio
+    reader: ``(band, 2-D float64 array with NaN nodata, (px_w, origin_lon,
+    px_h, origin_lat))``.
+
+    Raises ValueError for compressed / tiled / planar=2 variants — those
+    are deployment formats that genuinely need rasterio; the split keeps
+    the 100 TB ingest path honest (rasterio on real clusters) while the
+    reference's own fixtures decode anywhere."""
+    import struct as _s
+
+    import numpy as np
+
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF stream")
+    bo = "<" if data[:2] == b"II" else ">"
+    if _s.unpack(bo + "H", data[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    off = _s.unpack(bo + "I", data[4:8])[0]
+    band_no = 0
+    while off:
+        n = _s.unpack(bo + "H", data[off : off + 2])[0]
+        tags = {}
+        for i in range(n):
+            tag, vals = _tiff_tag_values(
+                data, bo, data[off + 2 + 12 * i : off + 14 + 12 * i]
+            )
+            tags[tag] = vals
+        off = _s.unpack(bo + "I", data[off + 2 + 12 * n : off + 6 + 12 * n])[0]
+
+        width, height = tags[256][0], tags[257][0]
+        if tags.get(259, [1])[0] != 1:
+            raise ValueError("compressed TIFF needs rasterio")
+        if 322 in tags or 323 in tags:
+            raise ValueError("tiled TIFF needs rasterio")
+        if tags.get(284, [1])[0] != 1:
+            raise ValueError("planar TIFF needs rasterio")
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8])[0]
+        fmt = tags.get(339, [1])[0]  # 1 uint, 2 int, 3 float
+        kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+        if kind is None or bits % 8:
+            raise ValueError(f"unsupported sample format {fmt}/{bits}")
+        dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+        raw = b"".join(
+            data[o : o + c]
+            for o, c in zip(tags[273], tags[279], strict=True)
+        )
+        px = np.frombuffer(raw, dtype=dtype, count=width * height * spp)
+        cube = px.reshape(height, width, spp).astype("float64")
+
+        nodata = tags.get(42113)
+        if nodata:
+            try:
+                nd = float(nodata[0])
+            except ValueError:
+                nd = None
+            if nd is not None:
+                cube = np.where(cube == nd, np.nan, cube)
+
+        sx, sy = (tags.get(33550) or [1.0, 1.0, 0.0])[:2]
+        tp = tags.get(33922) or [0.0] * 6
+        # tiepoint maps raster (i, j) -> model (x, y); normalize to origin
+        origin_lon = tp[3] - tp[0] * sx
+        origin_lat = tp[4] + tp[1] * sy
+        for s in range(spp):
+            band_no += 1
+            yield band_no, cube[:, :, s].copy(), (sx, origin_lon, -sy, origin_lat)
+
+
+def _read_with_rasterio_or_baseline(path: str):
+    """Default reader: rasterio when present (deployment formats — tiled,
+    compressed, BigTIFF); otherwise the stdlib baseline decoder, so the
+    reference's own uncompressed dev rasters ingest with zero extra
+    dependencies."""
+    try:
+        import rasterio  # noqa: F401, PLC0415
+    except ImportError:
+        with open(path, "rb") as fh:
+            yield from read_baseline_tiff(fh.read())
+        return
+    yield from _read_with_rasterio(path)
+
+
 def _add_months(d: date, months: int) -> date:
     """ns-safe month arithmetic (pd.Timestamp cannot hold year-1 dates;
     SKOPE time axes start at 0001-01-01). The day is clamped to the target
@@ -145,7 +258,7 @@ def geotiff_cells(
             - q(np.sin(np.radians(lat_top_deg - px_lat)))
         )
 
-    rd = reader if reader is not None else _read_with_rasterio
+    rd = reader if reader is not None else _read_with_rasterio_or_baseline
     # one file per partition: raster decode is the unit of parallelism.
     # An explicit sequential index + range partitioning gives true
     # round-robin assignment — hash-partitioning on path collides, leaving
