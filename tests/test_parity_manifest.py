@@ -30,6 +30,12 @@ MANIFEST: dict[str, list[tuple]] = {
         ("attr", "skope_api_spark.sources.cube", "ingest_to_parquet"),
         ("attr", "skope_api_spark.sources.geotiff",
          "build_geotiff_band_headers"),
+        # r12: real-bytes anchoring — the stdlib baseline TIFF decoder and
+        # the suite pinning the analytic cube to the reference's shipped
+        # rasters cell-for-cell
+        ("attr", "skope_api_spark.sources.geotiff", "read_baseline_tiff"),
+        ("test", "tests/test_reference_rasters.py",
+         "test_ingest_matches_analytic_cube_cell_for_cell"),
     ],
     "S2 windowed point read": [("query", "skope_point_extraction")],
     "S3 cropped polygon/bbox read": [("query", "skope_bbox_zonal_area")],
