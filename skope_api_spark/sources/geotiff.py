@@ -145,6 +145,8 @@ def read_baseline_tiff(data: bytes):
             raise ValueError(f"unsupported sample format {fmt}/{bits}")
         dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF has no strip data (header-only blob?)")
         raw = b"".join(
             data[o : o + c]
             for o, c in zip(tags[273], tags[279], strict=True)
