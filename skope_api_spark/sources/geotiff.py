@@ -173,6 +173,99 @@ def read_baseline_tiff(data: bytes):
             yield band_no, cube[:, :, s].copy(), (sx, origin_lon, -sy, origin_lat)
 
 
+def write_baseline_tiff(
+    cube,  # 3-D ndarray (height, width, bands)
+    *,
+    byte_order: str = "<",
+    nodata: float | None = None,
+    rows_per_strip: int | None = None,
+    page_per_band: bool = False,
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    origin: tuple[float, float] = (-123.0, 45.0),
+) -> bytes:
+    """Minimal baseline TIFF 6.0 writer — the inverse of
+    ``read_baseline_tiff``, exercising the paths the reference's shipped
+    files don't (big-endian, multi-strip, one-band-per-IFD). Test/tooling
+    surface only; production writing stays Parquet."""
+    import struct as _s
+
+    import numpy as np
+
+    bo = byte_order
+    h, w, nb = cube.shape
+    kind = {"u": 1, "i": 2, "f": 3}[cube.dtype.kind]
+    bits = cube.dtype.itemsize * 8
+    rps = h if rows_per_strip is None else rows_per_strip
+    nd_ascii = None if nodata is None else f"{nodata:g}\x00".encode()
+
+    pages = (
+        [cube[:, :, b : b + 1] for b in range(nb)] if page_per_band else [cube]
+    )
+    out = bytearray(b"II\x2a\x00" if bo == "<" else b"MM\x00\x2a")
+    out += b"\x00\x00\x00\x00"  # first-IFD offset patched below
+    prev_link = 4
+
+    for page in pages:
+        spp = page.shape[2]
+        strips = [
+            np.ascontiguousarray(
+                page[r0 : r0 + rps], dtype=page.dtype.newbyteorder(bo)
+            ).tobytes()
+            for r0 in range(0, h, rps)
+        ]
+        strip_offs = []
+        for s in strips:
+            strip_offs.append(len(out))
+            out += s
+
+        def arr_tag(tag, typ, vals, fmt):
+            size = _TIFF_TYPE_SIZE[typ] * len(vals)
+            if size <= 4:
+                raw = _s.pack(bo + str(len(vals)) + fmt, *vals)
+                return _s.pack(bo + "HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+            off = len(out)
+            out.extend(_s.pack(bo + str(len(vals)) + fmt, *vals))
+            return _s.pack(bo + "HHII", tag, typ, len(vals), off)
+
+        entries = [
+            arr_tag(256, 3, [w], "H"),
+            arr_tag(257, 3, [h], "H"),
+            arr_tag(258, 3, [bits] * spp, "H"),
+            arr_tag(259, 3, [1], "H"),
+            arr_tag(262, 3, [1], "H"),
+            arr_tag(273, 4, strip_offs, "I"),
+            arr_tag(277, 3, [spp], "H"),
+            arr_tag(278, 3, [rps], "H"),
+            arr_tag(279, 4, [len(s) for s in strips], "I"),
+            arr_tag(284, 3, [1], "H"),
+            arr_tag(339, 3, [kind] * spp, "H"),
+            arr_tag(33550, 12, [pixel_scale[0], pixel_scale[1], 0.0], "d"),
+            arr_tag(
+                33922, 12, [0.0, 0.0, 0.0, origin[0], origin[1], 0.0], "d"
+            ),
+        ]
+        if nd_ascii:
+            if len(nd_ascii) <= 4:  # TIFF inline-value rule applies to ASCII too
+                entries.append(
+                    _s.pack(bo + "HHI", 42113, 2, len(nd_ascii))
+                    + nd_ascii.ljust(4, b"\0")
+                )
+            else:
+                off = len(out)
+                out.extend(nd_ascii)
+                entries.append(
+                    _s.pack(bo + "HHII", 42113, 2, len(nd_ascii), off)
+                )
+        entries.sort(key=lambda e: _s.unpack(bo + "H", e[:2])[0])
+
+        ifd_off = len(out)
+        out[prev_link : prev_link + 4] = _s.pack(bo + "I", ifd_off)
+        out += _s.pack(bo + "H", len(entries)) + b"".join(entries)
+        prev_link = len(out)
+        out += b"\x00\x00\x00\x00"  # next-IFD link (0 unless more pages)
+    return bytes(out)
+
+
 def _read_with_rasterio_or_baseline(path: str):
     """Default reader: rasterio when present (deployment formats — tiled,
     compressed, BigTIFF); otherwise the stdlib baseline decoder, so the
