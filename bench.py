@@ -76,7 +76,56 @@ HEADLINE_EXT = [
 ]
 
 
+def host_telemetry() -> dict:
+    """Contention snapshot emitted with every bench line (r13, VERDICT r12
+    item 2): BENCH_r12 recorded a 46 s headline that was pure host noise
+    (three same-HEAD runs measured 15.1-17.3 s) and cost a full
+    arbitration pass to adjudicate. loadavg + competing heavy processes
+    make the next inflated artifact self-diagnosing."""
+    tele: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        tele["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    tele["cpus"] = os.cpu_count()
+    # count OTHER java/python processes (potential CPU competitors for the
+    # 32-thread shuffle); exclude self and our own process subtree (the
+    # bench's JVM and any pyspark workers)
+    ppid_of: dict[int, int] = {}
+    comm_of: dict[int, str] = {}
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                with open(f"/proc/{pid}/comm") as fh:
+                    comm = fh.read().strip()
+            except (OSError, IndexError):
+                continue
+            ppid_of[int(pid)] = int(parts[1])
+            comm_of[int(pid)] = comm
+    except OSError:
+        return tele
+    own = {os.getpid()}
+    # one pass per tree depth; bench subtree is shallow (py -> java -> *)
+    for _ in range(8):
+        grew = {p for p, pp in ppid_of.items() if pp in own} - own
+        if not grew:
+            break
+        own |= grew
+    tele["competing_jvm_py"] = sum(
+        1
+        for p, c in comm_of.items()
+        if p not in own and c.startswith(("java", "python"))
+    )
+    return tele
+
+
 def main() -> int:
+    tele = host_telemetry()  # snapshot BEFORE the run: pre-existing load
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -138,7 +187,12 @@ def main() -> int:
     # cross-round continuity metric) keeps the median treatment
     times_ext, cold_ext = run_group(HEADLINE_EXT, 1)
 
+    try:
+        tele["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
     out = {
+        "host": tele,
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",

@@ -52,7 +52,29 @@ def run_bench(tree: str) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def refuse_if_contended() -> None:
+    """Arbitration runs exist to settle drift-vs-trend questions; running
+    one on a loaded host produces exactly the corrupted numbers it is
+    meant to adjudicate (BENCH_r12's 46 s artifact). Refuse when the
+    1-minute loadavg exceeds 25% of the cores or another java/python
+    heavyweight is live. Override: SPARK_GRAFT_AB_FORCE=1."""
+    if os.environ.get("SPARK_GRAFT_AB_FORCE") == "1":
+        return
+    sys.path.insert(0, REPO)
+    from bench import host_telemetry
+
+    tele = host_telemetry()
+    la1 = (tele.get("loadavg") or [0.0])[0]
+    cpus = tele.get("cpus") or 1
+    if la1 > 0.25 * cpus or tele.get("competing_jvm_py", 0) > 0:
+        raise SystemExit(
+            f"[ab] REFUSING arbitration: host contended ({tele}); wait for "
+            "a quiet machine or set SPARK_GRAFT_AB_FORCE=1"
+        )
+
+
 def main() -> int:
+    refuse_if_contended()
     ref = sys.argv[1] if len(sys.argv) > 1 else default_baseline()
     tree = tempfile.mkdtemp(prefix="bench_ab_")
     sh("git", "worktree", "add", "--detach", tree, ref)

@@ -22,10 +22,12 @@ untouched) — the Zipf-head shape every 100 TB corpus has. At fixture
 scale it is a semantics check: giant single groups, one dominant join
 key, two-distinct-value columns.
 
-dupident (r12): at-least-once delivery replays — the first 30 rows are
-appended again VERBATIM (exact duplicate rows, identity keys included)
-and the next 30 reappear with the SAME identity keys but perturbed
-payloads (numeric +1, strings suffixed, timestamps +1s) — breaking the
+dupident (r12; made deterministic r13): at-least-once delivery replays —
+ONE materialized 30-row sample is appended again VERBATIM (exact
+duplicate rows, identity keys included) AND a third time with the SAME
+identity keys but perturbed payloads (numeric +1, strings suffixed,
+timestamps +1s) — the same 30 identities carry three deliveries each,
+by construction, breaking the
 key→payload functional dependency every idempotent-ingest assumption
 rests on. PK joins fan out, "1 row per key" invariants break, dedup and
 merge surfaces must absorb rather than throw.
@@ -55,7 +57,25 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-KEEP = ("key", "doc_id", "vec_id", "event_id", "user_id", "ts", "id")
+# Identity columns by EXACT name (ADVICE r12: the old substring test
+# `any(k in name for k in KEEP)` was the same over-matching pattern the
+# hotkey mode fixed in r12 — anchor to the real schema instead). This set
+# mirrors exactly what the substring test matched on the current tables,
+# so nulls/const/dupident fixture shapes are unchanged by the rewrite.
+IDENTITY_COLS = frozenset(
+    {
+        "r_regionkey", "n_nationkey", "n_regionkey",
+        "c_custkey", "c_nationkey",
+        "s_suppkey", "s_nationkey",
+        "p_partkey",
+        "o_orderkey", "o_custkey",
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "doc_id", "vec_id", "event_id", "user_id", "ts",
+    }
+)
+# lineitem's compound PK includes the line number: a "corrected replay"
+# of the same line must keep (l_orderkey, l_linenumber) intact.
+DUPIDENT_IDENTITY = IDENTITY_COLS | {"l_linenumber"}
 BASE = "/root/testdata/sf0.001"
 
 # (mode, query) pairs that fail by design with a clear, documented error
@@ -79,7 +99,7 @@ def mutate(df, mode):
     if mode == "nulls":
         cols = [
             F.col(f.name)
-            if any(k in f.name for k in KEEP)
+            if f.name in IDENTITY_COLS
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in df.schema.fields
         ]
@@ -108,7 +128,7 @@ def mutate(df, mode):
 
         cols = [
             F.col(f.name)
-            if any(k in f.name for k in KEEP)
+            if f.name in IDENTITY_COLS
             else c_for(f.dataType).alias(f.name)
             for f in df.schema.fields
         ]
@@ -181,22 +201,35 @@ def mutate(df, mode):
             )
         return df
     if mode == "dupident":
-        # At-least-once replays. Base sample + (a) 30 rows duplicated
-        # verbatim (exact dup rows, identity keys included) + (b) 30
-        # rows re-delivered with the SAME identity columns (anything
-        # matching KEEP) but perturbed payloads — the corrected-replay
-        # shape that breaks key->payload functional dependency.
+        # At-least-once replays. Base sample + (a) the SAME 30 rows
+        # duplicated verbatim (exact dup rows, identity keys included)
+        # + (b) the SAME 30 rows re-delivered with identity columns
+        # intact but perturbed payloads — the corrected-replay shape
+        # that breaks key->payload functional dependency.
+        #
+        # ADVICE r12: two independent `base.limit(30)` subtrees are NOT
+        # guaranteed to pick the same rows (each branch of the union
+        # plan re-evaluates the unordered limit independently — the
+        # exact dups could even contain rows outside the written base).
+        # Collect the 200-row sample ONCE and build all three deliveries
+        # from that single materialized local list, so "three deliveries
+        # per key" is guaranteed by construction.
         from pyspark.sql.types import (
             DateType, DecimalType, DoubleType, FloatType, IntegerType,
             LongType, ShortType, StringType, TimestampType,
         )
 
-        base = df  # already limit(200) above
-        exact_dups = base.limit(30)
+        spark = df.sparkSession
+        rows = df.collect()  # already limit(200) above; bounded
+        base = spark.createDataFrame(rows, df.schema)
+        sample = spark.createDataFrame(rows[:30], df.schema)
+        exact_dups = sample
 
         def perturb(f):
             c = F.col(f.name)
-            if any(k in f.name for k in KEEP):
+            # lineitem's compound PK (l_orderkey, l_linenumber) must
+            # survive a corrected replay, hence DUPIDENT_IDENTITY
+            if f.name in DUPIDENT_IDENTITY:
                 return c
             dt = f.dataType
             if isinstance(dt, (DoubleType, FloatType, DecimalType,
@@ -212,9 +245,7 @@ def mutate(df, mode):
 
         # Same 30 rows, perturbed: those identity keys now carry THREE
         # deliveries each (original, exact dup, corrected replay).
-        replays = base.limit(30).select(
-            *[perturb(f) for f in base.schema.fields]
-        )
+        replays = sample.select(*[perturb(f) for f in df.schema.fields])
         return base.unionAll(exact_dups).unionAll(replays)
     if mode == "negmoney":
         for c in df.columns:
@@ -247,9 +278,16 @@ def main() -> int:
         stamp.update(str(os.path.getmtime(f"{BASE}/{t}.parquet")).encode())
     out = f"/tmp/sf_degenerate_{mode}_{stamp.hexdigest()[:10]}"
     # Drop fixture dirs from older script/base-table versions so edits
-    # don't accumulate orphans in /tmp (ADVICE r11).
+    # don't accumulate orphans in /tmp (ADVICE r11) — but only dirs that
+    # have been idle >1h, so a concurrent sweep of the same mode built
+    # from a different stamp doesn't lose its fixtures mid-run
+    # (ADVICE r12).
     for stale in glob.glob(f"/tmp/sf_degenerate_{mode}_*"):
-        if stale != out:
+        try:
+            idle = time.time() - os.path.getmtime(stale)
+        except OSError:
+            continue
+        if stale != out and idle > 3600:
             shutil.rmtree(stale, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     if not os.path.exists(f"{out}/embeddings.parquet"):

@@ -120,17 +120,29 @@ def read_baseline_tiff(data: bytes):
         raise ValueError("bad TIFF magic")
     off = _s.unpack(bo + "I", data[4:8])[0]
     band_no = 0
+    seen_ifds: set[int] = set()
     while off:
-        n = _s.unpack(bo + "H", data[off : off + 2])[0]
-        tags = {}
-        for i in range(n):
-            tag, vals = _tiff_tag_values(
-                data, bo, data[off + 2 + 12 * i : off + 14 + 12 * i]
-            )
-            tags[tag] = vals
-        off = _s.unpack(bo + "I", data[off + 2 + 12 * n : off + 6 + 12 * n])[0]
-
-        width, height = tags[256][0], tags[257][0]
+        # Hostile-input contract: a corrupt/cyclic next-IFD pointer must be
+        # a loud ValueError, never an executor hang; truncated or garbage
+        # streams must raise ValueError (the documented type), not leak
+        # struct.error/KeyError from the parser internals.
+        if off in seen_ifds:
+            raise ValueError("cyclic TIFF IFD chain")
+        seen_ifds.add(off)
+        try:
+            n = _s.unpack(bo + "H", data[off : off + 2])[0]
+            tags = {}
+            for i in range(n):
+                tag, vals = _tiff_tag_values(
+                    data, bo, data[off + 2 + 12 * i : off + 14 + 12 * i]
+                )
+                tags[tag] = vals
+            off = _s.unpack(
+                bo + "I", data[off + 2 + 12 * n : off + 6 + 12 * n]
+            )[0]
+            width, height = tags[256][0], tags[257][0]
+        except (KeyError, IndexError, _s.error) as exc:
+            raise ValueError(f"truncated or corrupt TIFF IFD: {exc}") from exc
         if tags.get(259, [1])[0] != 1:
             raise ValueError("compressed TIFF needs rasterio")
         if 322 in tags or 323 in tags:

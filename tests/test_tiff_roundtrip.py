@@ -112,3 +112,53 @@ class TestRoundTrip:
             got[~mask], cube[:, :, 0].astype("f8")[~mask]
         )
         assert np.isnan(got[mask]).all()
+
+
+class TestHostileStreams:
+    """Corrupt inputs must be loud ValueErrors, never hangs or raw
+    struct.error/KeyError leaking out of the parser (ADVICE r12)."""
+
+    @staticmethod
+    def _tiny() -> bytes:
+        cube = np.arange(6, dtype="float32").reshape(2, 3, 1)
+        return write_baseline_tiff(cube, byte_order="<")
+
+    def test_cyclic_next_ifd_raises_not_hangs(self):
+        import struct
+
+        data = bytearray(self._tiny())
+        ifd_off = struct.unpack("<I", data[4:8])[0]
+        n = struct.unpack("<H", data[ifd_off : ifd_off + 2])[0]
+        nxt = ifd_off + 2 + 12 * n
+        # point the next-IFD pointer back at this IFD -> self-cycle
+        data[nxt : nxt + 4] = struct.pack("<I", ifd_off)
+        with pytest.raises(ValueError, match="cyclic"):
+            list(read_baseline_tiff(bytes(data)))
+
+    @pytest.mark.parametrize("cut", [9, 12, 20, 40])
+    def test_truncated_stream_raises_valueerror(self, cut):
+        data = self._tiny()[:cut]
+        with pytest.raises(ValueError):
+            list(read_baseline_tiff(data))
+
+    def test_wild_ifd_offset_raises_valueerror(self):
+        import struct
+
+        data = bytearray(self._tiny())
+        data[4:8] = struct.pack("<I", len(data) + 1000)
+        with pytest.raises(ValueError):
+            list(read_baseline_tiff(bytes(data)))
+
+    def test_missing_dimension_tags_raise_valueerror(self):
+        import struct
+
+        data = bytearray(self._tiny())
+        ifd_off = struct.unpack("<I", data[4:8])[0]
+        n = struct.unpack("<H", data[ifd_off : ifd_off + 2])[0]
+        for i in range(n):
+            e = ifd_off + 2 + 12 * i
+            tag = struct.unpack("<H", data[e : e + 2])[0]
+            if tag == 256:  # ImageWidth -> a private tag the reader ignores
+                data[e : e + 2] = struct.pack("<H", 65000)
+        with pytest.raises(ValueError, match="IFD"):
+            list(read_baseline_tiff(bytes(data)))
