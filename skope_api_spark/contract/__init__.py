@@ -34,6 +34,84 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r13 rotation (VERDICT r12 items 1/7/8, executing the recorded r13
+    # gate-order plan): twenty r12-driver-VERIFIED, family-redundant
+    # entries cede their slots to twenty first-timers — the two largest
+    # never-driver-checked blocks (all 8 stats_* inference/report
+    # surfaces, the 8 remaining text_*), the PQ/ADC architecture's only
+    # oracle surfaces (sim_pq_topk / sim_pq_rerank_topk), the
+    # never-checked token-budget mixer (which also becomes the sample
+    # family's gated rep), and the NEW skope_reference_raster_zonal —
+    # the reference's actual shipped raster bytes decoded on executors
+    # and zonal-aggregated, oracled by the analytic laws the raster
+    # parity suite pins to those bytes (VERDICT item 8 stretch).
+    # Per VERDICT item 7, mm_media_sniff_quarantine stays gated as the
+    # standing Arrow-binary canary (mm_geotiff_header_sniff cedes; the
+    # new raster query covers the geotiff ingest surface with REAL
+    # bytes). The two VALUE-class pins cede after their third recorded
+    # green (the r11 decision). text_unicode_normalize (the mapInPandas
+    # text surface) and ts_gap_fill_interpolate (the span-guard carrier)
+    # stay as the r12 block's reps. Every ceded query remains covered by
+    # the full check_correctness replay and its family keeps gated
+    # representatives (text: unicode_normalize/quality/bpe_train + 8 new;
+    # ts: gap_fill/theil_sen; mm: media_sniff_quarantine; sample:
+    # token_budget_mixing; skope: catalog/polygon/batched/raster;
+    # relational: q9/q15):
+    #   ts_value_percentiles_by_type     -> stats_welch_ttest_segment
+    #   ts_rolling_correlation_events    -> stats_ols_price_by_flag
+    #   text_redact_pii                  -> stats_contingency_type_hour
+    #   text_repetition_stats            -> stats_two_proportion_ab
+    #   text_char_entropy          -> stats_return_rate_wilson_by_flag_status
+    #   text_readability_scores    -> stats_hhi_supplier_concentration
+    #   text_zipf_slope            -> stats_discount_elasticity_by_brand
+    #   text_unigram_logprob             -> stats_langid_confusion_report
+    #   text_vocabulary_richness         -> text_decontaminate_probe_overlap
+    #   ts_mom_yoy_revenue_growth        -> text_boilerplate_ngrams
+    #   ts_rolling_distinct_users_24h    -> text_domain_profile
+    #   ts_dau_wau_mau_stickiness        -> text_bigram_logprob
+    #   ts_level_shift_monthly_revenue   -> text_bpe_encode_profile
+    #   ts_seasonal_anomaly_flags        -> text_keyness_llr
+    #   ts_cumulative_unique_users_daily -> text_ctfidf_top_terms_per_source
+    #   ts_hampel_filter_events          -> text_js_divergence_langs
+    #   mm_geotiff_header_sniff          -> sim_pq_topk
+    #   sample_hash_split                -> sim_pq_rerank_topk
+    #   skope_summary_stats              -> sample_token_budget_mixing
+    #   top_parts_by_revenue             -> skope_reference_raster_zonal
+    #
+    # GATE-ORDER PLAN, r14: after this window the never-driver-checked
+    # residue is ~44 queries; largest blocks sim_* (3 remaining:
+    # exact_cosine_pairs, ivf_kmeans_topk, hard_negatives), sample_*
+    # (3 remaining: weighted_by_tokens, temperature_mixing,
+    # ht_total_estimate — plus pack_documents_token_budget), graph_*
+    # (3: transition_matrix, degree_assortativity, adamic_adar_links),
+    # scalar batteries (bitwise, try_arithmetic, pipe-syntax,
+    # conditional_agg, grouping_sets, unpivot), merge/CDC one-offs
+    # (pit_join, cdc_apply, snapshot_diff, json_quarantine,
+    # interval_join, session_bounce_rate), and report-style one-offs
+    # (~18: pareto/sla/abc/mix-shift/cohort-ltv/share-of-region/...).
+    # Next rotation: cede the 16+ r13 stats_*/text_* greens (keep one
+    # stats rep, one new-text rep) to a sim_*/sample_*/graph_*/report
+    # first-timer block of ~18.
+    "stats_welch_ttest_segment",
+    "stats_ols_price_by_flag",
+    "stats_contingency_type_hour",
+    "stats_two_proportion_ab",
+    "stats_return_rate_wilson_by_flag_status",
+    "stats_hhi_supplier_concentration",
+    "stats_discount_elasticity_by_brand",
+    "stats_langid_confusion_report",
+    "text_decontaminate_probe_overlap",
+    "text_boilerplate_ngrams",
+    "text_domain_profile",
+    "text_bigram_logprob",
+    "text_bpe_encode_profile",
+    "text_keyness_llr",
+    "text_ctfidf_top_terms_per_source",
+    "text_js_divergence_langs",
+    "sim_pq_topk",
+    "sim_pq_rerank_topk",
+    "sample_token_budget_mixing",
+    "skope_reference_raster_zonal",
     # r10 rotation (VERDICT r9 item 1): fourteen r9-driver-VERIFIED,
     # family-redundant entries cede their slots to the judge's
     # risk-triaged never-driver-checked list — led by the two remaining
@@ -146,31 +224,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # text_*/ts_* greens (keep one text + one ts rep each) plus the two
     # VALUE-class pins (third green recorded) to a stats_*/sim_*/
     # sample_*/report first-timer block.
-    "ts_value_percentiles_by_type",
-    "ts_rolling_correlation_events",
     "sketch_kmv_overlap_langs",
     "feature_rank_normalize_price",
-    "text_redact_pii",
-    "text_repetition_stats",
     "text_unicode_normalize",
-    "text_char_entropy",
-    "text_readability_scores",
-    "text_zipf_slope",
-    "text_unigram_logprob",
-    "text_vocabulary_richness",
     "ts_gap_fill_interpolate",
-    "ts_mom_yoy_revenue_growth",
-    "ts_rolling_distinct_users_24h",
-    "ts_dau_wau_mau_stickiness",
-    "ts_level_shift_monthly_revenue",
-    "ts_seasonal_anomaly_flags",
-    "ts_cumulative_unique_users_daily",
-    "ts_hampel_filter_events",
     "mm_media_sniff_quarantine",
-    "mm_geotiff_header_sniff",
     "session_top_paths",
     "skew_hot_key_report",
-    "sample_hash_split",
     # r09 rotation (VERDICT r8 item 4): fourteen r8-driver-VERIFIED,
     # family-redundant entries cede their slots to (a) the ten
     # never-driver-checked, engine-version-sensitive surfaces the judge
@@ -278,7 +338,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # (integer-ms brackets, minutes ×1e4 by BIGINT div) and has never
     # been driver-checked — same pattern as top_parts_by_revenue in r8:
     #   funnel_conversion_events -> funnel_time_to_convert_quantiles
-    "skope_summary_stats",
     "skope_catalog_metadata_join",
     "skope_polygon_zonal_stats",
     "skope_batched_multi_query",
@@ -309,7 +368,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "spatial_join_points_polygons",
     "stats_auc_by_source",
     "ts_theil_sen_monthly_revenue",
-    "top_parts_by_revenue",
     # dedup scale paths (r12: dedup_exact_documents, 10× driver-green,
     # cedes to mm_geotiff_header_sniff; minhash/simhash stay gated)
     "dedup_minhash_near_duplicates",

@@ -759,3 +759,88 @@ def skope_multi_series_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("series_name", "band")
+
+
+# --- REAL reference-raster ingest through the driver gate (r13) --------------
+_REF_DATA = "/root/reference/timeseries/data"
+_REF_RASTER_PAIRS = [
+    (ANNUAL, F32, "year"),
+    (ANNUAL, "uint16_variable", "year"),
+    (ANNUAL, "float32_variable_uncertainty", "year"),
+    (MONTHLY, F32, "month"),
+    (MONTHLY, "int16_variable", "month"),
+]
+
+
+def _all_ref_cubes_sql() -> str:
+    """One DuckDB CTE per shipped raster slice (renamed so the five
+    ``cube`` CTEs don't collide), unioned into ``allcells``."""
+    ctes, sels = [], []
+    for i, (ds, var, _res) in enumerate(_REF_RASTER_PAIRS):
+        c = (
+            _cube_sql(ds, var)
+            .strip()
+            .removeprefix("WITH ")
+            .replace("cube AS", f"cube{i} AS", 1)
+        )
+        ctes.append(c)
+        sels.append(
+            f"SELECT '{ds}' AS dataset_id, '{var}' AS variable_id, "
+            f"band, value FROM cube{i}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ",\nallcells AS (\n"
+        + "\nUNION ALL\n".join(sels)
+        + "\n)\n"
+    )
+
+
+@query(
+    "skope_reference_raster_zonal",
+    oracle=_all_ref_cubes_sql()
+    + """
+SELECT dataset_id, variable_id, band,
+       ROUND(AVG(value), 4) AS mean_value,
+       CAST(COUNT(value) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM allcells
+GROUP BY dataset_id, variable_id, band
+ORDER BY dataset_id, variable_id, band
+""",
+)
+def skope_reference_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 on the reference's OWN shipped bytes: decode all five real dev
+    rasters (``timeseries/data/*.tif`` — the files the reference's API
+    serves via rasterio, core/services.py:150-151) inside executor tasks
+    with the pure-stdlib baseline TIFF reader (mapInPandas over the file
+    list, one raster per task, no bytes through the driver), then zonal
+    per-band mean / n_valid / n_cells. The oracle regenerates every slice
+    from the analytic fixture laws — the cell-for-cell law↔bytes identity
+    is pinned by tests/test_reference_rasters.py, so a driver-gate green
+    here means the REAL raster bytes round-trip the whole engine."""
+    from datetime import date as _date
+
+    from skope_api_spark.sources.geotiff import geotiff_cells
+
+    files = [
+        (
+            f"{_REF_DATA}/{ds}_{var}.tif",
+            ds,
+            var,
+            res,
+            _date(1, 1, 1),
+        )
+        for ds, var, res in _REF_RASTER_PAIRS
+    ]
+    cells = geotiff_cells(spark, files)
+    return (
+        cells.groupBy("dataset_id", "variable_id", "band")
+        .agg(
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.count("value").alias("n_valid"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .orderBy("dataset_id", "variable_id", "band")
+    )
