@@ -179,3 +179,78 @@ def test_r12_rotation_block_plan_shapes(spark):
     assert offenders == [], (
         f"undocumented Python boundary in r12 block: {offenders}"
     )
+
+
+def test_r13_rotation_block_plan_shapes(spark):
+    """Pins the r13 gate-rotation block's plan audit (VERDICT r12 item 6),
+    extending the r11 q-shape and r12 bounded-frame pins:
+
+    - STATS ONE-PASS SHAPES: every stats_* first-timer is an aggregation
+      query (Welch t, OLS, contingency, two-proportion, Wilson, HHI,
+      elasticity, confusion report) whose math reduces to grouped sums —
+      none may plan a Window sort. A refactor that rewrites a grouped
+      moment as a windowed running moment fails here before it
+      materializes a full partition sort at 100 TB.
+    - PQ BROADCAST-LUT JOIN: sim_pq_topk / sim_pq_rerank_topk join codes
+      against the broadcast codebook LUT as a BroadcastHashJoin equi-join;
+      a lost equi-conjunct (BNLJ) or a shuffled SortMergeJoin on the
+      codes-side fails here.
+    - PYTHON-BOUNDARY BUDGET: within the r13 block the only documented
+      Arrow surface is skope_reference_raster_zonal (mapInPandas raster
+      decode on executors); every other first-timer stays whole-stage
+      JVM codegen."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    STATS = [
+        "stats_welch_ttest_segment", "stats_ols_price_by_flag",
+        "stats_contingency_type_hour", "stats_two_proportion_ab",
+        "stats_return_rate_wilson_by_flag_status",
+        "stats_hhi_supplier_concentration",
+        "stats_discount_elasticity_by_brand",
+        "stats_langid_confusion_report",
+    ]
+    windowed = [n for n in STATS if "Window" in plan_of(n)]
+    assert windowed == [], f"stats_* planning a window sort: {windowed}"
+
+    for name in ("sim_pq_topk", "sim_pq_rerank_topk"):
+        p = plan_of(name)
+        assert "BroadcastHashJoin" in p, f"{name} lost the broadcast LUT join"
+        assert "BroadcastNestedLoopJoin" not in p, (
+            f"{name} degraded to BNLJ (lost equi-conjunct)"
+        )
+        assert "SortMergeJoin" not in p, (
+            f"{name} shuffles the codes side instead of broadcasting the LUT"
+        )
+
+    PY_MARKS = ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "BatchEvalPython")
+    documented = {"skope_reference_raster_zonal"}
+    block = STATS + [
+        "text_decontaminate_probe_overlap", "text_boilerplate_ngrams",
+        "text_domain_profile", "text_bigram_logprob",
+        "text_bpe_encode_profile", "text_keyness_llr",
+        "text_ctfidf_top_terms_per_source", "text_js_divergence_langs",
+        "sim_pq_topk", "sim_pq_rerank_topk", "sample_token_budget_mixing",
+        "skope_reference_raster_zonal",
+    ]
+    offenders = []
+    for name in block:
+        p = plan_of(name)
+        has_py = any(m in p for m in PY_MARKS)
+        if has_py and name not in documented:
+            offenders.append(name)
+        if name in documented:
+            assert "MapInPandas" in p, f"{name} lost its Arrow decode stage"
+    assert offenders == [], (
+        f"undocumented Python boundary in r13 block: {offenders}"
+    )
