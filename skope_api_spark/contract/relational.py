@@ -1985,8 +1985,10 @@ def stats_hhi_supplier_concentration(
         F.count(F.lit(1)).alias("n_suppliers"),
     )
     share = F.col("srev").cast("double") / F.col("trev").cast("double")
+    # tot is one row per nation (bounded 25) — broadcast explicitly so the
+    # static plan is the BHJ AQE would pick anyway; no shuffle of rev
     return (
-        rev.join(tot, "nation")
+        rev.join(F.broadcast(tot), "nation")
         .groupBy("nation")
         .agg(
             F.min("n_suppliers").alias("n_suppliers"),

@@ -1618,8 +1618,11 @@ def stats_langid_confusion_report(
     cols_ = pred.groupBy("predicted").agg(
         F.count(F.lit(1)).cast("double").alias("__cc")
     )
+    # every marginal frame is bounded by |languages| (single digits) —
+    # broadcast explicitly so the static plans are the BHJs AQE would
+    # pick at runtime anyway
     pe = (
-        rows_.join(cols_, rows_["actual"] == cols_["predicted"])
+        rows_.join(F.broadcast(cols_), rows_["actual"] == cols_["predicted"])
         .agg(F.sum(F.col("__rc") * F.col("__cc")).alias("__pe_num"))
     )
     tp = (
@@ -1628,11 +1631,13 @@ def stats_langid_confusion_report(
         .agg(F.count(F.lit(1)).cast("double").alias("__tp"))
     )
     per = (
-        rows_.join(tp, "actual", "left")
+        rows_.join(F.broadcast(tp), "actual", "left")
         .join(
-            cols_.select(
-                F.col("predicted").alias("actual"),
-                F.col("__cc").alias("__pc"),
+            F.broadcast(
+                cols_.select(
+                    F.col("predicted").alias("actual"),
+                    F.col("__cc").alias("__pc"),
+                )
             ),
             "actual",
             "left",
