@@ -392,6 +392,46 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_pairs",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS s
+  FROM toks
+  WHERE len(ws) >= 3
+)
+SELECT a.doc_id AS doc_src, b.doc_id AS doc_sup,
+       len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8
+ORDER BY doc_src, doc_sup
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup join (|S_src ∩ S_sup| / |S_src|
+    >= 0.8): the asymmetric class Jaccard misses — a short doc embedded
+    in a longer one (quote absorption, test-set-inside-train leakage)
+    scores near-1 containment but arbitrarily low Jaccard. Spark side is
+    the asymmetric-prefix-filtered inverted-index join
+    (operators/setjoin.py:containment_prefix_join — probe prefixes
+    complete by the pigeonhole lemma, index side full postings because
+    |B| never appears in the threshold); oracle is the quadratic
+    all-pairs definition, small-scale BY DESIGN like the shared Jaccard
+    oracle. Containment values hash UNROUNDED: each is one int/int
+    IEEE-754 division, bit-identical across engines (the module-header
+    rounding rule)."""
+    from skope_api_spark.operators.setjoin import containment_prefix_join
+
+    docs = load(spark, sf_dir, "documents")
+    out = containment_prefix_join(docs, threshold=0.8)
+    return out.select(
+        "doc_src", "doc_sup", "containment"
+    ).orderBy("doc_src", "doc_sup")
+
+
+@query(
     "er_customer_record_clusters",
     oracle="""
 WITH RECURSIVE dirty AS (

@@ -976,6 +976,52 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H q13 shape: filtered left-outer join + distribution -----------------
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority NOT LIKE '%LOW%'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13's shape — the customer order-count distribution
+    (reference parity: the last uncovered TPC-H-expressible query
+    shape; the synthetic orders table has no o_comment, so the NOT LIKE
+    exclusion runs on o_orderpriority with identical plan shape). The
+    defining trick is that the exclusion predicate lives in the JOIN
+    condition, not a WHERE — customers whose every order is excluded
+    must survive with c_count = 0, so a pushed-down filter on the
+    orders SIDE is correct but a post-join WHERE would not be. Spark
+    plan: filter pushes into the orders scan (it is a single-side
+    predicate), left-outer hash join on the key, two cascaded
+    partial-aggregating groupBys (custkey, then c_count — the second
+    input is one row per customer, tiny). No correlation, no window."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").like("%LOW%")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 # --- TPC-H q17 shape: per-group scalar correlated subquery --------------------
 @query(
     "q17_small_quantity_revenue",

@@ -155,3 +155,89 @@ def jaccard_prefix_join(
         .where(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_prefix_join(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All DIRECTED (doc_src, doc_sup) pairs with shingle-set containment
+    ``|S_src ∩ S_sup| / |S_src| >= threshold`` — the asymmetric dedup
+    class Jaccard misses: a short document embedded verbatim inside a
+    longer one scores near-1 containment but arbitrarily low Jaccard
+    (the union is dominated by the superset's extra shingles). Training
+    pipelines need this direction for quote/boilerplate absorption and
+    test-set-inside-train leakage, where the contained side is the one
+    to drop or flag.
+
+    Exact and complete by the asymmetric prefix lemma: containment >= t
+    needs overlap o = ceil(t * |A|), so if A's first ``|A| - o + 1``
+    globally-ordered shingles all miss B, at most ``o - 1`` of A's
+    elements can be in B — contradiction. Hence probing only the SRC
+    prefix against FULL postings of every other doc is complete; no
+    bound exists on which of B's elements match (|B| doesn't appear in
+    the threshold), so the index side cannot be prefix-truncated.
+
+    Scale shape: the index side posts every (shingle, doc) once — same
+    volume as the frequency aggregation every route already pays — and
+    candidate cost concentrates on rare shingles because the probe
+    prefixes are frequency-ordered rare-first; hot shingles sit in probe
+    suffixes and never touch their long postings. Verify is exact
+    (array_intersect / size(src)) on candidates only. Sub-``shingle_n``-
+    token docs have empty shingle sets (containment undefined) and are
+    excluded on both sides.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    sorted_docs = (
+        _freq_sorted_shingles(
+            docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    n = F.size("sh")
+    prefix_len = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    probe = sorted_docs.withColumn(
+        "__p", F.slice("sh", 1, prefix_len)
+    ).select("doc_id", n.alias("__n"), F.explode("__p").alias("shingle"))
+    postings = sorted_docs.select(
+        "doc_id", n.alias("__n"), F.explode("sh").alias("shingle")
+    )
+    # size filter: |A∩B| >= t|A| and |A∩B| <= |B| force |B| >= t|A| —
+    # a per-candidate integer compare that prunes short-superset pairs
+    # BEFORE the distinct shuffles them
+    cand = (
+        probe.alias("a")
+        .join(postings.alias("b"), "shingle")
+        .where(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n")))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_src"),
+            F.col("b.doc_id").alias("doc_sup"),
+        )
+        .distinct()
+    )
+    src = sorted_docs.select(
+        F.col("doc_id").alias("doc_src"), F.col("sh").alias("__sa")
+    )
+    sup = sorted_docs.select(
+        F.col("doc_id").alias("doc_sup"), F.col("sh").alias("__sb")
+    )
+    containment = (
+        F.size(F.array_intersect("__sa", "__sb")) / F.size("__sa")
+    ).cast("double")
+    return (
+        cand.join(src, "doc_src")
+        .join(sup, "doc_sup")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= t)
+        .select("doc_src", "doc_sup", "containment")
+    )

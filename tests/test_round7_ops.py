@@ -371,6 +371,58 @@ def test_jaccard_prefix_join_threshold_validation(spark):
         jaccard_prefix_join(docs, threshold=0.0)
 
 
+# --- asymmetric containment join ----------------------------------------
+
+
+def _shingles(text, n=3):
+    ws = text.split(" ")
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_containment_prefix_join_matches_bruteforce(spark):
+    from skope_api_spark.operators.setjoin import containment_prefix_join
+
+    long_doc = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, long_doc),
+        (1, "alpha beta gamma delta epsilon zeta"),  # embedded prefix of 0
+        (2, "nu xi omicron pi rho sigma tau upsilon"),  # embedded suffix of 0
+        (3, "totally unrelated words that never overlap anything here"),
+        (4, long_doc),                                # exact dup of 0
+        (5, "two words"),                             # < 3 tokens: no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: _shingles(t) for i, t in rows}
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r.doc_src, r.doc_sup, round(r.containment, 6))
+            for r in containment_prefix_join(docs, threshold=t).collect()
+        }
+        want = {
+            (a, b, round(len(sa & sb) / len(sa), 6))
+            for a, sa in sets.items() if sa
+            for b, sb in sets.items() if b != a
+            if len(sa & sb) / len(sa) >= t
+        }
+        assert got == want, f"threshold {t}"
+    # the asymmetric class: 1 ⊂ 0 is caught at t=1.0 even though the
+    # pair's JACCARD is only |S1|/|S0| (well under any near-dup bar)
+    assert (1, 0, 1.0) in got
+    s1, s0 = sets[1], sets[0]
+    assert len(s1 & s0) / len(s1 | s0) < 0.5
+
+
+def test_containment_prefix_join_threshold_validation(spark):
+    from skope_api_spark.operators.setjoin import containment_prefix_join
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_prefix_join(docs, threshold=1.5)
+
+
 # --- funnel + cohort ----------------------------------------------------
 
 
