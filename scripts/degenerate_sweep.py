@@ -14,7 +14,14 @@ Usage:
     python scripts/degenerate_sweep.py MODE [query ...]
 
 MODE in: empty | onerow | nulls | const | unicode | extremets | negmoney
-         | hotkey | dupident
+         | hotkey | dupident | megadoc
+
+megadoc (r13): four pathological document shapes injected by doc_id —
+a ~30k-distinct-token shingle bomb, a 500 kB single token (no
+whitespace), 'spam' x 50k, and a 10-token sentence cycled 10k times —
+the per-row blowup class real crawls deliver (minified JS, base64
+blobs, spam, boilerplate). Exercises per-doc array materialization,
+posting fan-out, regex scans and tokenizers against sub-megabyte rows.
 
 hotkey (r11, FK clause fixed r12): 90% of rows collapse their
 foreign-key / grouping values to one hot value (identity keys
@@ -161,6 +168,59 @@ def mutate(df, mode):
                         F.rand(11) < 0.5, F.to_date(F.lit("1901-12-13"))
                     ).otherwise(F.to_date(F.lit("2261-04-11"))),
                 )
+        return df
+    if mode == "megadoc":
+        # Pathological single documents — the per-ROW blowup class
+        # (real crawl junk: minified JS, base64 blobs, spam pages, log
+        # dumps). Four shapes, assigned deterministically by doc_id so
+        # the fixture is stable:
+        #   %97==0  ~30k DISTINCT tokens (≈270 kB) — the distinct-
+        #           shingle bomb: per-doc arrays, collect_list sizes,
+        #           posting-list fan-out all scale with this one row;
+        #   %97==1  ONE 500 kB token with no whitespace — tokenizers,
+        #           regex scans (PII), char n-gram profiles must stay
+        #           linear; shingle sets come out EMPTY (len < n);
+        #   %97==2  'spam' × 50k — extreme repetition: 1 distinct
+        #           shingle with a giant count (repetition stats, BPE
+        #           pair counts, TF saturation);
+        #   %97==3  a 10-token sentence cycled 10k× (≈630 kB) — long
+        #           but low-entropy, the classic boilerplate page.
+        # Only `text` (and its derived n_chars) mutates; every other
+        # table passes through untouched so joins stay realistic.
+        if "text" not in df.columns:
+            return df
+        uniq = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30000)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.lit("mega"), i.cast("string"))), 1, 8
+                ),
+            ),
+        )
+        singletok = F.repeat(F.lit("a"), 500000)
+        spam = F.rtrim(F.repeat(F.lit("spam "), 50000))
+        cyclic = F.rtrim(
+            F.repeat(
+                F.lit(
+                    "the quick brown fox jumps over the lazy dog again "
+                ),
+                10000,
+            )
+        )
+        m = F.col("doc_id") % 97
+        df = df.withColumn(
+            "text",
+            F.when(m == 0, uniq)
+            .when(m == 1, singletok)
+            .when(m == 2, spam)
+            .when(m == 3, cyclic)
+            .otherwise(F.col("text")),
+        )
+        if "n_chars" in df.columns:
+            df = df.withColumn(
+                "n_chars", F.length("text").cast("int")
+            )
         return df
     if mode == "hotkey":
         # 90% of rows take the hot value; the hot value is each column's

@@ -61,7 +61,8 @@ def exact_pairs(ids, shingles):
     """All pairs with exact Jaccard >= 0.7 among ``ids`` via an inverted
     index: intersection counts accumulate per co-occurring pair, then one
     exact Jaccard per candidate. Complete: J >= 0.7 needs >= 1 shared
-    shingle."""
+    shingle. Also returns the raw intersection counts so asymmetric
+    (containment) checks reuse the same single pass."""
     inv = defaultdict(list)
     for i in ids:
         for s in shingles[i]:
@@ -76,7 +77,7 @@ def exact_pairs(ids, shingles):
         union = len(shingles[a]) + len(shingles[b]) - c
         if union > 0 and c / union >= 0.7:
             out[(a, b)] = c / union
-    return out
+    return out, inter
 
 
 def union_find_clusters(ids, pairs):
@@ -172,7 +173,7 @@ def main() -> int:
     # ---- shared all-pairs graph (also the direct oracle for the
     # near-duplicates and clusters queries) ----------------------------
     t0 = time.time()
-    all_pairs = exact_pairs(ids, shingles)
+    all_pairs, inter_counts = exact_pairs(ids, shingles)
     print(
         f"[gt] all-pairs exact graph: {len(all_pairs)} edges "
         f"({time.time()-t0:.1f}s)"
@@ -430,7 +431,41 @@ def main() -> int:
     )
     failures += 0 if ok else 1
 
-    print(f"\n{7 - failures}/7 ground-truth checks OK")
+    # ---- 4. dedup_containment_pairs (r13) -----------------------------
+    # Exact DIRECTED containment graph from the same inverted-index
+    # intersection counts: containment >= 0.8 needs >= 1 shared shingle,
+    # so the candidate set is complete; both directions of every
+    # unordered candidate are tested exactly. Recall AND precision vs
+    # the Spark asymmetric-prefix join, values compared at full float
+    # precision (one int/int division on both sides).
+    t0 = time.time()
+    expect_cont = {}
+    for (a, b), c in inter_counts.items():
+        na, nb = len(shingles[a]), len(shingles[b])
+        if na and c / na >= 0.8:
+            expect_cont[(a, b)] = c / na
+        if nb and c / nb >= 0.8:
+            expect_cont[(b, a)] = c / nb
+    got_cont = {
+        (r["doc_src"], r["doc_sup"]): r["containment"]
+        for r in qs["dedup_containment_pairs"](spark, SF_DIR).collect()
+    }
+    miss = set(expect_cont) - set(got_cont)
+    extra = set(got_cont) - set(expect_cont)
+    vdiff = [
+        k for k in expect_cont
+        if k in got_cont and expect_cont[k] != got_cont[k]
+    ]
+    ok = not miss and not extra and not vdiff
+    print(
+        f"[gt] dedup_containment_pairs: expect {len(expect_cont)} "
+        f"directed pairs, spark {len(got_cont)}, miss {len(miss)}, "
+        f"extra {len(extra)}, value-diff {len(vdiff)} -> "
+        f"{'OK' if ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+    )
+    failures += 0 if ok else 1
+
+    print(f"\n{8 - failures}/8 ground-truth checks OK")
     return 1 if failures else 0
 
 

@@ -224,6 +224,30 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # text_*/ts_* greens (keep one text + one ts rep each) plus the two
     # VALUE-class pins (third green recorded) to a stats_*/sim_*/
     # sample_*/report first-timer block.
+    #
+    # GATE-ORDER PLAN, r14 (recorded at r13 HEAD): after the r13 window
+    # the never-driver-checked residue is 47 (45 pre-r13 + the two
+    # queries ADDED in r13: q13_customer_order_distribution and
+    # dedup_containment_pairs). Next rotation: cede the 20 r13
+    # first-timers once green (keep skope_reference_raster_zonal one
+    # extra window as the real-raster Arrow canary alongside the
+    # standing mm_* canary), and rotate in a 20-block:
+    #   q13_customer_order_distribution, dedup_containment_pairs (the
+    #     r13 additions — first exposure),
+    #   graph_adamic_adar_links, graph_degree_assortativity,
+    #     graph_transition_matrix (the whole remaining graph block),
+    #   dq_duplicate_payment_candidates, dq_k_anonymity_customers,
+    #     dq_single_source_risk_parts (remaining dq block),
+    #   sample_ht_total_estimate, sample_temperature_mixing,
+    #     sample_weighted_by_tokens (remaining sample block),
+    #   ts_daily_value_bands, ts_load_profile_dow_hour,
+    #     ts_new_vs_returning_revenue, ts_seasonal_naive_backtest
+    #     (remaining ts block),
+    #   scalar_bitwise_battery, scalar_try_arithmetic_battery,
+    #   cdc_apply_customers, pit_join_orders_customers,
+    #     interval_join_click_purchase (temporal-join one-offs).
+    # Leaves ~27 report-style one-offs + dedup/sim family siblings for
+    # r15; cumulative driver-checked target after r14: >=233/262.
     "sketch_kmv_overlap_langs",
     "feature_rank_normalize_price",
     "text_unicode_normalize",

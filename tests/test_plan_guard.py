@@ -254,3 +254,53 @@ def test_r13_rotation_block_plan_shapes(spark):
     assert offenders == [], (
         f"undocumented Python boundary in r13 block: {offenders}"
     )
+
+
+def test_r13_new_query_plan_shapes(spark):
+    """Pins the two queries ADDED in r13 (q13 + containment join), same
+    discipline as the rotation-block pins:
+
+    - q13: the NOT-LIKE exclusion must reach the orders parquet scan as
+      a pushed filter (it is a single-side predicate even though the
+      JOIN keeps zero-order customers), the customer scan must stay
+      pruned to the join key, and the distribution must plan as two
+      cascaded partial-aggregating HashAggregates — never a Window.
+    - dedup_containment_pairs: candidates come from the shingle
+      EQUI-join (prefix lemma), never a cartesian, and the whole
+      pipeline stays JVM codegen (no Python boundary)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan_of("q13_customer_order_distribution")
+    assert "Not(StringContains(o_orderpriority,LOW))" in p, (
+        "q13 exclusion predicate no longer pushed to the orders scan"
+    )
+    assert "ReadSchema: struct<c_custkey:bigint>" in p, (
+        "q13 customer scan reads more than the join key"
+    )
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("partial_count") >= 2, (
+        "q13 lost a map-side partial aggregation"
+    )
+
+    PY_MARKS = ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "BatchEvalPython")
+    p = plan_of("dedup_containment_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert not any(m in p for m in PY_MARKS), (
+        "containment join grew a Python boundary"
+    )
+    # the size filter must ride the candidate equi-join as a residual,
+    # not wait for the verify stage
+    assert "CEIL((0.8" in p, "containment size filter fell off the join"
