@@ -367,7 +367,17 @@ def main() -> int:
     unexpected = []
     timeouts = []
     for name in names:
-        sc.setJobGroup(name, name)
+        # interruptOnCancel=True is load-bearing: the default (False)
+        # means cancelJobGroup only marks jobs cancelled — already-
+        # RUNNING tasks keep executing to completion, so every
+        # watchdog-cancelled heavy query leaves zombie stages burning
+        # cores and the sweep's remaining queries starve into cascading
+        # false timeouts (observed in the first r13 megadoc run: three
+        # orphaned stages from cancelled job groups still running 20
+        # minutes later, trivial events-table queries timing out
+        # behind them). With True, cancellation Thread.interrupt()s the
+        # task threads and the zombies die with the group.
+        sc.setJobGroup(name, name, interruptOnCancel=True)
         timed_out = threading.Event()
 
         def watchdog(n=name, flag=timed_out):

@@ -49,16 +49,28 @@ def with_token_shingles(
 ) -> DataFrame:
     """Distinct n-word shingles of a whitespace-tokenized text column.
 
-    The token array is materialized as its own projection first: inlining
-    ``split(...)`` into the shingle lambda makes codegen re-split the text
-    for every shingle index — O(tokens²) per document (measured 4× slower
-    on the corpus).
-    """
+    The lambda must not reference the token ARRAY — only its own element.
+    Two optimizer rewrites (CollapseProject / PushDownPredicates alias
+    substitution, and InferFiltersFromGenerate's inferred
+    ``size(e) > 0`` filter on any downstream explode) can inline the
+    materialized ``split(text)`` back into the shingle expression; if the
+    per-index lambda then contains ``slice(toks, i+1, n)``, the inlined
+    split re-evaluates PER SHINGLE INDEX — O(tokens²) per document. At
+    ordinary doc lengths that is invisible; at crawl-junk lengths it is a
+    stuck executor (found by the r13 megadoc degenerate class: a
+    50k-token spam doc took 301 s to explode ONE distinct shingle).
+    Zipping n SHIFTED slices instead leaves at most ~2n+1 whole-array
+    references in the worst-case inlined form — linear, whoever inlines
+    it. ``arrays_zip`` of non-column inputs names struct fields by
+    position ("0".."n-1")."""
     toks = "__sh_toks"
+    width = f"size({toks}) - {n - 1}"
+    zipped = ", ".join(f"slice({toks}, {j + 1}, {width})" for j in range(n))
+    grams = ", ".join(f"s.`{j}`" for j in range(n))
     expr = (
         f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))) "
+        f"array_distinct(transform(arrays_zip({zipped}), "
+        f"s -> concat_ws(' ', {grams}))) "
         f"ELSE array() END"
     )
     return (
