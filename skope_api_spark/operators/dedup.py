@@ -41,6 +41,29 @@ def md5_long(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def sliding_gram_sql(toks: str, n: int, *, wrap: str = "{g}") -> str:
+    """SQL for the position-ordered n-token sliding grams of token-array
+    column ``toks``, with each gram string substituted into ``wrap``
+    (e.g. ``"md5({g})"``). Built as ``arrays_zip`` of n SHIFTED slices so
+    the per-element lambda never references the token array — the
+    load-bearing property: InferFiltersFromGenerate + predicate pushdown
+    can inline the whole expression (split included) below a downstream
+    explode, and a lambda that touches ``toks`` per index turns that
+    into O(tokens²) per document (see with_token_shingles docstring; the
+    r13 megadoc class measured 301 s for one 50k-token doc). The zipped
+    form keeps at most ~2n+1 whole-array references — linear, whoever
+    inlines it."""
+    width = f"size({toks}) - {n - 1}"
+    zipped = ", ".join(f"slice({toks}, {j + 1}, {width})" for j in range(n))
+    gram = "concat_ws(' ', " + ", ".join(f"s.`{j}`" for j in range(n)) + ")"
+    body = wrap.format(g=gram)
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(arrays_zip({zipped}), s -> {body}) "
+        f"ELSE array() END"
+    )
+
+
 def with_token_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -59,20 +82,12 @@ def with_token_shingles(
     ordinary doc lengths that is invisible; at crawl-junk lengths it is a
     stuck executor (found by the r13 megadoc degenerate class: a
     50k-token spam doc took 301 s to explode ONE distinct shingle).
-    Zipping n SHIFTED slices instead leaves at most ~2n+1 whole-array
-    references in the worst-case inlined form — linear, whoever inlines
-    it. ``arrays_zip`` of non-column inputs names struct fields by
-    position ("0".."n-1")."""
+    Zipping n SHIFTED slices instead (``sliding_gram_sql``) leaves at
+    most ~2n+1 whole-array references in the worst-case inlined form —
+    linear, whoever inlines it. ``arrays_zip`` of non-column inputs
+    names struct fields by position ("0".."n-1")."""
     toks = "__sh_toks"
-    width = f"size({toks}) - {n - 1}"
-    zipped = ", ".join(f"slice({toks}, {j + 1}, {width})" for j in range(n))
-    grams = ", ".join(f"s.`{j}`" for j in range(n))
-    expr = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(arrays_zip({zipped}), "
-        f"s -> concat_ws(' ', {grams}))) "
-        f"ELSE array() END"
-    )
+    expr = f"array_distinct({sliding_gram_sql(toks, n)})"
     return (
         df.withColumn(toks, F.split(F.col(text_col), " "))
         .withColumn(out_col, F.expr(expr))
@@ -651,12 +666,10 @@ def duplicate_spans(
     Returns (doc_id, pos, span_md5, n_occurrences) for repeated positions.
     """
     toks = "__sp_toks"
-    spans = (
-        f"CASE WHEN size({toks}) >= {span_tokens} THEN "
-        f"transform(sequence(0, size({toks}) - {span_tokens}), "
-        f"i -> md5(concat_ws(' ', slice({toks}, i + 1, {span_tokens})))) "
-        f"ELSE array() END"
-    )
+    # zip-of-shifted-slices form: the per-index lambda must not touch
+    # the token array (sliding_gram_sql docstring; posexplode below
+    # triggers the same inferred-filter inlining as explode)
+    spans = sliding_gram_sql(toks, span_tokens, wrap="md5({g})")
     from pyspark.sql import Window as W
 
     pos = (
@@ -704,12 +717,10 @@ def remove_duplicate_spans(
     Returns (doc_id, n_tokens, n_removed, cleaned_text).
     """
     toks = "__rm_toks"
-    spans = (
-        f"CASE WHEN size({toks}) >= {span_tokens} THEN "
-        f"transform(sequence(0, size({toks}) - {span_tokens}), "
-        f"i -> md5(concat_ws(' ', slice({toks}, i + 1, {span_tokens})))) "
-        f"ELSE array() END"
-    )
+    # zip-of-shifted-slices form: the per-index lambda must not touch
+    # the token array (sliding_gram_sql docstring; posexplode below
+    # triggers the same inferred-filter inlining as explode)
+    spans = sliding_gram_sql(toks, span_tokens, wrap="md5({g})")
     from pyspark.sql import Window as W
 
     pos = (
