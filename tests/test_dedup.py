@@ -266,3 +266,51 @@ class TestClusterRandomGraphs:
                 for r in duplicate_clusters(pairs).collect()
             }
             assert got == expected, f"seed {seed}"
+
+
+class TestSlidingGramSql:
+    """Pins the r13 megadoc fix: the sliding-gram lambda must never
+    reference the token ARRAY — InferFiltersFromGenerate + predicate
+    pushdown can inline split(text) below a downstream explode, and a
+    whole-array reference inside the per-element lambda turns that into
+    O(tokens²) per document (301 s to explode one distinct shingle from
+    a 50k-token doc before the fix)."""
+
+    def test_lambda_body_never_references_token_array(self):
+        from skope_api_spark.operators.dedup import sliding_gram_sql
+
+        for n in (2, 3, 8):
+            sql = sliding_gram_sql("__toks_col", n, wrap="md5({g})")
+            body = sql.split("s ->", 1)[1].split("ELSE", 1)[0]
+            assert "__toks_col" not in body, (
+                f"n={n}: token array leaked into the lambda body: {body}"
+            )
+
+    def test_values_match_bruteforce(self, spark):
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.dedup import sliding_gram_sql
+
+        texts = [
+            "a b c d e f g h i j",
+            "x y",                       # shorter than any n >= 3
+            "spam spam spam spam spam",
+            "",                          # splits to one empty token
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        for n in (2, 3, 8):
+            out = {
+                r.id: r.g
+                for r in df.withColumn("__t", F.split("text", " "))
+                .withColumn("g", F.expr(sliding_gram_sql("__t", n)))
+                .collect()
+            }
+            for i, t in enumerate(texts):
+                ws = t.split(" ")
+                want = [
+                    " ".join(ws[j : j + n])
+                    for j in range(len(ws) - n + 1)
+                ] if len(ws) >= n else []
+                assert out[i] == want, f"n={n} id={i}"
