@@ -754,12 +754,26 @@ def remove_duplicate_spans(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias(toks)
     )
     rm = F.coalesce(F.col("__removed"), F.array().cast("array<int>"))
+    # kept positions via ONE hash-set array_except (order-preserving on
+    # the left operand), then O(1) getItem per survivor. The previous
+    # form — filter(toks, (x, i) -> NOT array_contains(rm, i)) — scanned
+    # the removed-set PER TOKEN: O(tokens × removed) per document, which
+    # the r13 megadoc class measured as a >90 s single row (a 100k-token
+    # doc with ~100k removed positions = 1e10 comparisons). Note the
+    # quadratic hid from .count() probes: only a consumer that actually
+    # projects cleaned_text pays it. toks[p] inside the lambda is safe
+    # here: no Generate consumes cleaned_text inside this op, so the
+    # inferred-filter inlining trap (sliding_gram_sql docstring) has no
+    # trigger, and getItem is O(1) either way.
+    kept = F.expr(
+        f"transform(array_except(sequence(0, size({toks}) - 1), "
+        f"coalesce(__removed, array())), p -> {toks}[p])"
+    )
     return base.join(removed, "doc_id", "left").select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(rm).cast("int").alias("n_removed"),
-        F.array_join(
-            F.filter(toks, lambda x, i: ~F.array_contains(rm, i)),
-            " ",
-        ).alias("cleaned_text"),
+        F.when(F.size(toks) > 0, F.array_join(kept, " "))
+        .otherwise(F.lit(""))
+        .alias("cleaned_text"),
     )

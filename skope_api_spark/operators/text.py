@@ -156,33 +156,40 @@ def repetition_stats(
 
     Entirely per-row array math inside the scan projection — NO shuffle
     (the alternative explode→groupBy(doc, gram)→groupBy(doc) shape costs
-    two corpus-sized shuffles for a per-document statistic). The inner
-    count-per-distinct-gram pass is O(grams²) per document, bounded by
-    document length, embarrassingly parallel — the scale-right trade.
+    two corpus-sized shuffles for a per-document statistic). The
+    max-gram-multiplicity is computed as a sorted-runs aggregate —
+    O(grams log grams) per document. (The original
+    count-per-distinct-gram form — transform(distinct, u ->
+    size(filter(grams, x -> x = u))) — was O(grams²) per document; the
+    r13 megadoc class measured it as a >90 s single row on a 30k-token
+    doc, and .count() probes never see it because only a consumer that
+    projects the column pays the projection.)
     """
+    from skope_api_spark.operators.dedup import sliding_gram_sql
+
     toks = "__rep_toks"
     # 2.0D: a bare 2.0 literal parses as DECIMAL in Spark SQL, which would
-    # propagate decimal(17,4) into the output instead of double
+    # propagate decimal(17,4) into the output instead of double.
+    # Sorted-runs max multiplicity: sort the gram list, then one linear
+    # aggregate tracking the current run length and the best run.
     top2 = (
-        f"2.0D * array_max(transform(array_distinct(__g2), "
-        f"u -> size(filter(__g2, x -> x = u)))) / size({toks})"
+        f"2.0D * aggregate(array_sort(__g2), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        f"(a, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', IF(a.prev <=> x, a.run + 1, 1), "
+        f"'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1))), "
+        f"a -> a.best) / size({toks})"
     )
-    # short-doc guards: sequence(1, n) DESCENDS for n < 1 (sequence(1,0) is
-    # [1, 0], not empty), so an unguarded transform indexes past the token
-    # array on 1-2-token docs; docs too short to have an n-gram get NULL
-    # fractions, matching the oracle (DuckDB list_max([]) and 0/0 → NULL)
-    g2 = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat({toks}[i - 1], ' ', {toks}[i])) "
-        f"ELSE array() END"
-    )
-    g3 = (
-        f"CASE WHEN size({toks}) >= 3 THEN "
-        f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat({toks}[i - 1], ' ', {toks}[i], ' ', {toks}[i + 1])) "
-        f"ELSE array() END"
-    )
+    # position-ordered gram lists via the zip-of-shifted-slices form
+    # (sliding_gram_sql): the per-element lambda must not reference the
+    # token array — see the r13 megadoc notes in operators/dedup.py.
+    # sliding_gram_sql's CASE guard also covers the sequence(1, n)
+    # DESCENDS-for-n<1 trap the old inline form guarded by hand; docs too
+    # short for an n-gram get empty lists → NULL fractions, matching the
+    # oracle (DuckDB list_max([]) and 0/0 → NULL).
+    g2 = sliding_gram_sql(toks, 2)
+    g3 = sliding_gram_sql(toks, 3)
     return (
         df.withColumn(toks, F.split(F.col(text_col), " "))
         .withColumn("__g2", F.expr(g2))
@@ -421,8 +428,22 @@ def domain_profile(
 
 # conservative patterns; identical semantics in Java regex and RE2 so the
 # DuckDB oracle reproduces the redaction byte-for-byte
+# The email pattern anchors with a negative lookbehind so a failed
+# attempt inside a long local-part-class run dies in O(1): without it,
+# Java regex re-scans the remaining run at EVERY start offset — O(run²),
+# measured >90 s on the r13 megadoc 500 kB single-token doc. Semantics
+# are unchanged: the leftmost match always starts at a run boundary
+# (any in-class predecessor position would have matched first), so the
+# lookbehind only skips attempts that could never win. The DuckDB
+# oracle keeps the unanchored form — RE2 has no lookbehind and no
+# backtracking (it is immune to the blowup by construction); both
+# engines produce byte-identical redactions (oracle-checked).
 PII_PATTERNS = (
-    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "(?<![A-Za-z0-9._%+-])"
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
     ("\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "<PHONE>"),
     ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
 )
