@@ -45,12 +45,25 @@ def build_postings(
 
     One explode + one groupBy; ``dl`` (document length in tokens) rides
     along via ``first`` since it is constant per document.
+
+    ``dl`` is computed in a projection BELOW the explode. Putting
+    ``size(split(text))`` in the same select as the explode plans it
+    ABOVE the Generate, which then must carry ``text`` as
+    requiredChildOutput — every generated token row copies the full
+    document text: O(tokens × doc_bytes) per document (the r13 megadoc
+    class measured a 100k-token × 630 kB doc as ~63 GB of row-copy work,
+    a stuck-forever task). With dl below, only (doc_id, dl) rides
+    through the Generate.
     """
-    toks = docs.select(
+    sized = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-        F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("double").alias("dl"),
+        F.col("__toks"),
     )
+    toks = sized.select("doc_id", "dl", F.explode("__toks").alias("tok"))
     return toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
         F.first("dl").alias("dl"),

@@ -572,9 +572,27 @@ def _lines_exprs(text_col, line_delim, tokens_per_line):
         if t < 1:
             raise ValueError("tokens_per_line must be >= 1")
         n_lines = F.ceil(F.size(toks) / F.lit(float(t))).cast("int")
-        lines = F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * t + 1, t), " "),
+        # Lambda-free line cutting: one linear regex pass inserts a
+        # record separator after every t-th token, then one split. The
+        # previous form — transform(sequence(0, n_lines-1),
+        # i -> array_join(slice(toks, i*t+1, t))) — referenced the token
+        # ARRAY inside the per-line lambda, so the downstream explode's
+        # inferred filter inlined split(text) per line: O(tokens²/t) per
+        # document (>90 s on the r13 megadoc 100k-token doc). This form
+        # references only the scalar text column, so any optimizer
+        # inlining re-evaluates one O(L) regex — linear whoever inlines.
+        # Possessive quantifiers (\S++/\s++) kill backtracking inside
+        # long runs (disjoint classes make them semantically free) and
+        # the (?<!\S) anchor makes failed attempts O(1) per position.
+        # Identical to the slice form on single-space-tokenized text
+        # (the corpus contract; the DuckDB oracle's string_split slices
+        # assume the same).
+        if t == 1:
+            cut = r"(?<!\S)(\S++)\s++"
+        else:
+            cut = r"(?<!\S)((?:\S++\s++){%d}\S++)\s++" % (t - 1)
+        lines = F.split(
+            F.regexp_replace(F.col(text_col), cut, "$1\x1e"), "\x1e"
         )
     else:
         # F.split's pattern is a Java regex; the documented semantics here
