@@ -773,7 +773,13 @@ def remove_duplicate_spans(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(rm).cast("int").alias("n_removed"),
-        F.when(F.size(toks) > 0, F.array_join(kept, " "))
-        .otherwise(F.lit(""))
+        # NULL text must stay NULL (r14 ADVICE): size(NULL toks) = -1
+        # fails any size guard, and an otherwise('') branch would
+        # silently coerce NULL→'' — a behavior change vs the pre-r13
+        # filter/array_join form and a latent oracle mismatch. Non-null
+        # text always splits to size >= 1, so isNotNull is the exact
+        # guard.
+        F.when(F.col(toks).isNotNull(), F.array_join(kept, " "))
+        .otherwise(F.lit(None).cast("string"))
         .alias("cleaned_text"),
     )

@@ -87,6 +87,24 @@ def _hash_sorted_shingles(
     return sh.select(F.col(id_col).alias("doc_id"), ordered.alias("sh"))
 
 
+def _min_overlap(t: float, n):
+    """Smallest integer k with ``double(k) / n >= t`` under the SAME
+    double division the verify predicates use. ``ceil(t * n)`` computed
+    in double arithmetic can land ONE ABOVE that k when ``fl(t * n)``
+    rounds just past an integer (numerically confirmed cases: t=0.81,
+    n=300 → ceil gives 244 but 243/300 >= 0.81 in doubles; t=0.55,
+    n=100; t=0.67, n=1500) — which would make the prefix one element
+    too short and the containment size-residual over-prune, silently
+    dropping pairs sitting exactly at the threshold (r14 ADVICE).
+    One conditional step-down is sufficient: (k-2)/n >= t would need
+    the double division to round up by ~1/n — orders of magnitude
+    beyond half an ulp for any representable set size."""
+    k0 = F.ceil(F.lit(t) * n)
+    return F.when(
+        (k0 - 1).cast("double") / n >= F.lit(t), k0 - 1
+    ).otherwise(k0)
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     *,
@@ -124,7 +142,7 @@ def jaccard_prefix_join(
         docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
     ).localCheckpoint(eager=False)
     n = F.size("sh")
-    prefix_len = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    prefix_len = (n - _min_overlap(t, n) + 1).cast("int")
     pre = sorted_docs.withColumn(
         "__p", F.slice("sh", 1, prefix_len)
     ).select("doc_id", F.explode("__p").alias("shingle"))
@@ -175,7 +193,9 @@ def containment_prefix_join(
     to drop or flag.
 
     Exact and complete by the asymmetric prefix lemma: containment >= t
-    needs overlap o = ceil(t * |A|), so if A's first ``|A| - o + 1``
+    needs overlap o = the minimal integer with double(o)/|A| >= t
+    (``_min_overlap`` — ceil(t*|A|) corrected for double rounding so it
+    is consistent with the verify division), so if A's first ``|A| - o + 1``
     globally-ordered shingles all miss B, at most ``o - 1`` of A's
     elements can be in B — contradiction. Hence probing only the SRC
     prefix against FULL postings of every other doc is complete; no
@@ -202,22 +222,27 @@ def containment_prefix_join(
         .localCheckpoint(eager=False)
     )
     n = F.size("sh")
-    prefix_len = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    k = _min_overlap(t, n)
+    prefix_len = (n - k + 1).cast("int")
     probe = sorted_docs.withColumn(
         "__p", F.slice("sh", 1, prefix_len)
-    ).select("doc_id", n.alias("__n"), F.explode("__p").alias("shingle"))
+    ).select(
+        "doc_id", k.cast("int").alias("__k"), F.explode("__p").alias("shingle")
+    )
     postings = sorted_docs.select(
         "doc_id", n.alias("__n"), F.explode("sh").alias("shingle")
     )
-    # size filter: |A∩B| >= t|A| and |A∩B| <= |B| force |B| >= t|A| —
-    # a per-candidate integer compare that prunes short-superset pairs
-    # BEFORE the distinct shuffles them
+    # size filter: |A∩B| >= k and |A∩B| <= |B| force |B| >= k — a
+    # per-candidate integer compare that prunes short-superset pairs
+    # BEFORE the distinct shuffles them. k is the fl-consistent minimal
+    # overlap (_min_overlap), NOT raw ceil(t*|A|), so the residual can
+    # never prune a pair the verify predicate would accept.
     cand = (
         probe.alias("a")
         .join(postings.alias("b"), "shingle")
         .where(
             (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n")))
+            & (F.col("b.__n") >= F.col("a.__k"))
         )
         .select(
             F.col("a.doc_id").alias("doc_src"),

@@ -428,21 +428,26 @@ def domain_profile(
 
 # conservative patterns; identical semantics in Java regex and RE2 so the
 # DuckDB oracle reproduces the redaction byte-for-byte
-# The email pattern anchors with a negative lookbehind so a failed
-# attempt inside a long local-part-class run dies in O(1): without it,
-# Java regex re-scans the remaining run at EVERY start offset — O(run²),
-# measured >90 s on the r13 megadoc 500 kB single-token doc. Semantics
-# are unchanged: the leftmost match always starts at a run boundary
-# (any in-class predecessor position would have matched first), so the
-# lookbehind only skips attempts that could never win. The DuckDB
-# oracle keeps the unanchored form — RE2 has no lookbehind and no
-# backtracking (it is immune to the blowup by construction); both
-# engines produce byte-identical redactions (oracle-checked).
+# The email pattern anchors its start with an explicit CONSUMING
+# boundary group `(^|[^local-class])`, preserved via `$1` in the
+# replacement, so a failed attempt inside a long local-part-class run
+# dies in O(1): without an anchor, Java regex re-scans the remaining
+# run at EVERY start offset — O(run²), measured >90 s on the r13
+# megadoc 500 kB single-token doc. A negative LOOKBEHIND is not
+# equivalent: Java lookbehind inspects the ORIGINAL preceding char, so
+# after a redaction, an email starting right after the previous match
+# (joined by a local-class char like '_' or '%') is skipped — a
+# replace-all divergence from the unanchored RE2 form (r14 ADVICE,
+# verified: 'a@b.cc_x@d.ee'). The consuming group is RE2-compatible,
+# so the DuckDB oracle runs the IDENTICAL pattern (`\1` rewrite
+# syntax) — both engines agree by construction on every input, and
+# both are linear on megadocs (in-run start offsets fail the one-char
+# boundary class in O(1); RE2 is non-backtracking by construction).
 PII_PATTERNS = (
     (
-        "(?<![A-Za-z0-9._%+-])"
+        "(^|[^A-Za-z0-9._%+-])"
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-        "<EMAIL>",
+        "$1<EMAIL>",
     ),
     ("\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "<PHONE>"),
     ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
@@ -581,16 +586,23 @@ def _lines_exprs(text_col, line_delim, tokens_per_line):
         # document (>90 s on the r13 megadoc 100k-token doc). This form
         # references only the scalar text column, so any optimizer
         # inlining re-evaluates one O(L) regex — linear whoever inlines.
-        # Possessive quantifiers (\S++/\s++) kill backtracking inside
-        # long runs (disjoint classes make them semantically free) and
-        # the (?<!\S) anchor makes failed attempts O(1) per position.
-        # Identical to the slice form on single-space-tokenized text
-        # (the corpus contract; the DuckDB oracle's string_split slices
-        # assume the same).
+        # LITERAL-space classes ([^ ]/' '), not \S/\s: a "token" here is
+        # whatever split(' ') yields, INCLUDING empty tokens between
+        # consecutive spaces and tab/newline-containing tokens — \s++
+        # would swallow whitespace runs and diverge from the split-based
+        # n_lines on any text that is not single-space-tokenized (r14
+        # ADVICE; e.g. 'a  b' t=2 must give ['a ', 'b'], not ['a  b']).
+        # [^ ]*+ admits the empty token; each match consumes exactly t
+        # tokens plus ONE separator space, so global replace tiles the
+        # string precisely like the slice form — on ANY input, not just
+        # the single-space corpus contract. Possessive *+ plus the
+        # (?<![^ ]) token-start anchor keep failed attempts O(1) per
+        # in-token position and O(run) per token start: linear on
+        # megadocs.
         if t == 1:
-            cut = r"(?<!\S)(\S++)\s++"
+            cut = r"(?<![^ ])([^ ]*+) "
         else:
-            cut = r"(?<!\S)((?:\S++\s++){%d}\S++)\s++" % (t - 1)
+            cut = r"(?<![^ ])((?:[^ ]*+ ){%d}[^ ]*+) " % (t - 1)
         lines = F.split(
             F.regexp_replace(F.col(text_col), cut, "$1\x1e"), "\x1e"
         )

@@ -314,3 +314,21 @@ class TestSlidingGramSql:
                     for j in range(len(ws) - n + 1)
                 ] if len(ws) >= n else []
                 assert out[i] == want, f"n={n} id={i}"
+
+
+class TestRemoveDuplicateSpansNulls:
+    def test_null_text_stays_null(self, spark):
+        """r14 ADVICE: NULL text must propagate as NULL cleaned_text —
+        the r13 size-guard rewrite silently coerced it to ''."""
+        from skope_api_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "w1 w2 w3 w4 w1 w2 w3 w4")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.cleaned_text
+            for r in remove_duplicate_spans(docs, span_tokens=4).collect()
+        }
+        assert out[1] is None
+        assert out[2] is not None

@@ -971,3 +971,55 @@ class TestGridDensityClusters:
         df = spark.createDataFrame([(0.0, 0.0)], "lat double, lon double")
         with _pt.raises(ValueError):
             grid_density_clusters(df, cell_deg=0.0)
+
+
+# --- fl-consistent minimal overlap (r14 ADVICE regression) ---------------
+
+
+def test_min_overlap_consistent_with_verify_division(spark):
+    """ceil(t*n) computed in doubles can exceed the smallest k whose
+    double-division k/n passes the verify predicate (t=0.81,n=300 →
+    ceil 244 but 243/300 >= 0.81). _min_overlap must equal the brute
+    smallest such k so the prefix/size filters never over-prune."""
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.setjoin import _min_overlap
+
+    cases = [(0.81, 300), (0.55, 100), (0.67, 1500), (0.8, 10),
+             (1.0, 7), (0.5, 2), (0.3, 9), (0.7, 13), (0.9, 11)]
+    one = spark.range(1)
+    for t, n in cases:
+        got = one.select(_min_overlap(t, F.lit(n)).alias("k")).collect()[0].k
+        ref = next(k for k in range(n + 1) if k / n >= t)
+        assert got == ref, (t, n, got, ref)
+
+
+def test_containment_exact_threshold_pair_not_pruned(spark):
+    """Deterministic catch for the naive-ceil over-prune: doc A has 100
+    shingles, 45 unshared (freq 1 → they ARE the rare-first prefix) and
+    55 shared with B. containment(A in B) = 55/100, and 55/100 >= 0.55
+    in doubles while ceil(0.55*100) = 56 — the naive prefix (45) is
+    exactly A's unshared shingles, so the old code dropped the pair."""
+    from skope_api_spark.operators.setjoin import containment_prefix_join
+
+    a_toks = [f"a{i}" for i in range(102)]          # 100 shingles
+    b_toks = a_toks[:57] + [f"f{i}" for i in range(10)]  # 55 shared
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_toks)), (1, " ".join(b_toks))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_src, r.doc_sup): r.containment
+        for r in containment_prefix_join(docs, threshold=0.55).collect()
+    }
+    assert (0, 1) in got, "exact-threshold pair pruned (naive-ceil bug)"
+    assert abs(got[(0, 1)] - 0.55) < 1e-12
+    # brute-force completeness at the same threshold
+    sa = _shingles(" ".join(a_toks))
+    sb = _shingles(" ".join(b_toks))
+    want = {
+        (s, p)
+        for (s, ss), (p, sp) in [((0, sa), (1, sb)), ((1, sb), (0, sa))]
+        if len(ss & sp) / len(ss) >= 0.55
+    }
+    assert set(got) == want

@@ -422,3 +422,54 @@ class TestCompressionRatio:
             for r in compression_ratio(df).collect()
         }
         assert again[1] == out[1]["compression_ratio"]
+
+
+class TestPiiAdjacency:
+    def test_adjacent_emails_match_re2_boundary_semantics(self, spark):
+        """r14 ADVICE: the lookbehind form silently skipped an email
+        joined to a redacted one by a local-class char ('a@b.cc_x@d.ee').
+        The consuming-boundary pattern is RE2-identical: both engines
+        agree the joined token is NOT a fresh email (no boundary), and
+        separated emails all redact."""
+        from skope_api_spark.operators.text import redact_pii
+
+        rows = [
+            (1, "a@b.cc_x@d.ee"),
+            (2, "a@b.cc x@d.ee"),
+            (3, "x a@b.cc, b@c.dd!"),
+            (4, "_lead@b.cc"),
+        ]
+        out = {
+            r.doc_id: (r.clean_text, r.n_redactions)
+            for r in redact_pii(_docs(spark, rows)).collect()
+        }
+        assert out[1] == ("<EMAIL>_x@d.ee", 1)
+        assert out[2] == ("<EMAIL> <EMAIL>", 2)
+        assert out[3] == ("x <EMAIL>, <EMAIL>!", 2)
+        assert out[4] == ("<EMAIL>", 1)  # '_' is local-class: part of it
+
+
+class TestLineCutterSplitSemantics:
+    def test_matches_split_slices_on_any_whitespace(self, spark):
+        """r14 ADVICE: the \\s-class regex swallowed whitespace runs;
+        the literal-space form must reproduce split(' ') token slices
+        exactly — empty tokens, tabs-in-tokens, leading/trailing spaces."""
+        from skope_api_spark.operators.text import with_doc_lines
+
+        hostile = ["a  b", " a b", "a b ", "a\tb c", "a   b", "  ", "x"]
+        for t in (1, 2, 3):
+            rows = with_doc_lines(
+                _docs(spark, list(enumerate(hostile))), tokens_per_line=t
+            ).collect()
+            got, n_lines = {}, {}
+            for r in rows:
+                got.setdefault(r.doc_id, []).append((r.pos, r.line))
+                n_lines[r.doc_id] = r.n_lines
+            for i, s in enumerate(hostile):
+                toks = s.split(" ")
+                exp = [
+                    " ".join(toks[j : j + t]) for j in range(0, len(toks), t)
+                ]
+                lines = [l for _, l in sorted(got[i])]
+                assert lines == exp, (t, s)
+                assert n_lines[i] == len(exp), (t, s)
