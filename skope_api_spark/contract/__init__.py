@@ -92,25 +92,58 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # Next rotation: cede the 16+ r13 stats_*/text_* greens (keep one
     # stats rep, one new-text rep) to a sim_*/sample_*/graph_*/report
     # first-timer block of ~18.
-    "stats_welch_ttest_segment",
-    "stats_ols_price_by_flag",
-    "stats_contingency_type_hour",
-    "stats_two_proportion_ab",
-    "stats_return_rate_wilson_by_flag_status",
-    "stats_hhi_supplier_concentration",
-    "stats_discount_elasticity_by_brand",
-    "stats_langid_confusion_report",
-    "text_decontaminate_probe_overlap",
-    "text_boilerplate_ngrams",
-    "text_domain_profile",
-    "text_bigram_logprob",
-    "text_bpe_encode_profile",
-    "text_keyness_llr",
-    "text_ctfidf_top_terms_per_source",
-    "text_js_divergence_langs",
-    "sim_pq_topk",
-    "sim_pq_rerank_topk",
-    "sample_token_budget_mixing",
+    #
+    # r14 rotation (VERDICT r13 items 1/2, executing the recorded r14
+    # gate-order plan below — pre-cleared under a plain SparkSession at
+    # r13 close-out, PERF.md): the 19 r13 first-timers cede once green
+    # (every family keeps gated reps: stats -> auc_by_source; text ->
+    # unicode_normalize/bpe_train/quality_stats; sim -> cosine/lsh/
+    # decontaminate/near_dup_bucketed; sample -> the three NEW sample_*
+    # first-timers below), skope_reference_raster_zonal stays one extra
+    # window as the real-raster Arrow canary, and
+    # ts_theil_sen_monthly_revenue (driver-green since r7; the ts
+    # family gains gap_fill plus four first-timers this window) frees
+    # the twentieth slot:
+    #   stats_welch_ttest_segment        -> q13_customer_order_distribution
+    #   stats_ols_price_by_flag          -> dedup_containment_pairs
+    #   stats_contingency_type_hour      -> graph_adamic_adar_links
+    #   stats_two_proportion_ab          -> graph_degree_assortativity
+    #   stats_return_rate_wilson_by_flag_status -> graph_transition_matrix
+    #   stats_hhi_supplier_concentration -> dq_duplicate_payment_candidates
+    #   stats_discount_elasticity_by_brand -> dq_k_anonymity_customers
+    #   stats_langid_confusion_report    -> dq_single_source_risk_parts
+    #   text_decontaminate_probe_overlap -> sample_ht_total_estimate
+    #   text_boilerplate_ngrams          -> sample_temperature_mixing
+    #   text_domain_profile              -> sample_weighted_by_tokens
+    #   text_bigram_logprob              -> ts_daily_value_bands
+    #   text_bpe_encode_profile          -> ts_load_profile_dow_hour
+    #   text_keyness_llr                 -> ts_new_vs_returning_revenue
+    #   text_ctfidf_top_terms_per_source -> ts_seasonal_naive_backtest
+    #   text_js_divergence_langs         -> scalar_bitwise_battery
+    #   sim_pq_topk                      -> scalar_try_arithmetic_battery
+    #   sim_pq_rerank_topk               -> cdc_apply_customers
+    #   sample_token_budget_mixing       -> pit_join_orders_customers
+    #   ts_theil_sen_monthly_revenue     -> interval_join_click_purchase
+    "q13_customer_order_distribution",
+    "dedup_containment_pairs",
+    "graph_adamic_adar_links",
+    "graph_degree_assortativity",
+    "graph_transition_matrix",
+    "dq_duplicate_payment_candidates",
+    "dq_k_anonymity_customers",
+    "dq_single_source_risk_parts",
+    "sample_ht_total_estimate",
+    "sample_temperature_mixing",
+    "sample_weighted_by_tokens",
+    "ts_daily_value_bands",
+    "ts_load_profile_dow_hour",
+    "ts_new_vs_returning_revenue",
+    "ts_seasonal_naive_backtest",
+    "scalar_bitwise_battery",
+    "scalar_try_arithmetic_battery",
+    "cdc_apply_customers",
+    "pit_join_orders_customers",
+    "interval_join_click_purchase",
     "skope_reference_raster_zonal",
     # r10 rotation (VERDICT r9 item 1): fourteen r9-driver-VERIFIED,
     # family-redundant entries cede their slots to the judge's
@@ -248,6 +281,34 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #     interval_join_click_purchase (temporal-join one-offs).
     # Leaves ~27 report-style one-offs + dedup/sim family siblings for
     # r15; cumulative driver-checked target after r14: >=233/262.
+    # [EXECUTED in r14 — see the r14 rotation block at the top of this
+    # tuple for the cede mapping actually applied.]
+    #
+    # GATE-ORDER PLAN, r15 (recorded at r14 HEAD; VERDICT r13 item 2):
+    # after the r14 window the never-driver-checked residue is EXACTLY
+    # these 27 (derived from CORRECTNESS_r01–r13 green rows plus the 20
+    # r14 first-timers, against the 262-name registry):
+    #   abc_inventory_classification, cohort_ltv_curve_quarterly,
+    #   conditional_agg_battery, customer_revenue_concentration,
+    #   dedup_duplicate_spans, dedup_jaccard_prefix_join,
+    #   grouping_sets_order_mix, json_quarantine_ingest,
+    #   mix_shift_price_bands_yearly, net_ip_block_enrichment,
+    #   pack_documents_token_budget, pareto_revenue_concentration,
+    #   pipeline_keep_best_rep, rec_item_item_neighbors,
+    #   rfm_repeat_purchase_latency, session_bounce_rate,
+    #   share_of_region_revenue, sim_exact_cosine_pairs,
+    #   sim_hard_negatives, sim_ivf_kmeans_topk,
+    #   sla_shipping_lead_time_report, snapshot_diff_customers,
+    #   spatial_nearest_site, sql_pipe_syntax_priority_rollup,
+    #   top_movers_monthly_priority, topn_parts_per_brand,
+    #   unpivot_priority_price_stats
+    # Next rotation: cede the 20 r14 first-timers once green PLUS
+    # skope_reference_raster_zonal (second green recorded) and six more
+    # multi-green family redundants (sketch_kmv_overlap_langs,
+    # feature_rank_normalize_price, session_top_paths,
+    # skew_hot_key_report, range_join_overlapping_sessions,
+    # spatial_join_points_polygons — every family keeps an anchor), and
+    # rotate in ALL 27 — reaching 262/262 cumulative driver exposure.
     "sketch_kmv_overlap_langs",
     "feature_rank_normalize_price",
     "text_unicode_normalize",
@@ -391,7 +452,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_quality_stats",
     "spatial_join_points_polygons",
     "stats_auc_by_source",
-    "ts_theil_sen_monthly_revenue",
+    # r14: ts_theil_sen_monthly_revenue (driver-green since r7) ceded
+    # its slot to interval_join_click_purchase, gated above; the ts
+    # family keeps ts_gap_fill_interpolate plus four r14 first-timers
     # dedup scale paths (r12: dedup_exact_documents, 10× driver-green,
     # cedes to mm_geotiff_header_sniff; minhash/simhash stay gated)
     "dedup_minhash_near_duplicates",

@@ -304,3 +304,101 @@ def test_r13_new_query_plan_shapes(spark):
     # the size filter must ride the candidate equi-join as a residual,
     # not wait for the verify stage
     assert "CEIL((0.8" in p, "containment size filter fell off the join"
+
+
+def test_r14_rotation_block_plan_shapes(spark):
+    """Pins the r14 gate-rotation block's plan audit (VERDICT r13 item 5),
+    extending the r11-r13 rotation pins:
+
+    - GRAPH SHAPES: the three graph_* first-timers never plan a
+      CartesianProduct; adamic_adar's wedge enumeration is an EQUI-join
+      on the shared-neighbor key (hash-join family, never BNLJ — a lost
+      equi-conjunct would go quadratic in edges at 100 TB).
+      degree_assortativity's two BNLJs are 1-row scalar-aggregate
+      broadcasts (the mean-degree moments) — bounded and intentional.
+      transition_matrix's unbounded window frame is PARTITIONED by the
+      source state (per-node normalization, bounded by out-degree).
+    - CDC/PIT MAX-STRUCT SHAPES: cdc_apply_customers and
+      pit_join_orders_customers plan NO Window operator — latest-version
+      selection is the max-struct aggregation (partial-aggregatable,
+      no full partition sort) and the PIT match rides hash equi-joins
+      with the time predicate as a residual, never BNLJ.
+    - INTERVAL JOIN: interval_join_click_purchase is the BUCKETED
+      equi-join form — explode over bucket ids feeding a hash-family
+      equi-join with the interval predicate as a residual; a lost
+      bucket conjunct (BNLJ/cartesian) fails here.
+    - TS FRAMES: the four ts_* first-timers keep running/rolling frames
+      (no unboundedfollowing anywhere — a reversed cumulative would
+      force a second full sort pass).
+    - PYTHON-BOUNDARY BUDGET: no query in the r14 block has a
+      documented Arrow surface; all twenty stay whole-stage JVM
+      codegen."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    BLOCK = [
+        "q13_customer_order_distribution", "dedup_containment_pairs",
+        "graph_adamic_adar_links", "graph_degree_assortativity",
+        "graph_transition_matrix", "dq_duplicate_payment_candidates",
+        "dq_k_anonymity_customers", "dq_single_source_risk_parts",
+        "sample_ht_total_estimate", "sample_temperature_mixing",
+        "sample_weighted_by_tokens", "ts_daily_value_bands",
+        "ts_load_profile_dow_hour", "ts_new_vs_returning_revenue",
+        "ts_seasonal_naive_backtest", "scalar_bitwise_battery",
+        "scalar_try_arithmetic_battery", "cdc_apply_customers",
+        "pit_join_orders_customers", "interval_join_click_purchase",
+    ]
+    plans = {n: plan_of(n) for n in BLOCK}
+
+    # graph shapes
+    for n in ("graph_adamic_adar_links", "graph_degree_assortativity",
+              "graph_transition_matrix"):
+        assert "CartesianProduct" not in plans[n], n
+    p = plans["graph_adamic_adar_links"]
+    assert "BroadcastNestedLoopJoin" not in p, (
+        "adamic_adar wedge join lost its equi-conjunct"
+    )
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p \
+        or "ShuffledHashJoin" in p
+
+    # cdc/pit max-struct + residual-hash-join shapes
+    for n in ("cdc_apply_customers", "pit_join_orders_customers"):
+        p = plans[n]
+        assert "Window" not in p, f"{n} regressed to a window sort"
+        assert "BroadcastNestedLoopJoin" not in p, n
+        assert "CartesianProduct" not in p, n
+        assert "BroadcastHashJoin" in p or "SortMergeJoin" in p \
+            or "ShuffledHashJoin" in p, f"{n} lost its hash equi-join"
+
+    # bucketed interval join
+    p = plans["interval_join_click_purchase"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, (
+        "interval join lost its bucket equi-conjunct (BNLJ)"
+    )
+    assert "explode" in p, "interval join lost its bucket explode"
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p \
+        or "ShuffledHashJoin" in p
+
+    # ts frames: running/rolling only
+    for n in ("ts_daily_value_bands", "ts_load_profile_dow_hour",
+              "ts_new_vs_returning_revenue", "ts_seasonal_naive_backtest"):
+        assert "unboundedfollowing" not in plans[n].lower(), n
+
+    # python-boundary budget: zero Arrow/Python stages in the block
+    PY_MARKS = ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "BatchEvalPython")
+    offenders = [n for n in BLOCK
+                 if any(m in plans[n] for m in PY_MARKS)]
+    assert offenders == [], (
+        f"undocumented Python boundary in r14 block: {offenders}"
+    )
