@@ -476,6 +476,66 @@ WITH ex AS (
   {_pair_sql("b8c")}
   UNION
   {_pair_sql("b8d")}
+), b4b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[4:8])} AS bucket
+  FROM embeddings
+), b4c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[8:12])} AS bucket
+  FROM embeddings
+), b4d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_planes_sql(_PLANES32[12:16])} AS bucket
+  FROM embeddings
+), hn_brute AS (
+  SELECT anchor_id, neighbor_id FROM (
+    SELECT a.vec_id AS anchor_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, e.v) DESC, e.vec_id) AS rk
+    FROM (SELECT * FROM ex WHERE vec_id < 10) a
+    JOIN ex e ON e.label <> a.label
+  ) WHERE rk <= 3
+), hn_cand AS (
+  SELECT qa.vec_id AS anchor_id, ca.vec_id AS neighbor_id
+  FROM b8 qa JOIN b8 ca ON qa.bucket = ca.bucket WHERE qa.vec_id < 10
+  UNION
+  SELECT qa.vec_id, ca.vec_id
+  FROM b8b qa JOIN b8b ca ON qa.bucket = ca.bucket WHERE qa.vec_id < 10
+), hn_bucketed AS (
+  SELECT anchor_id, neighbor_id FROM (
+    SELECT h.anchor_id, h.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY h.anchor_id
+             ORDER BY list_cosine_similarity(ea.v, en.v) DESC,
+                      h.neighbor_id) AS rk
+    FROM hn_cand h
+    JOIN ex ea ON ea.vec_id = h.anchor_id
+    JOIN ex en ON en.vec_id = h.neighbor_id
+    WHERE en.label <> ea.label
+  ) WHERE rk <= 3
+), hn_cand4 AS (
+  SELECT qa.vec_id AS anchor_id, ca.vec_id AS neighbor_id
+  FROM b4 qa JOIN b4 ca ON qa.bucket = ca.bucket WHERE qa.vec_id < 10
+  UNION
+  SELECT qa.vec_id, ca.vec_id
+  FROM b4b qa JOIN b4b ca ON qa.bucket = ca.bucket WHERE qa.vec_id < 10
+  UNION
+  SELECT qa.vec_id, ca.vec_id
+  FROM b4c qa JOIN b4c ca ON qa.bucket = ca.bucket WHERE qa.vec_id < 10
+  UNION
+  SELECT qa.vec_id, ca.vec_id
+  FROM b4d qa JOIN b4d ca ON qa.bucket = ca.bucket WHERE qa.vec_id < 10
+), hn_bucketed4 AS (
+  SELECT anchor_id, neighbor_id FROM (
+    SELECT h.anchor_id, h.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY h.anchor_id
+             ORDER BY list_cosine_similarity(ea.v, en.v) DESC,
+                      h.neighbor_id) AS rk
+    FROM hn_cand4 h
+    JOIN ex ea ON ea.vec_id = h.anchor_id
+    JOIN ex en ON en.vec_id = h.neighbor_id
+    WHERE en.label <> ea.label
+  ) WHERE rk <= 3
 ), report AS (
 {_recall_row_sql("topk_lsh_bucket_8p", 3, "lsh", "brute", "query_id, neighbor_id")}
   UNION ALL
@@ -494,6 +554,10 @@ WITH ex AS (
 {_recall_row_sql("pairs_multiprobe_2x16", 0, "pmp", "p_exact", "vec_a, vec_b")}
   UNION ALL
 {_recall_row_sql("pairs_multiprobe_4x8", 0, "pmp48", "p_exact", "vec_a, vec_b")}
+  UNION ALL
+{_recall_row_sql("hardneg_bucketed_2x8", 3, "hn_bucketed", "hn_brute", "anchor_id, neighbor_id")}
+  UNION ALL
+{_recall_row_sql("hardneg_bucketed_4x4", 3, "hn_bucketed4", "hn_brute", "anchor_id, neighbor_id")}
 )
 SELECT method, k, n_hits, n_exact,
        ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
@@ -503,9 +567,12 @@ FROM report ORDER BY method
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k / pair-recall of every approximate ANN path vs its
     exact baseline — the quality contract the deterministic bucketed paths
-    were missing. The oracle replays all six methods AND both exact
-    baselines bit-for-bit (shared md5 hyperplanes / seeds), so recall
-    itself is a cross-engine-verified number, not a self-reported one."""
+    were missing. The oracle replays every method AND each exact baseline
+    bit-for-bit (shared md5 hyperplanes / seeds), so recall itself is a
+    cross-engine-verified number, not a self-reported one. r14 adds the
+    hardneg_bucketed_2x8 row: hard_negative_mining_bucketed (the
+    corpus-scale equi-join path) scored against the broadcast-anchor
+    brute hard_negative_mining over the same anchors."""
     emb = load(spark, sf_dir, "embeddings")
     out = ops.ann_recall_report(
         emb, emb.where(F.col("vec_id") < 10), k=3, pair_threshold=0.25

@@ -1023,3 +1023,55 @@ def test_containment_exact_threshold_pair_not_pruned(spark):
         if len(ss & sp) / len(ss) >= 0.55
     }
     assert set(got) == want
+
+
+def test_hard_negative_bucketed_matches_brute_when_single_bucket(spark):
+    """Identical-direction vectors land in the same LSH bucket in every
+    table, so the bucketed candidate set is complete and the corpus-scale
+    equi-join path must agree with the broadcast-anchor brute path
+    exactly (ties broken by neighbor_id in both)."""
+    from skope_api_spark.operators.similarity import (
+        hard_negative_mining,
+        hard_negative_mining_bucketed,
+    )
+
+    base = [1.0 if (d * 7) % 3 else -1.0 for d in range(64)]
+    rows = [
+        (i, [x * (1.0 + 0.1 * i) for x in base], i % 3) for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.where(F.col("vec_id") < 4)
+    brute = hard_negative_mining(df, anchors, k=3).collect()
+    buck = hard_negative_mining_bucketed(df, anchors, k=3).collect()
+
+    def key(rs):
+        return sorted((r.anchor_id, r.rk, r.neighbor_id) for r in rs)
+
+    assert key(buck) == key(brute)
+    assert all(r.anchor_label != r.neighbor_label for r in buck)
+
+
+def test_hard_negative_bucketed_contract_on_testdata(spark):
+    """On the real embeddings fixture: label inequality everywhere, ranks
+    contiguous from 1 per anchor, cosines non-increasing in rank, and
+    every returned pair is also a valid brute candidate."""
+    from skope_api_spark.operators.similarity import (
+        hard_negative_mining_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = hard_negative_mining_bucketed(
+        emb, emb.where(F.col("vec_id") < 5), k=3
+    ).collect()
+    assert out, "bucketed path returned nothing on the fixture"
+    per = {}
+    for r in out:
+        assert r.anchor_label != r.neighbor_label
+        per.setdefault(r.anchor_id, []).append((r.rk, r.cosine_sim))
+    for aid, rs in per.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1)), aid
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True), aid
