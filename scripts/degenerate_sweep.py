@@ -14,7 +14,25 @@ Usage:
     python scripts/degenerate_sweep.py MODE [query ...]
 
 MODE in: empty | onerow | nulls | const | unicode | extremets | negmoney
-         | hotkey | dupident | megadoc
+         | hotkey | dupident | megadoc | megablob
+
+megablob (r14, VERDICT r13 item 4): the megadoc discipline extended to
+the BINARY surfaces. Two parts: (a) the registry sweep runs against a
+fixture whose documents carry ~1 MB blob-shaped rows (a no-whitespace
+base64-ish megatoken and a high-fanout word blob — the rows
+mm_binary_stats/sha paths and every text scan see when crawl junk is
+twice megadoc size); (b) a dedicated adversarial-blob protocol drives
+the sniffer → quarantine → codec → pHash/audio chain on
+executor-BUILT hostile payloads under the same interrupting watchdog:
+decompression-bomb headers for all four image codecs (claimed 4–10 GP
+vs the 64 MP cap), a WAV claiming a 2 GB data chunk, a REAL
+130 MB over-cap WAV (the cap must fire BEFORE the 8× float64
+conversion — the r14 fix in wav.py), a legal 192 MB at-cap BMP and a
+legal 120 MB WAV decoded end-to-end, truncated tails, 8 MB unknown
+noise, and a 64-frame animated GIF through the frame sampler. Every
+drive asserts the expected classify/quarantine/decode outcome — a
+bomb that allocates, a cap that rejects a legal blob, or a quarantine
+that throws all fail the sweep.
 
 megadoc (r13): four pathological document shapes injected by doc_id —
 a ~30k-distinct-token shingle bomb, a 500 kB single token (no
@@ -222,6 +240,46 @@ def mutate(df, mode):
                 "n_chars", F.length("text").cast("int")
             )
         return df
+    if mode == "megablob":
+        # Blob-shaped DOCUMENT rows (~1 MB, 2× megadoc): the fixture leg
+        # of the megablob class. %101==0: a single ~1 MB base64-ish token
+        # (no whitespace — the base64 data-URI / minified-bundle shape;
+        # must stay linear through every regex/tokenizer/sha path);
+        # %101==1: ~1 MB of distinct words (posting/array fan-out at
+        # double megadoc volume). The binary DRIVES live in
+        # _megablob_drives(), not in the fixture — registry queries
+        # build their media from ids, so hostile bytes must be injected
+        # at the operator boundary.
+        if "text" not in df.columns:
+            return df
+        megatoken = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32000)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.lit("blob"), i.cast("string"))), 1, 32
+                ),
+            ),
+        )
+        words = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(110000)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.lit("mw"), i.cast("string"))), 1, 8
+                ),
+            ),
+        )
+        m = F.col("doc_id") % 101
+        df = df.withColumn(
+            "text",
+            F.when(m == 0, megatoken)
+            .when(m == 1, words)
+            .otherwise(F.col("text")),
+        )
+        if "n_chars" in df.columns:
+            df = df.withColumn("n_chars", F.length("text").cast("int"))
+        return df
     if mode == "hotkey":
         # 90% of rows take the hot value; the hot value is each column's
         # own min so FK integrity with the dimension tables holds (the
@@ -319,6 +377,265 @@ def mutate(df, mode):
     raise SystemExit(f"unknown mode {mode}")
 
 
+# --- megablob: adversarial-blob drives (executor-built payloads) --------
+
+
+def _chain_bytes(n: int, seed: bytes = b"blob") -> bytes:
+    """n deterministic junk bytes (md5 chain, 1 KB per hash)."""
+    out = bytearray()
+    h = seed
+    while len(out) < n:
+        h = hashlib.md5(h).digest()
+        out += h * 64
+    return bytes(out[:n])
+
+
+def _bomb_bmp() -> bytes:
+    # valid BM header claiming 100000x100000 24bpp (10 GP), 256-byte body
+    import struct as s
+
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    s.pack_into("<I", hdr, 10, 54)        # pixel offset
+    s.pack_into("<I", hdr, 14, 40)        # BITMAPINFOHEADER
+    s.pack_into("<ii", hdr, 18, 100000, 100000)
+    s.pack_into("<HH", hdr, 26, 1, 24)    # planes, bpp
+    return bytes(hdr) + b"\x00" * 256
+
+
+def _bomb_png() -> bytes:
+    # real signature + CRC-correct IHDR claiming 100000x100000
+    import struct as s
+    import zlib
+
+    ihdr = s.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + s.pack(">I", len(ihdr)) + chunk + s.pack(">I", zlib.crc32(chunk))
+        + s.pack(">I", 4) + b"IDAT\x00\x00\x00\x00"
+        + s.pack(">I", zlib.crc32(b"IDAT\x00\x00\x00\x00"))
+        + s.pack(">I", 0) + b"IEND" + s.pack(">I", zlib.crc32(b"IEND"))
+    )
+
+
+def _bomb_gif() -> bytes:
+    # logical screen 65500x65500 (4.3 GP)
+    import struct as s
+
+    return (
+        b"GIF89a" + s.pack("<HH", 65500, 65500) + b"\x00\x00\x00"
+        + b"\x2c" + s.pack("<HHHH", 0, 0, 65500, 65500) + b"\x00"
+        + b"\x08\x01\x00\x00\x3b"
+    )
+
+
+def _bomb_jpeg() -> bytes:
+    # SOI + SOF0 claiming 65500x65500 (4.3 GP) + EOI
+    import struct as s
+
+    payload = s.pack(">BHHB", 8, 65500, 65500, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8\xff\xc0" + s.pack(">H", len(payload) + 2) + payload
+        + b"\xff\xd9"
+    )
+
+
+def _wav_header(n_data_bytes: int, *, bits: int = 16, rate: int = 16000,
+                channels: int = 1, claimed: int | None = None) -> bytes:
+    import struct as s
+
+    claimed = n_data_bytes if claimed is None else claimed
+    fmt = s.pack("<HHIIHH", 1, channels, rate,
+                 rate * channels * bits // 8, channels * bits // 8, bits)
+    return (
+        b"RIFF" + s.pack("<I", 36 + claimed) + b"WAVE"
+        + b"fmt " + s.pack("<I", len(fmt)) + fmt
+        + b"data" + s.pack("<I", claimed)
+    )
+
+
+def _wav_claims_2gb() -> bytes:
+    # data chunk CLAIMS ~2 GB; 128-byte body. Must reject as truncated
+    # without allocating the claimed size.
+    return _wav_header(128, claimed=0x7FFFFFF0) + b"\x00" * 128
+
+
+def _wav_over_cap() -> bytes:
+    # REAL 130 MB PCM16 payload: 65M samples > 64M cap. The cap must
+    # fire BEFORE the float64 conversion (8x amplification).
+    return _wav_header(65_000_000 * 2) + b"\x00" * (65_000_000 * 2)
+
+
+def _wav_legal_120mb() -> bytes:
+    # 60M samples, under cap: must DECODE (features over 120 MB).
+    return _wav_header(60_000_000 * 2) + b"\x00" * (60_000_000 * 2)
+
+
+def _bmp_at_cap_192mb() -> bytes:
+    # 8000x8000 = exactly 64 MP: legal, 192 MB of pixels. Must decode
+    # and pHash inside the watchdog.
+    from skope_api_spark.operators.bmp import bmp_encode
+
+    px = bytearray(8000 * 8000 * 3)
+    px[::1009] = b"\xff" * len(px[::1009])  # non-constant image
+    return bmp_encode(8000, 8000, bytes(px))
+
+
+def _bmp_truncated_tail() -> bytes:
+    from skope_api_spark.operators.bmp import bmp_encode
+
+    full = bmp_encode(2000, 2000, b"\x40" * (2000 * 2000 * 3))
+    return full[: len(full) // 2]
+
+
+def _bmp_pal8_16mp() -> bytes:
+    # hand-built 4000x4000 8-bit palette BMP (~16 MB): the per-pixel
+    # palette join is the slowest pure-Python decode path — must stay
+    # inside the watchdog at 16 MP.
+    import struct as s
+
+    w = h = 4000
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    s.pack_into("<I", hdr, 10, 54 + 1024)
+    s.pack_into("<I", hdr, 14, 40)
+    s.pack_into("<ii", hdr, 18, w, h)
+    s.pack_into("<HH", hdr, 26, 1, 8)
+    pal = b"".join(
+        bytes((i % 256, (i * 7) % 256, (i * 13) % 256, 0)) for i in range(256)
+    )
+    row = (bytes(range(256)) * (w // 256 + 1))[:w]
+    return bytes(hdr) + pal + row * h
+
+
+def _noise_8mb() -> bytes:
+    return _chain_bytes(8 * 1024 * 1024, b"noise")
+
+
+def _gif_anim_64f() -> bytes:
+    from skope_api_spark.operators.gif import gif_encode_animation
+
+    palette = [(i, 255 - i, (i * 3) % 256) for i in range(4)]
+    frames = [
+        {"indices": bytes((f + x) % 4 for x in range(64 * 64))}
+        for f in range(64)
+    ]
+    return gif_encode_animation(64, 64, palette, frames)
+
+
+def _blob_df(spark, builder):
+    """(media_id, content) with the blob built EXECUTOR-side — hostile
+    bytes never transit the driver, mirroring a real raw-bytes scan."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "content": [builder() for _ in range(len(pdf))],
+                }
+            )
+
+    return spark.range(1).mapInPandas(gen, schema)
+
+
+def _megablob_drives():
+    """(name, fn(spark)) pairs; each asserts the expected outcome of one
+    hostile blob through the real operator chain."""
+    from skope_api_spark.operators.multimodal import (
+        binary_stats, decode_image_metadata, gif_frame_sampler,
+        sample_frames,
+    )
+    from skope_api_spark.operators.phash import image_phash
+    from skope_api_spark.operators.wav import decode_audio_features
+
+    def quarantined(spark, builder, fmt, needle):
+        df = _blob_df(spark, builder)
+        sniff = decode_image_metadata(df).collect()[0]
+        assert sniff.format == fmt, f"sniffed {sniff.format}, want {fmt}"
+        r = image_phash(df).collect()[0]
+        assert r.error is not None and needle in r.error, (
+            f"expected quarantine containing {needle!r}, got {r.error!r}"
+        )
+
+    def decodes(spark, builder, w, h):
+        r = image_phash(_blob_df(spark, builder)).collect()[0]
+        assert r.error is None, f"legal blob quarantined: {r.error!r}"
+        assert (r.width, r.height) == (w, h), (r.width, r.height)
+        assert r.phash is not None
+
+    def wav_err(spark, builder, needle):
+        r = decode_audio_features(_blob_df(spark, builder)).collect()[0]
+        assert r.error is not None and needle in r.error, (
+            f"expected audio quarantine containing {needle!r}, "
+            f"got {r.error!r}"
+        )
+
+    def wav_ok(spark, builder, n_frames):
+        r = decode_audio_features(_blob_df(spark, builder)).collect()[0]
+        assert r.error is None, f"legal WAV quarantined: {r.error!r}"
+        assert r.n_frames == n_frames, r.n_frames
+
+    def noise(spark):
+        df = _blob_df(spark, _noise_8mb)
+        sniff = decode_image_metadata(df).collect()[0]
+        assert sniff.format is None and sniff.n_bytes == 8 * 1024 * 1024
+        st = binary_stats(df).collect()[0]
+        assert st.n_bytes == 8 * 1024 * 1024
+        r = image_phash(df).collect()[0]
+        assert r.error is not None
+
+    def anim(spark):
+        rows = sample_frames(
+            _blob_df(spark, _gif_anim_64f),
+            sampler=gif_frame_sampler(every_n=8, max_frames=4),
+        ).collect()
+        assert 1 <= len(rows) <= 4, len(rows)
+        # sampled frames are real BMPs: close the loop through pHash
+        fr = rows[0]
+        r = image_phash(
+            _blob_df(spark, lambda b=bytes(fr.frame_bytes): b)
+        ).collect()[0]
+        assert r.error is None and (r.width, r.height) == (64, 64)
+
+    return [
+        ("bomb_bmp_10gp", lambda s: quarantined(
+            s, _bomb_bmp, "bmp", "MAX_PIXELS")),
+        ("bomb_png_10gp", lambda s: quarantined(
+            s, _bomb_png, "png", "MAX_PIXELS")),
+        ("bomb_gif_4gp", lambda s: quarantined(
+            s, _bomb_gif, "gif", "MAX_PIXELS")),
+        ("bomb_jpeg_4gp", lambda s: quarantined(
+            s, _bomb_jpeg, "jpeg", "MAX_PIXELS")),
+        ("wav_claims_2gb", lambda s: wav_err(s, _wav_claims_2gb,
+                                             "truncated")),
+        ("wav_over_cap_130mb", lambda s: wav_err(s, _wav_over_cap,
+                                                 "exceeds cap")),
+        ("wav_legal_120mb", lambda s: wav_ok(s, _wav_legal_120mb,
+                                             60_000_000)),
+        ("bmp_at_cap_192mb", lambda s: decodes(
+            s, _bmp_at_cap_192mb, 8000, 8000)),
+        ("bmp_truncated_tail", lambda s: quarantined(
+            s, _bmp_truncated_tail, "bmp", "truncated")),
+        ("bmp_pal8_16mp", lambda s: decodes(s, _bmp_pal8_16mp, 4000, 4000)),
+        ("noise_8mb_unknown", noise),
+        ("gif_anim_64f_sample", anim),
+    ]
+
+
 def main() -> int:
     mode = sys.argv[1]
     selected = sys.argv[2:]
@@ -366,7 +683,8 @@ def main() -> int:
     sc = spark.sparkContext
     unexpected = []
     timeouts = []
-    for name in names:
+
+    def run_one(name, thunk):
         # interruptOnCancel=True is load-bearing: the default (False)
         # means cancelJobGroup only marks jobs cancelled — already-
         # RUNNING tasks keep executing to completion, so every
@@ -388,7 +706,7 @@ def main() -> int:
         timer.start()
         t0 = time.time()
         try:
-            qs[name](spark, out).collect()
+            thunk()
             status = "OK"
         except Exception as ex:  # noqa: BLE001
             if timed_out.is_set():
@@ -410,9 +728,23 @@ def main() -> int:
         finally:
             timer.cancel()
         print(f"{time.time()-t0:7.1f}s {status} {name}", flush=True)
+
+    # `megablob drives` runs ONLY the blob drives (fast iteration on the
+    # binary protocol); a full `megablob` run does registry + drives.
+    drives_only = mode == "megablob" and selected == ["drives"]
+    if drives_only:
+        names = []
+    for name in names:
+        run_one(name, lambda n=name: qs[n](spark, out).collect())
+    n_total = len(names)
+    if mode == "megablob" and (not selected or drives_only):
+        drives = _megablob_drives()
+        n_total += len(drives)
+        for dn, fn in drives:
+            run_one(f"megablob::{dn}", lambda f=fn: f(spark))
     bad = len(unexpected) + len(timeouts)
     print(
-        f"\n{mode}: {len(names) - bad}/{len(names)} survive, "
+        f"\n{mode}: {n_total - bad}/{n_total} survive, "
         f"{len(unexpected)} unexpected throw: {unexpected}, "
         f"{len(timeouts)} timeout: {timeouts}"
     )

@@ -62,6 +62,16 @@ def decode_wav(data: bytes):
     audio_fmt, n_ch, rate, _, block_align, bits = fmt
     if n_ch < 1 or rate < 1:
         raise ValueError("invalid channel count or sample rate")
+    # Cap BEFORE any conversion: the sample count is known from the byte
+    # length alone, and converting first would allocate 8 bytes/sample of
+    # float64 — the exact amplification MAX_SAMPLES exists to prevent (a
+    # 2 GB data chunk would transiently take 8 GB before an after-the-fact
+    # check fired; found by the r14 megablob campaign).
+    if bits in (8, 16, 32) and len(raw) // (bits // 8) > MAX_SAMPLES:
+        raise ValueError(
+            f"sample count {len(raw) // (bits // 8)} exceeds cap "
+            f"{MAX_SAMPLES}"
+        )
     if audio_fmt == 1 and bits in _PCM_FMT:
         arr = np.frombuffer(raw[: len(raw) - len(raw) % (bits // 8)],
                             dtype=_PCM_FMT[bits]).astype(np.float64)

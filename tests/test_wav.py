@@ -142,3 +142,26 @@ def test_spectral_quarantine_path(spark):
     assert rows[1]["error"] is None
     assert abs(rows[1]["dominant_hz"] - 200.0) <= 5.0
     assert rows[2]["error"] is not None and rows[2]["dominant_hz"] is None
+
+
+def test_sample_cap_fires_before_conversion():
+    """r14 megablob: MAX_SAMPLES must reject from the BYTE LENGTH alone,
+    before the float64 conversion — an after-the-fact check would let a
+    2 GB data chunk transiently allocate 8 GB (8 bytes/sample), the
+    exact amplification the cap exists to prevent. Verified here by
+    tracing numpy.frombuffer: it must never be called."""
+    from unittest import mock
+
+    from skope_api_spark.operators import wav as wav_mod
+
+    n = wav_mod.MAX_SAMPLES + 1_000_000
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    data = (
+        b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 2 * n) + b"\x00" * (2 * n)
+    )
+    with mock.patch.object(np, "frombuffer",
+                           side_effect=AssertionError("allocated!")):
+        with pytest.raises(ValueError, match="exceeds cap"):
+            decode_wav(data)
