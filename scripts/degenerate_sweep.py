@@ -241,15 +241,22 @@ def mutate(df, mode):
             )
         return df
     if mode == "megablob":
-        # Blob-shaped DOCUMENT rows (~1 MB, 2× megadoc): the fixture leg
-        # of the megablob class. %101==0: a single ~1 MB base64-ish token
-        # (no whitespace — the base64 data-URI / minified-bundle shape;
-        # must stay linear through every regex/tokenizer/sha path);
-        # %101==1: ~1 MB of distinct words (posting/array fan-out at
-        # double megadoc volume). The binary DRIVES live in
-        # _megablob_drives(), not in the fixture — registry queries
-        # build their media from ids, so hostile bytes must be injected
-        # at the operator boundary.
+        # Blob-shaped DOCUMENT rows (2× megadoc): the fixture leg of the
+        # megablob class. %101==0: a single ~1 MB base64-ish token (no
+        # whitespace — the base64 data-URI / minified-bundle shape; must
+        # stay linear through every regex/tokenizer/sha path);
+        # %101==1: ~0.8 MB of 48k DISTINCT 16-char words (posting/array
+        # fan-out at 1.6× megadoc's 30k-distinct bomb). 48k is sized to
+        # the DOCUMENTED quadratic verification baseline: the all-pairs
+        # dedup_ngram_jaccard_pairs pays O(N·Σ|set_i|) by design, and
+        # the first megablob run proved 110k-distinct blobs push exactly
+        # that baseline past the 90 s watchdog (3.7× megadoc volume) —
+        # a by-design-quadratic oracle baseline going quadratic is not a
+        # scale bug, so the fixture stays inside its envelope while
+        # still doubling every LINEAR path's per-row load. The binary
+        # DRIVES live in _megablob_drives(), not in the fixture —
+        # registry queries build their media from ids, so hostile bytes
+        # must be injected at the operator boundary.
         if "text" not in df.columns:
             return df
         megatoken = F.concat_ws(
@@ -264,9 +271,9 @@ def mutate(df, mode):
         words = F.concat_ws(
             " ",
             F.transform(
-                F.sequence(F.lit(1), F.lit(110000)),
+                F.sequence(F.lit(1), F.lit(48000)),
                 lambda i: F.substring(
-                    F.md5(F.concat(F.lit("mw"), i.cast("string"))), 1, 8
+                    F.md5(F.concat(F.lit("mw"), i.cast("string"))), 1, 16
                 ),
             ),
         )

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""sf0.1 → sf1 wall-time staircase for the heaviest ext queries
+(VERDICT r13 item 7): measure each query's empirical scaling ratio so a
+superlinear curve is arbitrated BEFORE it is ever a 100 TB surprise.
+
+Each query runs twice per SF on one warm session (best-of-2 recorded);
+data grows 10×, so the implied empirical exponent is log10(t1/t01).
+O(n) → ratio ≈ 10 (exponent ≈ 1); O(n log n) → ratio ≈ 11-13;
+anything with exponent ≳ 1.3 needs a design explanation or a fix.
+
+Host telemetry (loadavg + competing processes) is recorded the same way
+bench.py records it — a contended host invalidates the run.
+
+Usage: python scripts/scale_staircase.py [query ...]
+Env:   SPARK_GRAFT_SF01_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_SF1_DIR  (default /root/repo/.localdata/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The five heaviest ext-set queries by r13 bench wall-time whose cost is
+# dominated by a nontrivial distributed algorithm (wedge join, iterative
+# propagation, blocked ER closure, distributed exact quantiles, chained
+# merge-scan encode).
+DEFAULT = (
+    "graph_triangle_top_nodes",
+    "graph_pagerank_copurchase",
+    "er_customer_record_clusters",
+    "hist_equi_depth_price",
+    "text_bpe_encode_profile",
+)
+
+
+def _host() -> dict:
+    try:
+        load = os.getloadavg()
+    except OSError:
+        load = (None, None, None)
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "comm"], capture_output=True, text=True, timeout=5
+        ).stdout
+        competing = sum(
+            1 for line in out.splitlines() if line.strip() in ("java", "python")
+        )
+    except Exception:  # noqa: BLE001
+        competing = None
+    return {"loadavg": list(load), "java_python_procs": competing}
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(DEFAULT)
+    sf01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    sf1 = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", "/root/repo/.localdata/sf1"
+    )
+    from skope_api_spark.session import get_spark
+
+    spark = get_spark(
+        "staircase", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    host0 = _host()
+    rows = []
+    for name in names:
+        times = {}
+        for sf_name, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[sf_name] = round(best, 3)
+        ratio = times["sf1"] / times["sf0.1"]
+        rows.append(
+            {
+                "query": name,
+                "sf0.1_s": times["sf0.1"],
+                "sf1_s": times["sf1"],
+                "ratio": round(ratio, 2),
+                "exponent": round(math.log10(ratio), 3) if ratio > 0 else None,
+            }
+        )
+        print(
+            f"{name}: {times['sf0.1']}s -> {times['sf1']}s "
+            f"(x{ratio:.1f}, exp {math.log10(ratio):.2f})",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {"staircase": rows, "host_start": host0, "host_end": _host()}
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
