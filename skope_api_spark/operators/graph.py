@@ -348,8 +348,16 @@ def adamic_adar_links(
         F.col("u").alias("center"), F.col("v").alias("n")
     ).unionAll(und.select(F.col("v").alias("center"), F.col("u").alias("n")))
     deg = dirs.groupBy("center").agg(F.count(F.lit(1)).alias("deg"))
-    weighted = dirs.join(deg, "center").select(
-        "center", "n", (1.0 / F.log(F.col("deg"))).alias("w")
+    # deg == 1 centers can never form a neighbor PAIR (the self-join
+    # needs two neighbors), but their weight expression would still be
+    # evaluated row-wise — and 1/ln(1) is an ANSI DIVIDE_BY_ZERO job
+    # killer (found by the r14 unicode/extremets degenerate sweeps: a
+    # hostile fixture with a degree-1 node kills the whole query).
+    # Filtering them first is value-neutral AND prunes the wedge join.
+    weighted = (
+        dirs.join(deg, "center")
+        .where(F.col("deg") >= 2)
+        .select("center", "n", (1.0 / F.log(F.col("deg"))).alias("w"))
     )
     a = weighted.select("center", F.col("n").alias("na"), "w")
     b = weighted.select("center", F.col("n").alias("nb"))

@@ -124,3 +124,26 @@ class TestAdamicAdar:
         )
         # existing edges never appear
         assert (1, 2) not in by and (0, 1) not in by
+
+    def test_degree_one_nodes_survive_ansi(self, spark):
+        """r14 unicode/extremets sweeps: a degree-1 node's 1/ln(1) weight
+        was evaluated row-wise (ANSI DIVIDE_BY_ZERO job killer) even
+        though it can never form a neighbor pair. Pendant vertices must
+        be pruned, not scored."""
+        from skope_api_spark.operators.graph import adamic_adar_links
+
+        # 9 is a pendant (degree 1) hanging off the hub
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (0, 1), (0, 2), (0, 3), (0, 9)],
+            "src long, dst long",
+        )
+        out = adamic_adar_links(edges, top_k=20).collect()
+        by = {(r["u"], r["v"]): r for r in out}
+        # pendant contributes no weight anywhere, but pairs THROUGH the
+        # hub involving it still score: (1, 9) shares neighbor 0 (deg 4)
+        import math
+
+        assert by[(1, 9)]["common_neighbors"] == 1
+        assert by[(1, 9)]["aa_score"] == pytest.approx(
+            round(1 / math.log(4), 6)
+        )
