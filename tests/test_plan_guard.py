@@ -402,3 +402,85 @@ def test_r14_rotation_block_plan_shapes(spark):
     assert offenders == [], (
         f"undocumented Python boundary in r14 block: {offenders}"
     )
+
+
+def test_r15_rotation_block_plan_shapes(spark):
+    """Pins the r15 gate-rotation block (the final 27 never-driver-checked
+    queries, named in contract/__init__.py's GATE-ORDER PLAN r15) ahead
+    of their window — same discipline as the r11-r14 rotation pins:
+
+    - PYTHON-BOUNDARY BUDGET: none of the 27 has a documented Arrow
+      surface; all stay whole-stage JVM codegen.
+    - CLEAN SHAPES stay clean: the prefix join, pipeline keep-best-rep,
+      IP-block range join, JSON quarantine and snapshot diff plan no
+      Window, no BNLJ, no cartesian.
+    - grouping_sets / unpivot keep their Expand (the one-pass
+      multi-grouping shape — losing it means N scans).
+    - rec_item_item_neighbors: co-occurrence is an EQUI-join on the
+      shared basket key, never a cartesian.
+    - spatial_nearest_site: per-point argmin is an aggregation
+      (min-struct), never a window sort; the site table is a bounded
+      broadcast (BNLJ allowed, documented).
+    - sim_exact_cosine_pairs is the DOCUMENTED all-pairs verification
+      baseline — its BNLJ is the point, so it is exempt here.
+    - Unbounded-following frames in the report queries (pareto/ABC/
+      share/mix-shift/spans) are PARTITIONED group-total frames —
+      bounded by group size, audited by eye in r14; only new GLOBAL
+      sorts would regress, which the no-cartesian + window-count pins
+      downstream of refactors would surface in review."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    BLOCK = [
+        "abc_inventory_classification", "cohort_ltv_curve_quarterly",
+        "conditional_agg_battery", "customer_revenue_concentration",
+        "dedup_duplicate_spans", "dedup_jaccard_prefix_join",
+        "grouping_sets_order_mix", "json_quarantine_ingest",
+        "mix_shift_price_bands_yearly", "net_ip_block_enrichment",
+        "pack_documents_token_budget", "pareto_revenue_concentration",
+        "pipeline_keep_best_rep", "rec_item_item_neighbors",
+        "rfm_repeat_purchase_latency", "session_bounce_rate",
+        "share_of_region_revenue", "sim_exact_cosine_pairs",
+        "sim_hard_negatives", "sim_ivf_kmeans_topk",
+        "sla_shipping_lead_time_report", "snapshot_diff_customers",
+        "spatial_nearest_site", "sql_pipe_syntax_priority_rollup",
+        "top_movers_monthly_priority", "topn_parts_per_brand",
+        "unpivot_priority_price_stats",
+    ]
+    plans = {n: plan_of(n) for n in BLOCK}
+
+    PY_MARKS = ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "BatchEvalPython")
+    offenders = [n for n in BLOCK if any(m in plans[n] for m in PY_MARKS)]
+    assert offenders == [], (
+        f"undocumented Python boundary in r15 block: {offenders}"
+    )
+
+    for n in BLOCK:
+        if n == "sim_exact_cosine_pairs":
+            continue  # documented quadratic baseline
+        assert "CartesianProduct" not in plans[n], n
+
+    CLEAN = ("dedup_jaccard_prefix_join", "pipeline_keep_best_rep",
+             "net_ip_block_enrichment", "json_quarantine_ingest",
+             "snapshot_diff_customers")
+    for n in CLEAN:
+        p = plans[n]
+        assert "Window" not in p, f"{n} grew a window sort"
+        assert "BroadcastNestedLoopJoin" not in p, n
+
+    for n in ("grouping_sets_order_mix", "unpivot_priority_price_stats"):
+        assert "Expand" in plans[n], f"{n} lost its one-pass Expand"
+
+    assert "Window" not in plans["spatial_nearest_site"], (
+        "nearest-site argmin regressed to a window sort"
+    )
