@@ -29,7 +29,10 @@ vs the 64 MP cap), a WAV claiming a 2 GB data chunk, a REAL
 130 MB over-cap WAV (the cap must fire BEFORE the 8× float64
 conversion — the r14 fix in wav.py), a legal 192 MB at-cap BMP and a
 legal 120 MB WAV decoded end-to-end, truncated tails, 8 MB unknown
-noise, and a 64-frame animated GIF through the frame sampler. Every
+noise, a VP8L/WebP header claiming the format's 268 MP maximum (must
+hash-FALL-BACK in the feature stage, never allocate or fail the
+batch) plus a legal VP8L decode, and a 64-frame animated GIF through
+the frame sampler. Every
 drive asserts the expected classify/quarantine/decode outcome — a
 bomb that allocates, a cap that rejects a legal blob, or a quarantine
 that throws all fail the sweep.
@@ -520,6 +523,38 @@ def _noise_8mb() -> bytes:
     return _chain_bytes(8 * 1024 * 1024, b"noise")
 
 
+def _bomb_webp() -> bytes:
+    # VP8L header claiming 16384x16384 (268 MP — the format's max, 4.2x
+    # the 64 MP cap), ~40-byte payload
+    import struct as s
+
+    from skope_api_spark.operators.vp8l import _LsbWriter
+
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    payload = bytes(bw.bytes()) + b"\x00" * 16
+    chunk = b"VP8L" + s.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_legal_512() -> bytes:
+    from skope_api_spark.operators.vp8l import vp8l_encode
+
+    px = bytes(
+        (x * 7 + y * 13) % 256
+        for y in range(512)
+        for x in range(512)
+        for _ in (0, 1, 2)
+    )
+    return vp8l_encode(512, 512, px, channels=3)
+
+
 def _gif_anim_64f() -> bytes:
     from skope_api_spark.operators.gif import gif_encode_animation
 
@@ -605,6 +640,34 @@ def _megablob_drives():
         r = image_phash(df).collect()[0]
         assert r.error is not None
 
+    def webp_bomb(spark):
+        from skope_api_spark.operators.multimodal import extract_features
+        from skope_api_spark.operators.vp8l import vp8l_decode
+
+        # the raw decode must refuse from the header alone
+        try:
+            vp8l_decode(_bomb_webp())
+            raise AssertionError("268 MP VP8L header decoded?!")
+        except ValueError as ex:
+            assert "MAX_PIXELS" in str(ex), ex
+        df = _blob_df(spark, _bomb_webp)
+        sniff = decode_image_metadata(df).collect()[0]
+        assert sniff.format == "webp", sniff.format
+        # the feature stage must FALL BACK (hash pseudo-embedding), not
+        # fail the batch — at corpus scale a bomb header is data
+        feats = extract_features(df).collect()
+        assert len(feats) == 1 and feats[0].feature is not None
+
+    def webp_legal(spark):
+        from skope_api_spark.operators.multimodal import extract_features
+
+        df = _blob_df(spark, _webp_legal_512)
+        sniff = decode_image_metadata(df).collect()[0]
+        assert sniff.format == "webp", sniff.format
+        assert (sniff.width, sniff.height) == (512, 512)
+        feats = extract_features(df).collect()
+        assert len(feats) == 1 and feats[0].feature is not None
+
     def anim(spark):
         rows = sample_frames(
             _blob_df(spark, _gif_anim_64f),
@@ -639,6 +702,8 @@ def _megablob_drives():
             s, _bmp_truncated_tail, "bmp", "truncated")),
         ("bmp_pal8_16mp", lambda s: decodes(s, _bmp_pal8_16mp, 4000, 4000)),
         ("noise_8mb_unknown", noise),
+        ("webp_bomb_268mp", webp_bomb),
+        ("webp_legal_512", webp_legal),
         ("gif_anim_64f_sample", anim),
     ]
 
