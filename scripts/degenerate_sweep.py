@@ -31,7 +31,9 @@ conversion — the r14 fix in wav.py), a legal 192 MB at-cap BMP and a
 legal 120 MB WAV decoded end-to-end, truncated tails, 8 MB unknown
 noise, a VP8L/WebP header claiming the format's 268 MP maximum (must
 hash-FALL-BACK in the feature stage, never allocate or fail the
-batch) plus a legal VP8L decode, and a 64-frame animated GIF through
+batch) plus a legal VP8L decode, a 10 GP-claiming baseline TIFF
+through the raster-ingest reader (loud ValueError from the frombuffer
+count check, no allocation), and a 64-frame animated GIF through
 the frame sampler. Every
 drive asserts the expected classify/quarantine/decode outcome — a
 bomb that allocates, a cap that rejects a legal blob, or a quarantine
@@ -523,6 +525,34 @@ def _noise_8mb() -> bytes:
     return _chain_bytes(8 * 1024 * 1024, b"noise")
 
 
+def _bomb_tiff() -> bytes:
+    # real write_baseline_tiff output for a 2x2 raster, with the
+    # ImageWidth/ImageLength tags patched to 100000x100000 (10 GP) while
+    # the strip data stays 4 samples — the raster-INGEST counterpart of
+    # the image-codec bomb headers. frombuffer must refuse (count >
+    # buffer) BEFORE any allocation; the reader's contract is a loud
+    # ValueError, never a hang or an OOM.
+    import struct as s
+
+    import numpy as np
+
+    from skope_api_spark.sources.geotiff import write_baseline_tiff
+
+    data = bytearray(write_baseline_tiff(np.zeros((2, 2, 1))))
+    bo = "<" if bytes(data[:2]) == b"II" else ">"
+    off = s.unpack(bo + "I", data[4:8])[0]
+    n = s.unpack(bo + "H", data[off : off + 2])[0]
+    patched = 0
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag = s.unpack(bo + "H", data[e : e + 2])[0]
+        if tag in (256, 257):  # ImageWidth / ImageLength
+            s.pack_into(bo + "I", data, e + 8, 100000)
+            patched += 1
+    assert patched == 2, patched
+    return bytes(data)
+
+
 def _bomb_webp() -> bytes:
     # VP8L header claiming 16384x16384 (268 MP — the format's max, 4.2x
     # the 64 MP cap), ~40-byte payload
@@ -640,6 +670,20 @@ def _megablob_drives():
         r = image_phash(df).collect()[0]
         assert r.error is not None
 
+    def tiff_bomb(spark):
+        from skope_api_spark.sources.geotiff import read_baseline_tiff
+
+        # raw decode: loud ValueError from the count check, no allocation
+        try:
+            list(read_baseline_tiff(_bomb_tiff()))
+            raise AssertionError("10 GP TIFF header decoded?!")
+        except ValueError:
+            pass
+        # and through the Arrow sniff stage: classifies as tiff with the
+        # CLAIMED dims (headers are metadata, decode is where caps live)
+        sniff = decode_image_metadata(_blob_df(spark, _bomb_tiff)).collect()[0]
+        assert sniff.format == "tiff", sniff.format
+
     def webp_bomb(spark):
         from skope_api_spark.operators.multimodal import extract_features
         from skope_api_spark.operators.vp8l import vp8l_decode
@@ -702,6 +746,7 @@ def _megablob_drives():
             s, _bmp_truncated_tail, "bmp", "truncated")),
         ("bmp_pal8_16mp", lambda s: decodes(s, _bmp_pal8_16mp, 4000, 4000)),
         ("noise_8mb_unknown", noise),
+        ("tiff_bomb_10gp", tiff_bomb),
         ("webp_bomb_268mp", webp_bomb),
         ("webp_legal_512", webp_legal),
         ("gif_anim_64f_sample", anim),
