@@ -1075,3 +1075,69 @@ def test_hard_negative_bucketed_contract_on_testdata(spark):
         assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1)), aid
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True), aid
+
+
+def test_min_overlap_exhaustive_grid(spark):
+    """Exhaustive fl-consistency sweep: every threshold on a 0.01 grid ×
+    a log-spaced set-size range, evaluated as ONE Spark job, must equal
+    the brute-force smallest k with double(k)/n >= t. Catches any future
+    drift between the column expression and the verify division."""
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.setjoin import _min_overlap
+
+    ns = [1, 2, 3, 5, 7, 10, 13, 30, 100, 300, 999, 1500, 4096, 30000,
+          99991, 1000000]
+    ts = [i / 100 for i in range(1, 101)]
+    rows = [(t, n) for t in ts for n in ns]
+    df = spark.createDataFrame(rows, "t double, n int")
+    # _min_overlap takes a python float t; evaluate per distinct t via a
+    # CASE chain is heavy — instead exploit that the expression only
+    # uses t as a literal: group rows by t and run one select per t on
+    # a cached local frame would be 100 jobs. Cheaper: build the k
+    # column with t as a COLUMN using the same arithmetic.
+    k0 = F.ceil(F.col("t") * F.col("n"))
+    k = F.when(
+        (k0 - 1).cast("double") / F.col("n") >= F.col("t"), k0 - 1
+    ).otherwise(k0)
+    got = {(r.t, r.n): r.k for r in df.select("t", "n", k.alias("k")).collect()}
+    for t, n in rows:
+        lo = max(0, int(t * n) - 2)
+        ref = next(kk for kk in range(lo, n + 1) if kk / n >= t)
+        assert got[(t, n)] == ref, (t, n, got[(t, n)], ref)
+    # and the Python-literal form agrees with the column form on a spot
+    one = spark.range(1)
+    for t, n in [(0.81, 300), (0.55, 100), (0.67, 1500)]:
+        kc = one.select(_min_overlap(t, F.lit(n)).alias("k")).collect()[0].k
+        assert kc == got[(t, n)], (t, n)
+
+
+def test_line_cutter_randomized_vs_split_slices(spark):
+    """200 seeded-random whitespace-hostile strings × t in 1..4, one
+    Spark job per t: the regex line cutter must reproduce split(' ')
+    slices exactly (r14 ADVICE regression, randomized layer)."""
+    import random
+
+    from skope_api_spark.operators.text import with_doc_lines
+
+    rng = random.Random(1414)
+    alphabet = "ab \t  "  # space-heavy: empty tokens are common
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "doc_id long, text string"
+    )
+    for t in (1, 2, 3, 4):
+        rows = with_doc_lines(df, tokens_per_line=t).collect()
+        got, nl = {}, {}
+        for r in rows:
+            got.setdefault(r.doc_id, []).append((r.pos, r.line))
+            nl[r.doc_id] = r.n_lines
+        for i, s in enumerate(strings):
+            toks = s.split(" ")
+            exp = [" ".join(toks[j : j + t]) for j in range(0, len(toks), t)]
+            lines = [l for _, l in sorted(got[i])]
+            assert lines == exp, (t, repr(s))
+            assert nl[i] == len(exp), (t, repr(s))
