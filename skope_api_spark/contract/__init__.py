@@ -124,27 +124,49 @@ _GATE_PRIORITY: tuple[str, ...] = (
     #   sim_pq_rerank_topk               -> cdc_apply_customers
     #   sample_token_budget_mixing       -> pit_join_orders_customers
     #   ts_theil_sen_monthly_revenue     -> interval_join_click_purchase
-    "q13_customer_order_distribution",
-    "dedup_containment_pairs",
-    "graph_adamic_adar_links",
-    "graph_degree_assortativity",
-    "graph_transition_matrix",
-    "dq_duplicate_payment_candidates",
-    "dq_k_anonymity_customers",
-    "dq_single_source_risk_parts",
-    "sample_ht_total_estimate",
-    "sample_temperature_mixing",
-    "sample_weighted_by_tokens",
-    "ts_daily_value_bands",
-    "ts_load_profile_dow_hour",
-    "ts_new_vs_returning_revenue",
-    "ts_seasonal_naive_backtest",
-    "scalar_bitwise_battery",
-    "scalar_try_arithmetic_battery",
-    "cdc_apply_customers",
-    "pit_join_orders_customers",
-    "interval_join_click_purchase",
-    "skope_reference_raster_zonal",
+    # r15 rotation (VERDICT r14 item 1, executing the recorded r15
+    # gate-order plan below): the EXACT 27-query never-driver-checked
+    # residue rotates in, reaching 262/262 cumulative driver exposure.
+    # Ceded: the 20 r14 first-timers (all driver-green in
+    # CORRECTNESS_r14), skope_reference_raster_zonal (second green
+    # recorded r14), and six multi-green family redundants
+    # (sketch_kmv_overlap_langs, feature_rank_normalize_price,
+    # session_top_paths, skew_hot_key_report,
+    # range_join_overlapping_sessions, spatial_join_points_polygons).
+    # Every family keeps a gated anchor: graph/dq/sample/ts/scalar/
+    # cdc-pit-interval reps remain via the full check_correctness
+    # replay plus the standing canaries (mm_media_sniff_quarantine —
+    # Arrow-binary; skope_catalog/polygon/batched — datacube spine;
+    # dedup_minhash/simhash, sim_cosine/lsh — scale flagships).
+    # All 27 were pre-cleared under a plain SparkSession at r14
+    # close-out AND judge-replayed 27/27 green (VERDICT r14).
+    "abc_inventory_classification",
+    "cohort_ltv_curve_quarterly",
+    "conditional_agg_battery",
+    "customer_revenue_concentration",
+    "dedup_duplicate_spans",
+    "dedup_jaccard_prefix_join",
+    "grouping_sets_order_mix",
+    "json_quarantine_ingest",
+    "mix_shift_price_bands_yearly",
+    "net_ip_block_enrichment",
+    "pack_documents_token_budget",
+    "pareto_revenue_concentration",
+    "pipeline_keep_best_rep",
+    "rec_item_item_neighbors",
+    "rfm_repeat_purchase_latency",
+    "session_bounce_rate",
+    "share_of_region_revenue",
+    "sim_exact_cosine_pairs",
+    "sim_hard_negatives",
+    "sim_ivf_kmeans_topk",
+    "sla_shipping_lead_time_report",
+    "snapshot_diff_customers",
+    "spatial_nearest_site",
+    "sql_pipe_syntax_priority_rollup",
+    "top_movers_monthly_priority",
+    "topn_parts_per_brand",
+    "unpivot_priority_price_stats",
     # r10 rotation (VERDICT r9 item 1): fourteen r9-driver-VERIFIED,
     # family-redundant entries cede their slots to the judge's
     # risk-triaged never-driver-checked list — led by the two remaining
@@ -309,13 +331,38 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # skew_hot_key_report, range_join_overlapping_sessions,
     # spatial_join_points_polygons — every family keeps an anchor), and
     # rotate in ALL 27 — reaching 262/262 cumulative driver exposure.
-    "sketch_kmv_overlap_langs",
-    "feature_rank_normalize_price",
+    # [EXECUTED in r15 — see the r15 rotation block at the top of this
+    # tuple. sketch_kmv_overlap_langs, feature_rank_normalize_price,
+    # session_top_paths, skew_hot_key_report ceded from this block;
+    # text_unicode_normalize / ts_gap_fill_interpolate /
+    # mm_media_sniff_quarantine stay as standing reps/canaries.]
+    #
+    # GATE-ORDER POLICY, post-closure (recorded at r15 HEAD; VERDICT
+    # r14 item 2): once CORRECTNESS_r15 lands green, every registry
+    # query has at least one driver-window green (262/262 cumulative).
+    # From r16 onward the window cycles STALE greens — queries whose
+    # last gate exposure predates the most recent git change to the
+    # files implementing them (derive: git log --since=<last-green
+    # round's date> over skope_api_spark/**, map changed files to
+    # queries via contract module imports, rotate in any green-but-
+    # stale query; `scripts/gate_staleness.py` computes the list).
+    # Standing keeps: mm_media_sniff_quarantine (Arrow-binary canary),
+    # one skope_* real-raster query, the VALUE-class double-hash pins,
+    # and one rep per family. First stale-green rotation list for r16
+    # (computed at r15 HEAD — queries whose implementation files
+    # changed in r14/r15 after their last gate green):
+    #   sim_recall_report (similarity.py hardneg rows r14/r15),
+    #   mm_audio_wav_stats (wav.py cap reorder r15),
+    #   text_redact_pii (text.py PII boundary r14),
+    #   text_c4_line_filter (line cutter r14),
+    #   dedup_remove_duplicate_spans family rep if spans code moves,
+    #   sim_hard_negatives_bucketed (NEW r15 — first exposure),
+    #   plus any query whose module is touched between now and the r16
+    #   window; remainder of the 50 stays as the r15 block until each
+    #   records a green, then cedes by the same staleness rule.
     "text_unicode_normalize",
     "ts_gap_fill_interpolate",
     "mm_media_sniff_quarantine",
-    "session_top_paths",
-    "skew_hot_key_report",
     # r09 rotation (VERDICT r8 item 4): fourteen r8-driver-VERIFIED,
     # family-redundant entries cede their slots to (a) the ten
     # never-driver-checked, engine-version-sensitive surfaces the judge
@@ -429,8 +476,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # W1-W4 window core + window extensions
     "w3_rolling_zscore",
     # r06: moving_median_smoother (extension smoother, not reference core)
-    # cedes its slot to the bucketed range join; full replay still covers it
-    "range_join_overlapping_sessions",
+    # cedes its slot to the bucketed range join; full replay still covers
+    # it. r15: range_join_overlapping_sessions (multi-green) cedes to the
+    # residue block above; the range-join family keeps
+    # interval_join_click_purchase driver history (r14 green) and the
+    # full-replay coverage.
     # r04: four window-battery slots (value_window_suite, ranking_suite,
     # lag_lead_deltas, running_cumulative_sum) ceded to the round's
     # flagship pipeline operators; the battery stays regression-covered
@@ -450,7 +500,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # its slot to the grid spatial join — the geo-domain scale flagship;
     # token counting stays regression-covered by the full replay)
     "text_quality_stats",
-    "spatial_join_points_polygons",
+    # r15: spatial_join_points_polygons (multi-green) cedes to the
+    # residue block above; spatial family keeps spatial_nearest_site
+    # (gated above, first exposure) and the full-replay coverage.
     "stats_auc_by_source",
     # r14: ts_theil_sen_monthly_revenue (driver-green since r7) ceded
     # its slot to interval_join_click_purchase, gated above; the ts
