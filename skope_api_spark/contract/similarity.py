@@ -570,9 +570,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     were missing. The oracle replays every method AND each exact baseline
     bit-for-bit (shared md5 hyperplanes / seeds), so recall itself is a
     cross-engine-verified number, not a self-reported one. r14 adds the
-    hardneg_bucketed_2x8 row: hard_negative_mining_bucketed (the
-    corpus-scale equi-join path) scored against the broadcast-anchor
-    brute hard_negative_mining over the same anchors."""
+    hardneg_bucketed_2x8 AND hardneg_bucketed_4x4 rows:
+    hard_negative_mining_bucketed (the corpus-scale equi-join path) at
+    both table geometries, each scored against the broadcast-anchor
+    brute hard_negative_mining over the same anchors (r15 ADVICE:
+    docstring now names both rows)."""
     emb = load(spark, sf_dir, "embeddings")
     out = ops.ann_recall_report(
         emb, emb.where(F.col("vec_id") < 10), k=3, pair_threshold=0.25

@@ -496,7 +496,9 @@ def ann_recall_report(
     (2 tables × 8 planes, the corpus-scale path) scored against the
     broadcast-anchor brute ``hard_negative_mining`` over the same
     anchors — the recall dial for swapping the brute path out when the
-    anchor set outgrows a broadcast. Both use ``label_col``.
+    anchor set outgrows a broadcast. Both use ``label_col``; when either
+    input lacks that column the two hardneg rows are skipped and the
+    label-free rows still report (r15 ADVICE guard).
 
     All paths are deterministic (md5 hyperplanes / md5 k-means seeds), so
     the recall numbers themselves are reproducible cross-engine — the
@@ -525,11 +527,6 @@ def ann_recall_report(
         _recall_row(
             "topk_lsh_bucket_8p", k,
             lsh_bucket_topk(corpus, queries, k=k, planes=hyperplanes(8), **kw),
-            exact_topk, key_qn,
-        ),
-        _recall_row(
-            "topk_ivf_label", k,
-            ivf_topk(corpus, queries, k=k, **kw),
             exact_topk, key_qn,
         ),
         _recall_row(
@@ -580,27 +577,41 @@ def ann_recall_report(
             exact_pairs, key_pp,
         ),
     ]
-    hn_exact = hard_negative_mining(
-        corpus, queries, k=k, label_col=label_col, **kw
-    ).localCheckpoint(eager=False)
-    rows += [
-        _recall_row(
-            "hardneg_bucketed_2x8", k,
-            hard_negative_mining_bucketed(
-                corpus, queries, k=k, n_tables=2, planes_per_table=8,
-                label_col=label_col, **kw
+    # The label-codebook IVF row needs labels on the corpus side only
+    # (queries probe by nearest centroid, not by label).
+    if label_col in corpus.columns:
+        rows.insert(1, _recall_row(
+            "topk_ivf_label", k,
+            ivf_topk(
+                corpus, queries, k=k, label_col=label_col, **kw
             ),
-            hn_exact, ["anchor_id", "neighbor_id"],
-        ),
-        _recall_row(
-            "hardneg_bucketed_4x4", k,
-            hard_negative_mining_bucketed(
-                corpus, queries, k=k, n_tables=4, planes_per_table=4,
-                label_col=label_col, **kw
+            exact_topk, key_qn,
+        ))
+    # Hard-negative rows need labels on BOTH sides; label-free inputs
+    # (every other recall row works without one) skip them rather than
+    # fail the whole report (r15 ADVICE).
+    if label_col in corpus.columns and label_col in queries.columns:
+        hn_exact = hard_negative_mining(
+            corpus, queries, k=k, label_col=label_col, **kw
+        ).localCheckpoint(eager=False)
+        rows += [
+            _recall_row(
+                "hardneg_bucketed_2x8", k,
+                hard_negative_mining_bucketed(
+                    corpus, queries, k=k, n_tables=2, planes_per_table=8,
+                    label_col=label_col, **kw
+                ),
+                hn_exact, ["anchor_id", "neighbor_id"],
             ),
-            hn_exact, ["anchor_id", "neighbor_id"],
-        ),
-    ]
+            _recall_row(
+                "hardneg_bucketed_4x4", k,
+                hard_negative_mining_bucketed(
+                    corpus, queries, k=k, n_tables=4, planes_per_table=4,
+                    label_col=label_col, **kw
+                ),
+                hn_exact, ["anchor_id", "neighbor_id"],
+            ),
+        ]
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

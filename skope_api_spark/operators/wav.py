@@ -62,31 +62,36 @@ def decode_wav(data: bytes):
     audio_fmt, n_ch, rate, _, block_align, bits = fmt
     if n_ch < 1 or rate < 1:
         raise ValueError("invalid channel count or sample rate")
-    # Cap BEFORE any conversion: the sample count is known from the byte
-    # length alone, and converting first would allocate 8 bytes/sample of
-    # float64 — the exact amplification MAX_SAMPLES exists to prevent (a
-    # 2 GB data chunk would transiently take 8 GB before an after-the-fact
-    # check fired; found by the r14 megablob campaign).
-    if bits in (8, 16, 32) and len(raw) // (bits // 8) > MAX_SAMPLES:
+    # Support check FIRST so an unsupported encoding keeps its specific
+    # error even when oversized (r15 ADVICE), THEN cap BEFORE any
+    # conversion: the sample count is known from the byte length alone,
+    # and converting first would allocate 8 bytes/sample of float64 — the
+    # exact amplification MAX_SAMPLES exists to prevent (a 2 GB data
+    # chunk would transiently take 8 GB before an after-the-fact check
+    # fired; found by the r14 megablob campaign). Neither path allocates.
+    if not (
+        (audio_fmt == 1 and bits in _PCM_FMT)
+        or (audio_fmt == 3 and bits == 32)
+    ):
+        raise ValueError(
+            f"unsupported WAV encoding (format {audio_fmt}, {bits}-bit); "
+            "compressed codecs need an injected decoder"
+        )
+    if len(raw) // (bits // 8) > MAX_SAMPLES:
         raise ValueError(
             f"sample count {len(raw) // (bits // 8)} exceeds cap "
             f"{MAX_SAMPLES}"
         )
-    if audio_fmt == 1 and bits in _PCM_FMT:
+    if audio_fmt == 1:
         arr = np.frombuffer(raw[: len(raw) - len(raw) % (bits // 8)],
                             dtype=_PCM_FMT[bits]).astype(np.float64)
         if bits == 8:
             arr = arr - 128.0
         arr = arr / _PCM_SCALE[bits]
-    elif audio_fmt == 3 and bits == 32:
+    else:  # audio_fmt == 3, IEEE float32
         arr = np.frombuffer(
             raw[: len(raw) - len(raw) % 4], dtype="<f4"
         ).astype(np.float64)
-    else:
-        raise ValueError(
-            f"unsupported WAV encoding (format {audio_fmt}, {bits}-bit); "
-            "compressed codecs need an injected decoder"
-        )
     if arr.size > MAX_SAMPLES:
         raise ValueError(f"sample count {arr.size} exceeds cap {MAX_SAMPLES}")
     n_frames = arr.size // n_ch

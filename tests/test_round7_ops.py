@@ -1141,3 +1141,34 @@ def test_line_cutter_randomized_vs_split_slices(spark):
             lines = [l for _, l in sorted(got[i])]
             assert lines == exp, (t, repr(s))
             assert nl[i] == len(exp), (t, repr(s))
+
+def test_recall_report_label_free_inputs_skip_hardneg_rows(spark):
+    """r15 ADVICE: ann_recall_report on a corpus/queries pair WITHOUT a
+    label column must still produce the label-free recall rows
+    (previously it raised AnalysisException from the unconditional
+    hard_negative_mining call); with labels present the label-codebook
+    IVF row and the two hardneg rows are added back."""
+    from skope_api_spark.operators.similarity import ann_recall_report
+
+    base = [1.0 if (d * 7) % 3 else -1.0 for d in range(64)]
+    rows = [
+        (i, [x * (1.0 + 0.1 * i) for x in base], i % 3) for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = df.where(F.col("vec_id") < 3)
+
+    unlabeled = ann_recall_report(
+        df.drop("label"), queries.drop("label"), k=2
+    ).collect()
+    methods = {r.method for r in unlabeled}
+    assert len(unlabeled) == 8
+    assert not any(m.startswith("hardneg") for m in methods)
+    assert "topk_ivf_label" not in methods
+
+    labeled = ann_recall_report(df, queries, k=2).collect()
+    assert {r.method for r in labeled} - methods == {
+        "topk_ivf_label", "hardneg_bucketed_2x8", "hardneg_bucketed_4x4"
+    }
+    assert len(labeled) == 11

@@ -165,3 +165,46 @@ def test_sample_cap_fires_before_conversion():
                            side_effect=AssertionError("allocated!")):
         with pytest.raises(ValueError, match="exceeds cap"):
             decode_wav(data)
+
+def test_unsupported_encoding_keeps_specific_error_even_oversized():
+    """r15 ADVICE: an unsupported encoding (e.g. float fmt=3 at 16-bit, or
+    a compressed codec) must report 'unsupported WAV encoding' — not
+    'exceeds cap' — even when the data chunk is over the sample cap, and
+    must still reject without any numpy allocation."""
+    from unittest import mock
+
+    from skope_api_spark.operators import wav as wav_mod
+
+    n = wav_mod.MAX_SAMPLES + 1_000_000
+    for audio_fmt, bits, width in ((3, 16, 2), (2, 16, 2), (85, 16, 2)):
+        fmt = struct.pack("<HHIIHH", audio_fmt, 1, 16000, 32000, width, bits)
+        data = (
+            b"RIFF" + struct.pack("<I", 36 + width * n) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", width * n) + b"\x00" * (width * n)
+        )
+        with mock.patch.object(np, "frombuffer",
+                               side_effect=AssertionError("allocated!")):
+            with pytest.raises(ValueError, match="unsupported WAV encoding"):
+                decode_wav(data)
+
+
+def test_supported_oversized_still_capped_allocation_free():
+    """The reorder must not weaken the megablob guarantee: a SUPPORTED
+    float32 (fmt=3) bomb over the cap still rejects from byte length
+    alone."""
+    from unittest import mock
+
+    from skope_api_spark.operators import wav as wav_mod
+
+    n = wav_mod.MAX_SAMPLES + 1_000_000
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    data = (
+        b"RIFF" + struct.pack("<I", 36 + 4 * n) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4 * n) + b"\x00" * (4 * n)
+    )
+    with mock.patch.object(np, "frombuffer",
+                           side_effect=AssertionError("allocated!")):
+        with pytest.raises(ValueError, match="exceeds cap"):
+            decode_wav(data)
