@@ -884,6 +884,72 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rk")
 
 
+_HN_BUCKET_TABLES = "\n  UNION\n".join(
+    f"""  SELECT qa.vec_id AS anchor_id, ca.vec_id AS neighbor_id
+  FROM hnb{t} qa JOIN hnb{t} ca ON qa.bucket = ca.bucket
+  WHERE qa.vec_id < 8 AND qa.vec_id <> ca.vec_id"""
+    for t in range(4)
+)
+
+_HN_BUCKET_CTES = ", ".join(
+    f"""hnb{t} AS (
+  SELECT vec_id, {_planes_sql(ops.hyperplanes(16)[4 * t : 4 * t + 4])} AS bucket
+  FROM embeddings
+)"""
+    for t in range(4)
+)
+
+
+@query(
+    "sim_hard_negatives_bucketed",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), {_HN_BUCKET_CTES}, cand AS (
+{_HN_BUCKET_TABLES}
+), ranked AS (
+  SELECT h.anchor_id, ea.label AS anchor_label,
+         h.neighbor_id, en.label AS neighbor_label,
+         list_cosine_similarity(ea.v, en.v) AS cs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY h.anchor_id
+           ORDER BY list_cosine_similarity(ea.v, en.v) DESC,
+                    h.neighbor_id) AS INT) AS rk
+  FROM cand h
+  JOIN c ea ON ea.vec_id = h.anchor_id
+  JOIN c en ON en.vec_id = h.neighbor_id
+  WHERE en.label <> ea.label
+)
+SELECT anchor_id, rk, neighbor_id, ROUND(cs, 4) AS cosine_sim,
+       anchor_label, neighbor_label
+FROM ranked WHERE rk <= 5
+ORDER BY anchor_id, rk
+""",
+)
+def sim_hard_negatives_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hard-negative mining (VERDICT r14 item 3): the
+    bucketed variant's OUTPUT contract — (anchor_id, rk, neighbor_id,
+    cosine, labels) at the 4x4 multiprobe default — pinned directly, not
+    just via its sim_recall_report recall rows. Same 8 anchors as the
+    brute sibling sim_hard_negatives; candidates are the union of four
+    equi-joins on disjoint 4-plane LSH tables (nothing broadcasts,
+    nothing all-pairs — operators/similarity.py::
+    hard_negative_mining_bucketed), so the oracle replays the exact
+    table family from the shared deterministic hyperplanes."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = ops.hard_negative_mining_bucketed(
+        emb, emb.where(F.col("vec_id") < 8), k=5,
+        n_tables=4, planes_per_table=4,
+    )
+    return out.select(
+        "anchor_id",
+        "rk",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "anchor_label",
+        "neighbor_label",
+    ).orderBy("anchor_id", "rk")
+
+
 @query(
     "sim_embedding_covariance",
     oracle="""

@@ -484,3 +484,26 @@ def test_r15_rotation_block_plan_shapes(spark):
     assert "Window" not in plans["spatial_nearest_site"], (
         "nearest-site argmin regressed to a window sort"
     )
+
+def test_sim_hard_negatives_bucketed_plan_shape(spark):
+    """Pins the NEW r15 contract query (VERDICT r14 item 3): the
+    corpus-scale hard-negative path must stay an EQUI-join on the
+    (tbl, bucket) LSH keys — never a cartesian, never a broadcast
+    nested-loop (the whole point vs the brute sibling), and no Python
+    boundary (buckets are JVM-side bit arithmetic)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    plan = (
+        qs["sim_hard_negatives_bucketed"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+              "BatchEvalPython"):
+        assert m not in plan, m
+    # the candidate join keys must survive optimization
+    assert "bucket" in plan and "tbl" in plan
