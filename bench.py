@@ -76,6 +76,71 @@ HEADLINE_EXT = [
 ]
 
 
+# Last recorded QUIET driver bench, per query (BENCH_r13: 13.643 s headline
+# / 27.284 s ext — the most recent uncontended driver recording; the r14
+# driver window was adjudicated as hypervisor contention). Used ONLY to
+# self-label suspected contention (r15, VERDICT r14 item 4): when per-query
+# ratios vs these anchors inflate UNIFORMLY beyond ~1.3x, the run gets
+# contention_suspect=true in the JSON — the exact signature that cost
+# manual arbitration in r12 and r14. A non-uniform inflation (a few
+# queries hot, the rest at par) is NOT flagged: that shape is a code
+# regression and must stay visible. Update the numbers when a newer clean
+# anchor is recorded in PERF.md.
+QUIET_ANCHORS = {
+    "q1_pricing_summary": 0.664,
+    "q3_shipping_priority": 0.734,
+    "q5_local_supplier_volume": 0.838,
+    "top_parts_by_revenue": 0.852,
+    "distinct_agg_suppliers_per_brand": 0.78,
+    "w1_centered_moving_average": 0.293,
+    "w3_rolling_zscore": 0.451,
+    "sessionize_events": 0.554,
+    "range_frame_rolling_hour": 0.442,
+    "asof_join_purchase_to_click": 0.531,
+    "dedup_exact_documents": 0.243,
+    "dedup_minhash_near_duplicates": 2.152,
+    "dedup_simhash_near_duplicates": 1.94,
+    "sim_cosine_topk": 0.71,
+    "sim_lsh_bucket_topk": 1.297,
+    "text_quality_stats": 0.349,
+    "text_tfidf_top_terms": 0.813,
+    "graph_triangle_top_nodes": 2.976,
+    "graph_pagerank_copurchase": 2.741,
+    "stats_auc_chars_vs_lang": 0.497,
+    "hist_equi_depth_price": 3.536,
+    "text_bpe_train_merges": 1.76,
+    "text_bpe_encode_profile": 3.991,
+    "er_customer_record_clusters": 7.746,
+    "sim_pq_topk": 1.24,
+    "spatial_join_points_polygons": 0.953,
+    "stats_ks_price_by_segment": 1.844,
+}
+
+
+def contention_check(all_times: dict[str, float]) -> dict | None:
+    """Uniform-inflation detector vs the committed quiet anchors.
+
+    suspect=true iff the MEDIAN per-query ratio exceeds 1.3 AND >=80% of
+    anchored queries are over 1.2x — the all-boats-rise hypervisor
+    signature. Isolated hot queries keep suspect=false so real
+    regressions are never masked.
+    """
+    ratios = sorted(
+        t / QUIET_ANCHORS[n]
+        for n, t in all_times.items()
+        if QUIET_ANCHORS.get(n)
+    )
+    if len(ratios) < 8:
+        return None
+    med = ratios[len(ratios) // 2]
+    frac = sum(r > 1.2 for r in ratios) / len(ratios)
+    return {
+        "median_ratio_vs_quiet": round(med, 3),
+        "frac_over_1p2": round(frac, 2),
+        "suspect": bool(med > 1.3 and frac >= 0.8),
+    }
+
+
 def host_telemetry() -> dict:
     """Contention snapshot emitted with every bench line (r13, VERDICT r12
     item 2): BENCH_r12 recorded a 46 s headline that was pure host noise
@@ -191,8 +256,11 @@ def main() -> int:
         tele["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
+    contention = contention_check({**times, **times_ext})
     out = {
         "host": tele,
+        "contention": contention,
+        "contention_suspect": bool(contention and contention["suspect"]),
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
