@@ -59,10 +59,17 @@ def _host() -> dict:
 
 def main() -> int:
     names = sys.argv[1:] or list(DEFAULT)
-    sf01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
-    sf1 = os.environ.get(
+    # r15 (VERDICT r14 item 5): the step is configurable so a SECOND
+    # decade (e.g. sf1 -> sf3, scale 3) can confirm an exponent is
+    # flat-or-falling beyond the first. The exponent divides by
+    # log10(scale), so any step size reports on the same scale.
+    lo_name = os.environ.get("SPARK_GRAFT_STAIR_LO", "sf0.1")
+    hi_name = os.environ.get("SPARK_GRAFT_STAIR_HI", "sf1")
+    lo_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    hi_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR", "/root/repo/.localdata/sf1"
     )
+    scale = float(os.environ.get("SPARK_GRAFT_STAIR_SCALE", "10"))
     from skope_api_spark.session import get_spark
 
     spark = get_spark(
@@ -75,7 +82,7 @@ def main() -> int:
     rows = []
     for name in names:
         times = {}
-        for sf_name, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
+        for sf_name, sf_dir in ((lo_name, lo_dir), (hi_name, hi_dir)):
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -83,19 +90,25 @@ def main() -> int:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             times[sf_name] = round(best, 3)
-        ratio = times["sf1"] / times["sf0.1"]
+        ratio = times[hi_name] / times[lo_name]
+        exp = (
+            round(math.log10(ratio) / math.log10(scale), 3)
+            if ratio > 0
+            else None
+        )
         rows.append(
             {
                 "query": name,
-                "sf0.1_s": times["sf0.1"],
-                "sf1_s": times["sf1"],
+                f"{lo_name}_s": times[lo_name],
+                f"{hi_name}_s": times[hi_name],
+                "scale": scale,
                 "ratio": round(ratio, 2),
-                "exponent": round(math.log10(ratio), 3) if ratio > 0 else None,
+                "exponent": exp,
             }
         )
         print(
-            f"{name}: {times['sf0.1']}s -> {times['sf1']}s "
-            f"(x{ratio:.1f}, exp {math.log10(ratio):.2f})",
+            f"{name}: {times[lo_name]}s -> {times[hi_name]}s "
+            f"(x{ratio:.1f}, exp {exp})",
             flush=True,
         )
     print(
