@@ -33,8 +33,12 @@ noise, a VP8L/WebP header claiming the format's 268 MP maximum (must
 hash-FALL-BACK in the feature stage, never allocate or fail the
 batch) plus a legal VP8L decode, a 10 GP-claiming baseline TIFF
 through the raster-ingest reader (loud ValueError from the frombuffer
-count check, no allocation), and a 64-frame animated GIF through
-the frame sampler. Every
+count check, no allocation), a 64-frame animated GIF through
+the frame sampler, and — r15, closing the two remaining slow legal
+paths — a ~0.8 MP progressive (SOF2) JPEG with successive
+approximation + restart markers decoded through pHash, and a
+big-endian multi-strip (short final strip) page-per-band float32
+raster with nodata through geotiff_cells on real executors. Every
 drive asserts the expected classify/quarantine/decode outcome — a
 bomb that allocates, a cap that rejects a legal blob, or a quarantine
 that throws all fail the sweep.
@@ -585,6 +589,25 @@ def _webp_legal_512() -> bytes:
     return vp8l_encode(512, 512, px, channels=3)
 
 
+def _jpeg_prog_1mp() -> bytes:
+    """Legal progressive (SOF2) JPEG at the pure-Python path's practical
+    cap (r15, VERDICT r14 item 7): ~0.8 MP RGB with successive
+    approximation AND restart markers — the two stateful decode paths —
+    sized so encode+decode stays inside the 90 s drive watchdog (the
+    bit-level codec measures ~4.6 s per 512x512; pixel-count caps live in
+    MAX_PIXELS and are covered by the bomb_jpeg drive)."""
+    import numpy as np
+
+    from skope_api_spark.operators.jpeg import jpeg_encode_progressive
+
+    w, h = 1024, 768
+    yy, xx, ch = np.mgrid[0:h, 0:w, 0:3]
+    px = ((xx * 3 + yy * 5 + ch * 40) % 256).astype(np.uint8).tobytes()
+    return jpeg_encode_progressive(
+        w, h, px, successive=True, restart_interval=4
+    )
+
+
 def _gif_anim_64f() -> bytes:
     from skope_api_spark.operators.gif import gif_encode_animation
 
@@ -712,6 +735,49 @@ def _megablob_drives():
         feats = extract_features(df).collect()
         assert len(feats) == 1 and feats[0].feature is not None
 
+    def tiff_multistrip(spark):
+        """Legal multi-strip decode through the geotiff ETL seam (r15,
+        VERDICT r14 item 7): the bomb drive covers the reject path; this
+        drives a big-endian, page-per-band, short-final-strip float32
+        raster with nodata through geotiff_cells on real executors."""
+        import tempfile
+        from datetime import date
+
+        import numpy as np
+
+        from skope_api_spark.sources.geotiff import (
+            geotiff_cells, write_baseline_tiff,
+        )
+
+        h, w, nb = 37, 23, 2
+        rng = np.random.default_rng(15)
+        cube = rng.uniform(-5, 40, (h, w, nb)).astype("float32")
+        cube[3, 5, 0] = np.nan   # nodata holes, one per band
+        cube[30, 1, 1] = np.nan
+        data = write_baseline_tiff(
+            np.where(np.isnan(cube), np.float32(-9999.0), cube),
+            byte_order=">",
+            nodata=-9999.0,
+            rows_per_strip=7,     # 6 strips, final strip 2 rows
+            page_per_band=True,   # one band per IFD
+        )
+        with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as fh:
+            fh.write(data)
+            path = fh.name
+        cells = geotiff_cells(
+            spark, [(path, "drive_ds", "drive_var", "year", date(2000, 1, 1))]
+        ).collect()
+        os.unlink(path)
+        assert len(cells) == h * w * nb, len(cells)
+        by_key = {(r.band, r.row, r.col): r for r in cells}
+        assert by_key[(1, 3, 5)].value is None      # nodata -> NULL
+        assert by_key[(2, 30, 1)].value is None
+        assert by_key[(1, 3, 6)].value is not None  # neighbors survive
+        got = by_key[(2, 36, 22)].value             # short-strip corner
+        want = float(cube[36, 22, 1])
+        assert got is not None and abs(got - want) < 1e-6, (got, want)
+        assert {r.band for r in cells} == {1, 2}
+
     def anim(spark):
         rows = sample_frames(
             _blob_df(spark, _gif_anim_64f),
@@ -750,6 +816,9 @@ def _megablob_drives():
         ("webp_bomb_268mp", webp_bomb),
         ("webp_legal_512", webp_legal),
         ("gif_anim_64f_sample", anim),
+        ("jpeg_progressive_1mp_legal", lambda s: decodes(
+            s, _jpeg_prog_1mp, 1024, 768)),
+        ("tiff_multistrip_legal", tiff_multistrip),
     ]
 
 
