@@ -26,7 +26,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BANDS, ROWS, COLS = 2017, 50, 115
+# SPARK_GRAFT_CUBE_SCALE multiplies the CELL count (grid scales by
+# sqrt(scale) per axis; bands stay 2017 — the reference's fixed time
+# depth). scale=10 -> ~116M cells, the r15 staircase step for the
+# skope-facing spine (VERDICT r14 item 8).
+_SCALE = float(os.environ.get("SPARK_GRAFT_CUBE_SCALE", "1"))
+BANDS = 2017
+ROWS = round(50 * _SCALE**0.5)
+COLS = round(115 * _SCALE**0.5)
 
 
 def main() -> int:

@@ -24,19 +24,46 @@ from skope_api_spark.contract.registry import query
 from skope_api_spark.operators import dedup as ops
 from skope_api_spark.tables import load
 
-_JACCARD_ORACLE_BODY = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+def _jaccard_pairs_ctes(src: str = "documents") -> str:
+    """Exact J>=0.7 pair CTEs via inverted-index join (r15, VERDICT r14
+    item 6). The previous all-pairs cartesian (``sh a JOIN sh b ON
+    a.doc_id < b.doc_id`` + ``list_intersect``) exceeded the 600 s sf1
+    oracle budget, leaving five queries rows-only at sf1. This form is
+    LOSSLESS for the same set: any pair at J >= t shares at least one
+    shingle (J > 0 requires one), and J >= t implies
+    min(|a|,|b|) >= t * max(|a|,|b|) (since |a∩b| <= min and
+    |a∪b| >= max) — the classic AllPairs size filter, inclusive at the
+    boundary (IEEE 0.7 rounds DOWN, so the prefilter is never stricter
+    than the real predicate). The jaccard value is the identical
+    int/int IEEE division: c = |a∩b| via COUNT over the distinct-shingle
+    equi-join, union = na + nb - c. Measured at sf1: 2,010 pairs in
+    55 s vs >600 s timeout (same rows as the pure-Python ground truth).
+    """
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
 sh AS (
   SELECT doc_id,
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                         for i in range(1, len(ws) - 1)]) AS s
   FROM toks
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(a.s || b.s)) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+), inv AS (
+  SELECT doc_id, len(s) AS n, UNNEST(s) AS shingle FROM sh
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS c
+  FROM inv a JOIN inv b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND b.n * 0.7 <= a.n AND a.n * 0.7 <= b.n
+  GROUP BY 1, 2
+), jpairs AS (
+  SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c) AS jaccard
+  FROM cand
+  WHERE c::DOUBLE / (na + nb - c) >= 0.7
+)"""
+
+
+_JACCARD_ORACLE_BODY = f"""
+WITH {_jaccard_pairs_ctes()}
+SELECT doc_a, doc_b, jaccard FROM jpairs
 ORDER BY doc_a, doc_b
 """
 
@@ -81,17 +108,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_duplicate_clusters",
-    oracle="""
-WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                        for i in range(1, len(ws) - 1)]) AS s
-  FROM toks
-), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()}, pairs AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
 ), edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach(u, v) AS (
@@ -116,7 +135,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_clean_corpus_stats",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE q AS (
   SELECT doc_id FROM documents
   WHERE len(string_split(text, ' ')) >= 30
@@ -124,16 +143,8 @@ WITH RECURSIVE q AS (
         / len(string_split(text, ' ')) <= 0.5
 ), kept AS (
   SELECT d.* FROM documents d JOIN q USING (doc_id)
-), toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
-sh AS (
-  SELECT doc_id,
-         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                        for i in range(1, len(ws) - 1)]) AS s
-  FROM toks
-), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+), {_jaccard_pairs_ctes("kept")}, pairs AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
 ), edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach(u, v) AS (
@@ -221,14 +232,26 @@ sh AS (
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                         for i in range(1, len(ws) - 1)]) AS s
   FROM toks
+), invc AS (
+  SELECT doc_id, len(s) AS n, UNNEST(s) AS shingle FROM sh
+  WHERE doc_id % 5 != 0
+), invp AS (
+  SELECT doc_id, len(s) AS n, UNNEST(s) AS shingle FROM sh
+  WHERE doc_id % 5 = 0
+), cand AS (
+  -- same lossless inverted-index + size-filter form as
+  -- _jaccard_pairs_ctes, cross-set (corpus x probes) instead of a < b
+  SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+         ANY_VALUE(c.n) AS nc, ANY_VALUE(p.n) AS np, COUNT(*) AS cnt
+  FROM invc c JOIN invp p
+    ON c.shingle = p.shingle
+   AND p.n * 0.7 <= c.n AND c.n * 0.7 <= p.n
+  GROUP BY 1, 2
 )
-SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
-       len(list_intersect(c.s, p.s))::DOUBLE
-             / len(list_distinct(c.s || p.s)) AS jaccard
-FROM sh c JOIN sh p ON c.doc_id % 5 != 0 AND p.doc_id % 5 = 0
-WHERE len(list_intersect(c.s, p.s))::DOUBLE
-      / len(list_distinct(c.s || p.s)) >= 0.7
-ORDER BY c.doc_id, probe_id
+SELECT doc_id, probe_id, cnt::DOUBLE / (nc + np - cnt) AS jaccard
+FROM cand
+WHERE cnt::DOUBLE / (nc + np - cnt) >= 0.7
+ORDER BY doc_id, probe_id
 """,
 )
 def dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,17 +273,9 @@ def dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_keep_best_rep",
-    oracle="""
-WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                        for i in range(1, len(ws) - 1)]) AS s
-  FROM toks
-), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()}, pairs AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
 ), edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach(u, v) AS (
