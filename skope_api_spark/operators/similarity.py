@@ -431,11 +431,22 @@ def exact_cosine_pairs(
     bucketed/multiprobe paths are measured against (``ann_recall_report``),
     same role the exact n-gram Jaccard baseline plays for MinHash. Never
     the 100 TB path — run it on samples/fixtures only.
+
+    Even a fixture-scale baseline must DISTRIBUTE its quadratic work
+    (r15): the inequality self-join is a BroadcastNestedLoopJoin whose
+    parallelism is the STREAMED side's partitioning, and a small parquet
+    reads as ONE partition — at sf1 that put all 32M pairs in a single
+    task (the documented 30+ min stall behind the sf1 sweep exclusion).
+    Broadcasting the build side explicitly (vectors are a few MB at any
+    fixture SF) and round-robin repartitioning the streamed side fans
+    the same pair space across every core: wall-clock /cores, plan
+    unchanged in kind (still the exact all-pairs baseline by design).
     """
     b = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    a, c = b.alias("a"), b.alias("b")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a, c = b.repartition(par).alias("a"), b.alias("b")
     return (
-        a.join(c, F.col("a.vid") < F.col("b.vid"))
+        a.join(F.broadcast(c), F.col("a.vid") < F.col("b.vid"))
         .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
         .where(F.col("cosine_sim") >= threshold)
         .select(

@@ -507,3 +507,23 @@ def test_sim_hard_negatives_bucketed_plan_shape(spark):
         assert m not in plan, m
     # the candidate join keys must survive optimization
     assert "bucket" in plan and "tbl" in plan
+
+def test_exact_cosine_pairs_distributes_pair_space(spark):
+    """r15: the documented-quadratic exact baseline must still FAN OUT —
+    the BNLJ's parallelism is the streamed side's partitioning, and a
+    small parquet reads as one partition (the sf1 single-task 30+ min
+    stall). Pin: explicit broadcast build side + round-robin exchange on
+    the streamed side, so the pair space splits across cores."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    plan = (
+        qs["sim_exact_cosine_pairs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan[:2000]
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
+        "streamed side lost its repartition — pair space back to one task"
+    )
