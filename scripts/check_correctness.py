@@ -4,8 +4,9 @@
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it with
 the matching ``oracle_sql()`` via DuckDB: row count, column names, and an
 order-insensitive value comparison (columns sorted by name, rows sorted by
-all columns, floats compared to 9 significant digits). Queries with no oracle
-get a rows-only check (>= 0 rows, stable schema).
+all columns, floats compared EXACTLY — only NaN and -0.0 are normalized,
+matching the driver's exact value hash). Queries with no oracle get a
+rows-only check (>= 0 rows, stable schema).
 
 Usage: python scripts/check_correctness.py [query ...]
        python scripts/check_correctness.py --exclude name [name ...]
@@ -63,9 +64,13 @@ def _norm_cell(v):
             return "NaN"
         if v == 0:
             return 0.0
-        # 9 significant digits — tolerant of cross-engine double noise while
-        # still catching real value bugs.
-        return float(f"{v:.9g}")
+        # EXACT — no significant-digit tolerance. The registry is designed
+        # for bit-identical doubles on both engines (integer/decimal-exact
+        # boundaries everywhere a contract rounds); the r15 driver red
+        # (cohort_ltv_curve_quarterly) hid behind the former 9-sig-digit
+        # normalization because 4-dp values >= 1e5 put the rounded digit
+        # past the 9th significant digit. Only NaN and -0.0 normalize.
+        return v
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     return v

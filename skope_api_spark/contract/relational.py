@@ -2751,9 +2751,10 @@ WITH firsts AS (
 )
 SELECT CAST(p.cohort AS DATE) AS cohort, p.age_q,
        CAST(s.cohort_customers AS BIGINT) AS cohort_customers,
-       ROUND(CAST(SUM(p.rev) OVER (PARTITION BY p.cohort ORDER BY p.age_q
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             / s.cohort_customers, 4) AS cum_ltv_per_customer
+       CAST((CAST(SUM(p.rev) OVER (PARTITION BY p.cohort ORDER BY p.age_q
+                   ROWS UNBOUNDED PRECEDING) * 10000 AS BIGINT) * 2
+             + s.cohort_customers) // (2 * s.cohort_customers)
+            AS DOUBLE) / 10000.0 AS cum_ltv_per_customer
 FROM per p JOIN sized s ON p.cohort = s.cohort
 ORDER BY cohort, age_q
 """,
@@ -2765,8 +2766,14 @@ def cohort_ltv_curve_quarterly(
     quarter and quarter-age — the retention economics chart behind
     payback-period decisions. First-order cohorts (one aggregation),
     exact-decimal revenue per (cohort, age) cell, a cumulative window
-    over the report grid, one division per row (4-dp: cents/cohort-size
-    grids cannot tie at 4dp for the same reason as the backtest MAE)."""
+    over the report grid, one division per row. The per-customer LTV is
+    rounded to 4dp by INTEGER cross-multiplication — round(a/n) HALF_UP
+    == (2a+n) DIV (2n) on exact ×1e4 cents units — because double
+    ROUND(cum/n, 4) CAN tie at 4dp for any cohort size 2^k·5^j (e.g.
+    the 8-customer 1997-07 cohort: denominator 800 makes .xxxx5 exactly
+    representable, and Spark HALF_UP vs DuckDB round-half-to-even then
+    disagree — the r15 driver red). Integer arithmetic is bit-identical
+    across engines; the final /10000.0 is the same double op on both."""
     from pyspark.sql import Window as W
 
     orders = load(spark, sf_dir, "orders")
@@ -2790,23 +2797,30 @@ def cohort_ltv_curve_quarterly(
     sized = firsts.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("cohort_customers")
     )
-    w = W.partitionBy("cohort").orderBy("age_q").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
     return (
         per.join(sized, "cohort")
         .select(
             F.to_date("cohort").alias("cohort"),
             "age_q",
             "cohort_customers",
-            F.round(
-                F.sum("rev").over(
-                    W.partitionBy("cohort")
-                    .orderBy("age_q")
-                    .rowsBetween(W.unboundedPreceding, W.currentRow)
-                ).cast("double")
-                / F.col("cohort_customers"),
-                4,
+            F.sum("rev")
+            .over(
+                W.partitionBy("cohort")
+                .orderBy("age_q")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .alias("__cum_rev"),
+        )
+        .select(
+            "cohort",
+            "age_q",
+            "cohort_customers",
+            (
+                F.expr(
+                    "(CAST(__cum_rev * 10000 AS BIGINT) * 2"
+                    " + cohort_customers) DIV (2 * cohort_customers)"
+                )
+                / F.lit(10000.0)
             ).alias("cum_ltv_per_customer"),
         )
         .orderBy("cohort", "age_q")
