@@ -19,7 +19,15 @@ evidence is stale. This script derives that list mechanically:
 4. STALE = last-change > last-green (never-green queries are listed
    separately — before the r15 window lands, that's the recorded 27).
 
-Usage: python scripts/gate_staleness.py [--json]
+Usage: python scripts/gate_staleness.py [--json] [--precise]
+
+``--precise`` sharpens step 2 for the contract module itself: instead of
+"newest commit touching the module file", it uses ``git log -L`` over the
+query function's current line span (decorator through body), so an edit
+to one query in a 60-query module stales only that query. Imported
+non-contract modules (operators/plans the function wraps) stay at module
+granularity — a change to operators/dedup.py legitimately stales every
+dedup query. ~1-2 min for the full registry (one git -L walk per query).
 """
 
 from __future__ import annotations
@@ -85,21 +93,32 @@ def _query_files() -> dict[str, set[str]]:
     return out
 
 
-def _green(entry: dict) -> bool:
+def _green(entry: dict, has_oracle: bool) -> bool:
+    """Full green = rows+schema+hash all True. A hash-less entry counts as
+    green ONLY for queries with no registered oracle (the driver's weaker
+    rows-only check is the strongest evidence that exists for those); an
+    oracle-backed query whose gate entry lacks a hash (oracle timeout ->
+    rows-only) was never value-checked and must NOT satisfy the rotation."""
     if entry.get("err"):
         return False
     if entry.get("hash_match") is not None:
         return bool(
-            entry.get("rows_match")
-            and entry.get("schema_match")
-            and entry.get("hash_match")
+            entry.get("rows_match") is True
+            and entry.get("schema_match") is True
+            and entry.get("hash_match") is True
         )
-    return bool(entry.get("rows_match", entry.get("spark_rows", 0) >= 0))
+    if has_oracle:
+        return False
+    return entry.get("rows_match") is True or (
+        "rows_match" not in entry and entry.get("spark_rows", -1) >= 0
+    )
 
 
 def _last_green() -> dict[str, int]:
     """query -> commit time of the newest CORRECTNESS file where green."""
     import glob
+
+    from skope_api_spark.contract import ORACLES
 
     last: dict[str, int] = {}
     for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
@@ -114,19 +133,73 @@ def _last_green() -> dict[str, int]:
         except ValueError:
             continue
         for q, entry in data.items():
-            if isinstance(entry, dict) and _green(entry):
+            if isinstance(entry, dict) and _green(entry, q in ORACLES):
                 last[q] = max(last.get(q, 0), ts)
     return last
 
 
+def _fn_span_last_change(fn) -> int | None:
+    """Newest commit time touching the query function's current line span
+    (git log -L tracks the range back through renames/moves of the span).
+    None if the span can't be resolved (fall back to module granularity)."""
+    import inspect as _inspect
+
+    try:
+        src_file = _inspect.getsourcefile(fn)
+        lines, start = _inspect.getsourcelines(fn)
+    except (TypeError, OSError):
+        return None
+    if not src_file:
+        return None
+    rel = os.path.relpath(src_file, REPO)
+    # getsourcelines starts at the @query decorator, so the span already
+    # covers the oracle SQL literal plus the function body
+    end = start + len(lines) - 1
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", f"-L{start},{end}:{rel}",
+         "--no-patch"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    for tok in out.split():
+        if tok.isdigit():
+            return int(tok)
+    return None
+
+
 def main() -> int:
+    precise = "--precise" in sys.argv
     changed = _git_last_change()
     qfiles = _query_files()
     greens = _last_green()
 
+    fn_by_query = {}
+    contract_file_by_query = {}
+    if precise:
+        from skope_api_spark.contract import QUERIES
+
+        for q, fn in QUERIES.items():
+            fn_by_query[q] = fn
+            try:
+                f = inspect.getsourcefile(sys.modules[fn.__module__])
+                contract_file_by_query[q] = os.path.relpath(f, REPO)
+            except (TypeError, KeyError):
+                pass
+
     stale, never = [], []
     for q, files in sorted(qfiles.items()):
-        touched = max((changed.get(f, 0) for f in files), default=0)
+        if precise and q in contract_file_by_query:
+            cfile = contract_file_by_query[q]
+            span_ts = _fn_span_last_change(fn_by_query[q])
+            per_file = [
+                changed.get(f, 0) for f in files if f != cfile
+            ]
+            if span_ts is not None:
+                per_file.append(span_ts)
+            else:
+                per_file.append(changed.get(cfile, 0))
+            touched = max(per_file, default=0)
+        else:
+            touched = max((changed.get(f, 0) for f in files), default=0)
         g = greens.get(q)
         if g is None:
             never.append(q)

@@ -34,6 +34,82 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r16 window (VERDICT r15 items 1/4 — first STALE-GREEN rotation
+    # under the post-closure policy recorded below at the r15 block).
+    # Composition (the driver gates the first 50 names; later duplicate
+    # mentions in this tuple are inert — _reorder is first-occurrence-
+    # wins):
+    #   PINNED-until-green: cohort_ltv_curve_quarterly — the r15 red,
+    #     now converted to integer-exact (2a+n) DIV (2n) HALF_UP
+    #     rounding on both engines (relational.py; regression pin in
+    #     tests/test_ltv_rounding.py). Stays pinned until a driver
+    #     window records hash green, the rfm_customer_segments r8
+    #     discipline.
+    #   FIRST-EXPOSURE: sim_hard_negatives_bucketed — registry #263,
+    #     added after the r15 window was pinned; the only query with
+    #     zero driver exposure.
+    #   STANDING KEEPS: mm_media_sniff_quarantine (Arrow-binary
+    #     canary), text_unicode_normalize (mapInPandas text surface),
+    #     ts_gap_fill_interpolate (span-guard carrier),
+    #     skope_reference_raster_zonal (real-raster-bytes rep).
+    #   STALE-GREEN FILL (44): the most-stale greens by
+    #     `scripts/gate_staleness.py --precise` at r16 HEAD — queries
+    #     whose implementation (function span via git log -L, plus
+    #     imported operator modules at module granularity) changed
+    #     after their last driver-window green. Every r15-window query
+    #     not re-listed here recorded its green in CORRECTNESS_r15 and
+    #     cedes; every family keeps at least one gated rep below.
+    "cohort_ltv_curve_quarterly",
+    "sim_hard_negatives_bucketed",
+    "mm_media_sniff_quarantine",
+    "text_unicode_normalize",
+    "ts_gap_fill_interpolate",
+    "skope_reference_raster_zonal",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_signatures",
+    "sim_embedding_near_dup_16planes",
+    "sim_embedding_near_dup_multiprobe",
+    "sim_ivf_topk",
+    "sim_recall_report",
+    "sim_semantic_dedup",
+    "dedup_minhash_cross_corpus",
+    "text_bottomk_fingerprint",
+    "mm_binary_stats",
+    "text_chunk_documents",
+    "text_langid_token_profile",
+    "text_line_filter_c4",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "sim_sq8_topk",
+    "regexp_battery",
+    "lag_lead_deltas",
+    "ranking_suite",
+    "running_cumulative_sum",
+    "value_window_suite",
+    "statistical_aggregates",
+    "anti_join_customers_without_orders",
+    "array_agg_battery",
+    "correlated_subquery_above_avg",
+    "cube_lineitem_flags",
+    "date_functions_sweep",
+    "distinct_agg_suppliers_per_brand",
+    "exists_late_shipment_priority",
+    "grouping_sets_order_matrix",
+    "having_large_order_customers",
+    "histogram_order_prices",
+    "json_scalars_events",
+    "left_join_order_counts",
+    "null_semantics_battery",
+    "order_count_distribution",
+    "pivot_orders_by_priority",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "quantile_stats_orders",
+    # --- end r16 window (50) ---
     # r13 rotation (VERDICT r12 items 1/7/8, executing the recorded r13
     # gate-order plan): twenty r12-driver-VERIFIED, family-redundant
     # entries cede their slots to twenty first-timers — the two largest
