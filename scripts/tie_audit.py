@@ -99,13 +99,26 @@ def _spark_round(x: float, dp: int) -> float:
     )
 
 
+def classify_tie(x: float, dp: int) -> str:
+    """'exact'  — the double IS the tie decimal (dyadic): both engines
+                  round half-away/HALF_UP upward, provably stable.
+       'lucky'  — binary sits above the tie decimal: both round up today,
+                  but a data nudge producing a below-tie double diverges.
+       'diverge'— binary sits below: Spark (repr HALF_UP) rounds up,
+                  DuckDB (binary) rounds down — flips the hash NOW."""
+    exact_bin = Decimal(x)
+    repr_dec = Decimal(repr(x))
+    if exact_bin == repr_dec:
+        return "exact"
+    return "lucky" if exact_bin > repr_dec else "diverge"
+
+
 def _probe(x, dp):
     if x is None:
         return None
     x, dp = float(x), int(dp)
     if is_repr_tie(x, dp):
-        diverges = _spark_round(x, dp) != _duckdb_round(x, dp)
-        TIES.append((_CURRENT[0], x, dp, diverges))
+        TIES.append((_CURRENT[0], x, dp, classify_tie(x, dp)))
     return _duckdb_round(x, dp)
 
 
@@ -113,11 +126,19 @@ def rewrite_round(sql: str) -> str:
     """Rewrite every ``ROUND(expr[, dp])`` to ``TIEPROBE(expr, dp)``
     (dp=0 when absent), walking balanced parens so one-arg calls get an
     explicit 0 — DuckDB python UDFs don't overload arity."""
+    # spans of single-quoted string literals — ROUND inside them is data
+    str_spans = [m.span() for m in re.finditer(r"'[^']*'", sql)]
+
+    def _in_literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in str_spans)
+
     out = []
     i = 0
     pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
     while True:
         m = pat.search(sql, i)
+        while m and _in_literal(m.start()):
+            m = pat.search(sql, m.end())
         if not m:
             out.append(sql[i:])
             break
@@ -180,6 +201,7 @@ def main(selected: list[str]) -> int:
         sql = ORACLES[name]
         probed = rewrite_round(sql)
         if probed == sql:
+            print(f"{'no-round':>14}  {name}")
             continue  # no ROUND anywhere — nothing to audit
         _CURRENT[0] = name
         before = len(TIES)
@@ -193,32 +215,44 @@ def main(selected: list[str]) -> int:
             n_err += 1
             continue
         new = TIES[before:]
-        n_div = sum(1 for t in new if t[3])
+        n_div = sum(1 for t in new if t[3] == "diverge")
+        n_lucky = sum(1 for t in new if t[3] == "lucky")
         if n_div:
             status = f"DIVERGE x{n_div}"
+        elif n_lucky:
+            status = f"LUCKY x{n_lucky}"
         elif new:
-            status = f"tie-agree x{len(new)}"
+            status = f"exact-tie x{len(new)}"
         else:
             status = "clean"
         print(f"{status:>14}  {name} ({time.time() - t0:.1f}s)")
 
     print()
-    diverging = [t for t in TIES if t[3]]
-    agreeing = [t for t in TIES if not t[3]]
-    if agreeing:
+    by = {"exact": [], "lucky": [], "diverge": []}
+    for t in TIES:
+        by[t[3]].append(t)
+    if by["exact"]:
         print(
-            f"{len(agreeing)} repr-tie cells where both engines AGREE (dyadic"
-            " exact ties / binary-at-or-above: both round up) — latent only:"
+            f"{len(by['exact'])} EXACT (dyadic) tie cells — both engines"
+            " round up, provably stable; no action needed:"
         )
-        for q, v, dp, _ in agreeing[:40]:
+        for q, v, dp, _ in by["exact"][:40]:
             print(f"  {q}: ROUND({v!r}, {dp})")
-    if diverging:
-        print(f"{len(diverging)} DIVERGING tie cells — these flip the hash:")
-        for q, v, dp, _ in diverging:
+    if by["lucky"]:
+        print(
+            f"{len(by['lucky'])} LUCKY tie cells — binary above the tie,"
+            " engines agree TODAY but the class is one data-nudge from"
+            " diverging; convert to integer/decimal-exact rounding:"
+        )
+        for q, v, dp, _ in by["lucky"]:
             print(f"  {q}: ROUND({v!r}, {dp})")
-    else:
-        print("0 diverging ties across all audited oracles at", SF_DIR)
-    return 1 if (diverging or n_err) else 0
+    if by["diverge"]:
+        print(f"{len(by['diverge'])} DIVERGING tie cells — flip the hash NOW:")
+        for q, v, dp, _ in by["diverge"]:
+            print(f"  {q}: ROUND({v!r}, {dp})")
+    if not (by["lucky"] or by["diverge"]):
+        print("0 diverging/lucky ties across all audited oracles at", SF_DIR)
+    return 1 if (by["diverge"] or by["lucky"] or n_err) else 0
 
 
 if __name__ == "__main__":

@@ -107,8 +107,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "quantile_stats_orders",
+    # r16 tie-audit conversions (integer-exact rounding landed this
+    # round; their pre-conversion greens are definitionally stale, so
+    # they take the two tail fill slots — q6_forecast_revenue /
+    # quantile_stats_orders keep their r15 greens and rotate next):
+    "ts_seasonal_decompose_orders",
+    "text_readability_scores",
     # --- end r16 window (50) ---
     # r13 rotation (VERDICT r12 items 1/7/8, executing the recorded r13
     # gate-order plan): twenty r12-driver-VERIFIED, family-redundant

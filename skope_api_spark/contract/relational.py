@@ -77,7 +77,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_orderkey,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) * 2 + 100) // 200 AS DOUBLE) / 100.0 AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -87,7 +88,8 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15'
   AND l_shipdate  > TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderdate, l_orderkey
+ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT)) DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
 )
@@ -99,18 +101,33 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # registry money-sum rule (money_ticks): exact BIGINT ten-thousandth
+    # accumulation; the 2dp contract value is integer HALF_UP of the
+    # exact ticks ((2a+100) DIV 200 cents) — the r16 tie audit found a
+    # repr-tie group (151818.235, pre-LIMIT) where the legacy
+    # ROUND(SUM(double), 2) diverges cross-engine. Order by the INTEGER
+    # sum so the top-k can never flip on double conversion.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                money_ticks(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("__ticks")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .select(
+            "l_orderkey",
+            (
+                F.expr("(__ticks * 2 + 100) DIV 200").cast("double") / F.lit(100.0)
+            ).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            "__ticks",
+        )
+        .orderBy(F.desc("__ticks"), "o_orderdate", "l_orderkey")
         .limit(10)
+        .drop("__ticks")
     )
 
 

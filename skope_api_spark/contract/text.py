@@ -1481,11 +1481,25 @@ WITH base AS (
 SELECT doc_id, CAST(words AS BIGINT) AS n_words,
        CAST(sentences AS BIGINT) AS n_sentences,
        CAST(syllables AS BIGINT) AS n_syllables,
-       ROUND(206.835 - 1.015 * (words / sentences)
-             - 84.6 * (syllables / words), 4) AS flesch_ease,
-       ROUND(0.39 * (words / sentences)
-             + 11.8 * (syllables / words) - 15.59, 4) AS fk_grade
-FROM base
+       CAST(CASE WHEN nf >= 0 THEN (2*nf + d) // (2*d)
+                 ELSE -((-2*nf + d) // (2*d)) END AS DOUBLE) / 10000.0
+         AS flesch_ease,
+       CAST(CASE WHEN nk >= 0 THEN (2*nk + d) // (2*d)
+                 ELSE -((-2*nk + d) // (2*d)) END AS DOUBLE) / 10000.0
+         AS fk_grade
+FROM (
+  SELECT doc_id, words, sentences, syllables,
+         CAST(words AS BIGINT) * CAST(sentences AS BIGINT) AS d,
+         2068350 * CAST(words AS BIGINT) * CAST(sentences AS BIGINT)
+           - 10150 * CAST(words AS BIGINT) * CAST(words AS BIGINT)
+           - 846000 * CAST(syllables AS BIGINT) * CAST(sentences AS BIGINT)
+           AS nf,
+         3900 * CAST(words AS BIGINT) * CAST(words AS BIGINT)
+           + 118000 * CAST(syllables AS BIGINT) * CAST(sentences AS BIGINT)
+           - 155900 * CAST(words AS BIGINT) * CAST(sentences AS BIGINT)
+           AS nk
+  FROM base
+)
 ORDER BY doc_id
 """,
 )
@@ -1494,32 +1508,63 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic readability quality signals, with the standard vowel-group
     syllable heuristic (public formulas). Whole-corpus in-scan regexp
     counts; sentence/syllable floors of 1 keep the divisions total.
-    Scores are pure arithmetic on exact integer counts (4-dp rounded).
-    """
+    The 4-dp scores are INTEGER-exact: both formulas have 3-dp rational
+    coefficients, so score*1e4 = N/(w*s) with BIGINT N — the r16 tie
+    audit found true .xxxx5 ties at sf0.01 (e.g. fk 12.74625) where
+    double ROUND agreed across engines only by binary luck. Half-away-
+    from-zero is computed sign-split ((2|N|+D) DIV (2D)) because DIV
+    truncates in Spark but // floors in DuckDB — identical only on
+    non-negatives."""
     docs = load(spark, sf_dir, "documents")
-    words = F.size(F.split(F.col("text"), " ")).cast("double")
+    words = F.size(F.split(F.col("text"), " ")).cast("long")
     sentences = F.greatest(
         F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
-    ).cast("double")
+    ).cast("long")
     syllables = F.greatest(
         F.size(
             F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
         ),
         F.lit(1),
-    ).cast("double")
-    return docs.select(
+    ).cast("long")
+    base = docs.select(
         "doc_id",
-        words.cast("long").alias("n_words"),
-        sentences.cast("long").alias("n_sentences"),
-        syllables.cast("long").alias("n_syllables"),
-        F.round(
-            206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words),
-            4,
-        ).alias("flesch_ease"),
-        F.round(
-            0.39 * (words / sentences) + 11.8 * (syllables / words) - 15.59,
-            4,
-        ).alias("fk_grade"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.col("n_words") * F.col("n_sentences")).alias("__d"),
+        (
+            F.lit(2068350) * F.col("n_words") * F.col("n_sentences")
+            - F.lit(10150) * F.col("n_words") * F.col("n_words")
+            - F.lit(846000) * F.col("n_syllables") * F.col("n_sentences")
+        ).alias("__nf"),
+        (
+            F.lit(3900) * F.col("n_words") * F.col("n_words")
+            + F.lit(118000) * F.col("n_syllables") * F.col("n_sentences")
+            - F.lit(155900) * F.col("n_words") * F.col("n_sentences")
+        ).alias("__nk"),
+    )
+
+    def half_away(n: str) -> F.Column:
+        return (
+            F.expr(
+                f"CASE WHEN {n} >= 0 THEN (2 * {n} + __d) DIV (2 * __d)"
+                f" ELSE -((-2 * {n} + __d) DIV (2 * __d)) END"
+            ).cast("double")
+            / F.lit(10000.0)
+        )
+
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        half_away("__nf").alias("flesch_ease"),
+        half_away("__nk").alias("fk_grade"),
     ).orderBy("doc_id")
 
 

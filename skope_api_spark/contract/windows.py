@@ -555,7 +555,8 @@ WITH m AS (
 ), g AS (SELECT AVG(smean) AS grand FROM s)
 SELECT CAST(t.mon0 AS DATE) AS mon, t.season,
        ROUND(t.v, 2) AS v,
-       ROUND(t.trend, 4) AS trend,
+       CAST((25 * CAST(ROUND(t.trend * 2400) AS BIGINT) + 3) // 6
+            AS DOUBLE) / 10000.0 AS trend,
        (ROUND(s.smean - g.grand, 4) + 0.0) AS seasonal,
        (ROUND(t.v - t.trend - (s.smean - g.grand), 4) + 0.0) AS residual
 FROM t JOIN s USING (season) CROSS JOIN g
@@ -568,7 +569,14 @@ def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     MA trend (half-weight endpoints — no seasonal leakage into the
     trend), zero-centered per-month seasonal means, residual. Revenue
     follows the registry money-sum rule (exact DECIMAL(18,2)
-    accumulation, double only at the edge)."""
+    accumulation, double only at the edge). The 4-dp trend rounds by
+    INTEGER HALF_UP, not double ROUND: trend is exactly A/2400 dollars
+    for integer A (13-month cents sum with half-weight endpoints, /12),
+    so trend*1e4 = 25A/6 CAN land on true .xxxx5 ties — the r16 tie
+    audit found three at sf0.01 where double ROUND agreed across
+    engines only by binary luck. Both engines recover the same A =
+    ROUND(trend*2400) (their trend doubles differ by ulps, far under
+    the 1/4800 gap) and emit (25A+3) DIV 6 over 1e4 — bit-identical."""
     from skope_api_spark.operators.windows import seasonal_decompose
 
     orders = load(spark, sf_dir, "orders")
@@ -587,7 +595,11 @@ def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mon0").cast("date").alias("mon"),
         "season",
         F.round("v", 2).alias("v"),
-        F.round("trend", 4).alias("trend"),
+        (
+            F.expr("(25 * CAST(ROUND(trend * 2400) AS BIGINT) + 3) DIV 6")
+            .cast("double")
+            / F.lit(10000.0)
+        ).alias("trend"),
         round_nz("seasonal", 4).alias("seasonal"),
         round_nz("residual", 4).alias("residual"),
     ).orderBy("mon")
