@@ -124,6 +124,17 @@ def contention_check(all_times: dict[str, float]) -> dict | None:
     anchored queries are over 1.2x — the all-boats-rise hypervisor
     signature. Isolated hot queries keep suspect=false so real
     regressions are never masked.
+
+    SEMANTICS (r16, ADVICE r15): suspect=true means "retry under quiet
+    conditions REQUIRED", never exoneration — a genuine global
+    regression (a session/config change inflating every query ~1.5x)
+    produces the same uniform shape. The disambiguator is persistence:
+    hypervisor windows pass, code regressions don't. When the LAST
+    `PERSISTENT_N` recorded driver rounds (BENCH_r*.json) were all
+    uniformly inflated too, the run additionally sets
+    persistent_uniform_inflation=true — treat THAT as a regression until
+    a quiet-host run proves otherwise (and if a quiet-host bracket
+    agrees with the anchors, re-anchor instead; see QUIET_ANCHORS note).
     """
     ratios = sorted(
         t / QUIET_ANCHORS[n]
@@ -134,11 +145,40 @@ def contention_check(all_times: dict[str, float]) -> dict | None:
         return None
     med = ratios[len(ratios) // 2]
     frac = sum(r > 1.2 for r in ratios) / len(ratios)
-    return {
+    suspect = bool(med > 1.3 and frac >= 0.8)
+    out = {
         "median_ratio_vs_quiet": round(med, 3),
         "frac_over_1p2": round(frac, 2),
-        "suspect": bool(med > 1.3 and frac >= 0.8),
+        "suspect": suspect,
     }
+    if suspect:
+        prior = _prior_round_median_ratios()
+        if len(prior) >= PERSISTENT_N and all(
+            r is not None and r > 1.3 for r in prior[-PERSISTENT_N:]
+        ):
+            out["persistent_uniform_inflation"] = True
+    return out
+
+
+PERSISTENT_N = 3
+
+
+def _prior_round_median_ratios() -> list:
+    """median_ratio_vs_quiet from the last recorded driver BENCH_r*.json
+    lines (None where a round predates the detector or didn't parse)."""
+    import glob
+    import re as _re
+
+    out = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            blob = open(path).read()
+        except OSError:
+            continue
+        m = _re.search(r'"median_ratio_vs_quiet":\s*([0-9.]+)', blob)
+        out.append(float(m.group(1)) if m else None)
+    return out
 
 
 def host_telemetry() -> dict:

@@ -65,10 +65,29 @@ def main() -> int:
     # log10(scale), so any step size reports on the same scale.
     lo_name = os.environ.get("SPARK_GRAFT_STAIR_LO", "sf0.1")
     hi_name = os.environ.get("SPARK_GRAFT_STAIR_HI", "sf1")
-    lo_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
-    hi_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR", "/root/repo/.localdata/sf1"
+    # r16 (ADVICE r15): label-aligned dir vars. STAIR_LO_DIR/HI_DIR are
+    # the canonical pair; the legacy SF01_DIR/SF1_DIR names remain as
+    # fallbacks but are misleading for a non-sf0.1->sf1 step. If a dir's
+    # basename looks like an sf name and disagrees with its label, abort
+    # rather than record a mislabeled datapoint.
+    lo_dir = os.environ.get(
+        "SPARK_GRAFT_STAIR_LO_DIR",
+        os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1"),
     )
+    hi_dir = os.environ.get(
+        "SPARK_GRAFT_STAIR_HI_DIR",
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.localdata/sf1"),
+    )
+    for label, d in ((lo_name, lo_dir), (hi_name, hi_dir)):
+        base = os.path.basename(os.path.normpath(d))
+        if base.startswith("sf") and base != label:
+            print(
+                f"label/dir mismatch: {label!r} points at {d!r} "
+                f"(basename {base!r}) — set SPARK_GRAFT_STAIR_LO_DIR/"
+                "HI_DIR (or fix STAIR_LO/HI) so labels match the data",
+                file=sys.stderr,
+            )
+            return 2
     scale = float(os.environ.get("SPARK_GRAFT_STAIR_SCALE", "10"))
     from skope_api_spark.session import get_spark
 

@@ -424,6 +424,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup baseline — documented QUADRATIC.
 
@@ -441,8 +442,23 @@ def exact_cosine_pairs(
     fixture SF) and round-robin repartitioning the streamed side fans
     the same pair space across every core: wall-clock /cores, plan
     unchanged in kind (still the exact all-pairs baseline by design).
+
+    The explicit ``F.broadcast`` bypasses autoBroadcastJoinThreshold, so
+    a guard (r16, ADVICE r15) refuses corpora over ``max_broadcast_rows``
+    with a clear error instead of a silent driver/executor OOM — at that
+    size the quadratic baseline is the wrong tool regardless; use the
+    bucketed/LSH/IVF paths and sample-based recall instead.
     """
     b = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    n = b.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"exact_cosine_pairs: {n} vectors exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; the all-pairs baseline broadcasts the "
+            "full vector table and is quadratic by design — run it on a "
+            "sample, or use lsh_bucket_topk / ivf_topk / "
+            "embedding_near_duplicates for corpus-scale similarity"
+        )
     par = df.sparkSession.sparkContext.defaultParallelism
     a, c = b.repartition(par).alias("a"), b.alias("b")
     return (

@@ -58,3 +58,38 @@ def test_borderline_uniformity_requires_both_conditions():
         run[n] = bench.QUIET_ANCHORS[n] * (1.5 if i % 2 == 0 else 1.0)
     c = bench.contention_check(run)
     assert c["suspect"] is False
+
+
+def test_persistent_uniform_inflation_marks_regression(monkeypatch):
+    """r16 (ADVICE r15): suspect=true is 'retry required', not
+    exoneration — when the last PERSISTENT_N recorded driver rounds were
+    ALSO uniformly inflated, the run must carry
+    persistent_uniform_inflation=true (a hypervisor window passes; a
+    global code/config regression persists)."""
+    run = {n: t * 1.5 for n, t in bench.QUIET_ANCHORS.items()}
+    monkeypatch.setattr(
+        bench, "_prior_round_median_ratios", lambda: [1.0, 1.45, 1.5, 1.42]
+    )
+    c = bench.contention_check(run)
+    assert c["suspect"] is True
+    assert c.get("persistent_uniform_inflation") is True
+
+
+def test_one_quiet_round_breaks_persistence(monkeypatch):
+    monkeypatch.setattr(
+        bench, "_prior_round_median_ratios", lambda: [1.45, 1.05, 1.5]
+    )
+    c = bench.contention_check(
+        {n: t * 1.5 for n, t in bench.QUIET_ANCHORS.items()}
+    )
+    assert c["suspect"] is True
+    assert "persistent_uniform_inflation" not in c
+
+
+def test_clean_run_never_checks_persistence(monkeypatch):
+    monkeypatch.setattr(
+        bench, "_prior_round_median_ratios",
+        lambda: (_ for _ in ()).throw(AssertionError("must not be called")),
+    )
+    c = bench.contention_check(dict(bench.QUIET_ANCHORS))
+    assert c["suspect"] is False

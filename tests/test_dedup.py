@@ -332,3 +332,62 @@ class TestRemoveDuplicateSpansNulls:
         }
         assert out[1] is None
         assert out[2] is not None
+
+
+class TestJaccardEmptyShingleContract:
+    """r15 ADVICE: the inverted-index oracle rewrite (contract/dedup.py::
+    _jaccard_pairs_ctes) can never emit a pair of sub-3-token documents
+    (empty shingle sets produce no inverted-index rows), while the old
+    all-pairs form computed 0/0 — NaN, which DuckDB orders above all
+    values so NaN >= 0.7 passed. The Spark side excludes the same pairs
+    via try_divide -> NULL. This fixture makes that exclusion an explicit
+    cross-engine contract rather than an accident of the join shape."""
+
+    TEXTS = [
+        (1, "hi there"),            # 2 tokens: empty shingle set
+        (2, "hi there"),            # identical 2-token twin of 1
+        (3, "solo"),                # 1 token
+        (4, "a b c d e f g h"),     # near-dup pair with 5 (J = 6/8)
+        (5, "a b c d e f g q"),
+        (6, "x y z totally different tokens here"),
+    ]
+
+    def _write_docs(self, tmp_path) -> str:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            [
+                (i, t, "en", "fixture", len(t))
+                for i, t in self.TEXTS
+            ],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        df.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        return str(tmp_path)
+
+    def test_spark_and_oracle_both_exclude_empty_shingle_pairs(
+        self, spark, tmp_path
+    ):
+        import duckdb
+
+        from skope_api_spark.contract import ORACLES, QUERIES
+
+        sf_dir = self._write_docs(tmp_path)
+        got = [
+            (r.doc_a, r.doc_b)
+            for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        oracle = [
+            (r[0], r[1])
+            for r in con.execute(ORACLES["dedup_ngram_jaccard_pairs"]).fetchall()
+        ]
+        assert got == oracle
+        # the identical sub-3-token twins (1, 2) must NOT pair on either
+        # engine, despite being exact duplicates of each other
+        assert (1, 2) not in got
+        assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in got)

@@ -527,3 +527,23 @@ def test_exact_cosine_pairs_distributes_pair_space(spark):
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
         "streamed side lost its repartition — pair space back to one task"
     )
+
+
+def test_exact_cosine_pairs_refuses_oversized_broadcast(spark):
+    """r16 (ADVICE r15): the explicit F.broadcast bypasses
+    autoBroadcastJoinThreshold, so a corpus beyond max_broadcast_rows
+    must fail with a clear redirect to the bucketed paths, not a
+    driver/executor OOM."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from skope_api_spark.operators.similarity import exact_cosine_pairs
+
+    vecs = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        exact_cosine_pairs(vecs, max_broadcast_rows=4).collect()
+    # at or under the cap the baseline still runs
+    assert exact_cosine_pairs(vecs, max_broadcast_rows=8).count() == 28
