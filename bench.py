@@ -76,44 +76,48 @@ HEADLINE_EXT = [
 ]
 
 
-# Last recorded QUIET driver bench, per query (BENCH_r13: 13.643 s headline
-# / 27.284 s ext — the most recent uncontended driver recording; the r14
-# driver window was adjudicated as hypervisor contention). Used ONLY to
-# self-label suspected contention (r15, VERDICT r14 item 4): when per-query
-# ratios vs these anchors inflate UNIFORMLY beyond ~1.3x, the run gets
-# contention_suspect=true in the JSON — the exact signature that cost
-# manual arbitration in r12 and r14. A non-uniform inflation (a few
-# queries hot, the rest at par) is NOT flagged: that shape is a code
-# regression and must stay visible. Update the numbers when a newer clean
-# anchor is recorded in PERF.md.
+# Per-query quiet anchors for the contention self-labeler (r15, VERDICT
+# r14 item 4): when per-query ratios vs these inflate UNIFORMLY beyond
+# ~1.3x, the run gets contention_suspect=true — the all-boats-rise
+# hypervisor signature that cost manual arbitration in r12 and r14. A
+# non-uniform inflation (a few queries hot, the rest at par) is NOT
+# flagged: that shape is a code regression and must stay visible.
+#
+# RE-ANCHORED r16 (VERDICT r15 item 5): the r13 anchors sat ~1.25x below
+# every r15-observable run (median ratio 1.235 on a clean bracket — 0.065
+# from the 1.3 trigger), which would eventually misfire suspect=true on
+# clean runs. Policy executed: three consecutive suspect=false same-HEAD
+# brackets agreeing within 5% (16.582 / 16.444 / 16.107 s headline,
+# medians 1.165 / 1.186 / 1.124 vs r13) -> anchors = per-query MIN across
+# that bracket. Re-anchor again only under the same rule.
 QUIET_ANCHORS = {
-    "q1_pricing_summary": 0.664,
-    "q3_shipping_priority": 0.734,
-    "q5_local_supplier_volume": 0.838,
-    "top_parts_by_revenue": 0.852,
-    "distinct_agg_suppliers_per_brand": 0.78,
-    "w1_centered_moving_average": 0.293,
-    "w3_rolling_zscore": 0.451,
-    "sessionize_events": 0.554,
-    "range_frame_rolling_hour": 0.442,
-    "asof_join_purchase_to_click": 0.531,
-    "dedup_exact_documents": 0.243,
-    "dedup_minhash_near_duplicates": 2.152,
-    "dedup_simhash_near_duplicates": 1.94,
-    "sim_cosine_topk": 0.71,
-    "sim_lsh_bucket_topk": 1.297,
-    "text_quality_stats": 0.349,
-    "text_tfidf_top_terms": 0.813,
-    "graph_triangle_top_nodes": 2.976,
-    "graph_pagerank_copurchase": 2.741,
-    "stats_auc_chars_vs_lang": 0.497,
-    "hist_equi_depth_price": 3.536,
-    "text_bpe_train_merges": 1.76,
-    "text_bpe_encode_profile": 3.991,
-    "er_customer_record_clusters": 7.746,
-    "sim_pq_topk": 1.24,
-    "spatial_join_points_polygons": 0.953,
-    "stats_ks_price_by_segment": 1.844,
+    "q1_pricing_summary": 0.593,
+    "q3_shipping_priority": 0.762,
+    "q5_local_supplier_volume": 0.937,
+    "top_parts_by_revenue": 0.955,
+    "distinct_agg_suppliers_per_brand": 0.819,
+    "w1_centered_moving_average": 0.359,
+    "w3_rolling_zscore": 0.397,
+    "sessionize_events": 0.582,
+    "range_frame_rolling_hour": 0.506,
+    "asof_join_purchase_to_click": 0.631,
+    "dedup_exact_documents": 0.277,
+    "dedup_minhash_near_duplicates": 2.553,
+    "dedup_simhash_near_duplicates": 2.418,
+    "sim_cosine_topk": 0.828,
+    "sim_lsh_bucket_topk": 1.409,
+    "text_quality_stats": 0.397,
+    "text_tfidf_top_terms": 0.814,
+    "graph_triangle_top_nodes": 3.559,
+    "graph_pagerank_copurchase": 2.927,
+    "stats_auc_chars_vs_lang": 0.64,
+    "hist_equi_depth_price": 3.854,
+    "text_bpe_train_merges": 1.787,
+    "text_bpe_encode_profile": 3.802,
+    "er_customer_record_clusters": 7.736,
+    "sim_pq_topk": 1.208,
+    "spatial_join_points_polygons": 1.069,
+    "stats_ks_price_by_segment": 1.986,
 }
 
 
