@@ -99,7 +99,7 @@ def collect_with_timeout(spark: SparkSession, df: DataFrame, timeout_ms: int):
     timer = threading.Timer(timeout_ms / 1000.0, cancel)
     timer.start()
     try:
-        return df.collect()
+        out = df.collect()
     except Exception as ex:  # noqa: BLE001
         if fired.is_set():
             raise TimeseriesTimeoutError(
@@ -109,6 +109,14 @@ def collect_with_timeout(spark: SparkSession, df: DataFrame, timeout_ms: int):
     finally:
         timer.cancel()
         sc.setJobGroup("", "", False)
+    if fired.is_set():
+        # The deadline is authoritative: cancelJobGroup no-ops when it
+        # fires before the job is submitted (planning/analysis can exceed
+        # a short budget), and the collect then completes anyway. The
+        # reference 504s on deadline regardless (services.py:187-201) —
+        # a result that arrives after the budget is still a timeout.
+        raise TimeseriesTimeoutError(f"processing exceeded {timeout_ms} ms")
+    return out
 
 
 def _summary(values: list[float | None]) -> tuple[float | None, float | None, float | None]:
