@@ -540,68 +540,131 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT date_trunc('month', o_orderdate) AS mon0,
          CAST(month(o_orderdate) AS INT) AS season,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
   FROM orders GROUP BY 1, 2
 ), t AS (
-  SELECT mon0, season, v,
+  SELECT mon0, season, c,
          CASE WHEN COUNT(*) OVER w = 13
-              THEN (SUM(v) OVER w
-                    - 0.5 * LAG(v, 6) OVER o
-                    - 0.5 * LEAD(v, 6) OVER o) / 12.0 END AS trend
+              THEN 2 * SUM(c) OVER w - LAG(c, 6) OVER o - LEAD(c, 6) OVER o
+         END AS a
   FROM m WINDOW w AS (ORDER BY mon0 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
               o AS (ORDER BY mon0)
+), cy AS (
+  SELECT year(mon0) AS yr FROM m GROUP BY 1 HAVING COUNT(*) = 12
+), cm AS (
+  SELECT m.season, m.c FROM m JOIN cy ON year(m.mon0) = cy.yr
 ), s AS (
-  SELECT season, AVG(v) AS smean FROM m GROUP BY season
-), g AS (SELECT AVG(smean) AS grand FROM s)
+  SELECT season, SUM(c) AS ts FROM cm GROUP BY season
+), g AS (
+  SELECT (SELECT COUNT(*) FROM cy) AS n, COALESCE(SUM(c), 0) AS tot FROM cm
+)
 SELECT CAST(t.mon0 AS DATE) AS mon, t.season,
-       ROUND(t.v, 2) AS v,
-       CAST((25 * CAST(ROUND(t.trend * 2400) AS BIGINT) + 3) // 6
-            AS DOUBLE) / 10000.0 AS trend,
-       (ROUND(s.smean - g.grand, 4) + 0.0) AS seasonal,
-       (ROUND(t.v - t.trend - (s.smean - g.grand), 4) + 0.0) AS residual
-FROM t JOIN s USING (season) CROSS JOIN g
+       ROUND(CAST(t.c AS DOUBLE) / 100.0, 2) AS v,
+       CAST((25 * t.a + 3) // 6 AS DOUBLE) / 10000.0 AS trend,
+       CASE WHEN g.n > 0 THEN CAST(
+         CASE WHEN 12 * s.ts - g.tot >= 0
+              THEN (50 * (12 * s.ts - g.tot) + 3 * g.n) // (6 * g.n)
+              ELSE -((-50 * (12 * s.ts - g.tot) + 3 * g.n) // (6 * g.n))
+         END AS DOUBLE) / 10000.0 END AS seasonal,
+       CASE WHEN t.a IS NOT NULL AND g.n > 0 THEN CAST(
+         CASE WHEN 24 * g.n * t.c - g.n * t.a - 2 * (12 * s.ts - g.tot) >= 0
+              THEN (50 * (24 * g.n * t.c - g.n * t.a - 2 * (12 * s.ts - g.tot))
+                    + 6 * g.n) // (12 * g.n)
+              ELSE -((-50 * (24 * g.n * t.c - g.n * t.a - 2 * (12 * s.ts - g.tot))
+                      + 6 * g.n) // (12 * g.n))
+         END AS DOUBLE) / 10000.0 END AS residual
+FROM t LEFT JOIN s USING (season) CROSS JOIN g
 ORDER BY mon
 """,
 )
 def ts_seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive decomposition of the monthly revenue series
-    (operators/windows.py::seasonal_decompose): classical 2x12 centered
-    MA trend (half-weight endpoints — no seasonal leakage into the
-    trend), zero-centered per-month seasonal means, residual. Revenue
-    follows the registry money-sum rule (exact DECIMAL(18,2)
-    accumulation, double only at the edge). The 4-dp trend rounds by
-    INTEGER HALF_UP, not double ROUND: trend is exactly A/2400 dollars
-    for integer A (13-month cents sum with half-weight endpoints, /12),
-    so trend*1e4 = 25A/6 CAN land on true .xxxx5 ties — the r16 tie
-    audit found three at sf0.01 where double ROUND agreed across
-    engines only by binary luck. Both engines recover the same A =
-    ROUND(trend*2400) (their trend doubles differ by ulps, far under
-    the 1/4800 gap) and emit (25A+3) DIV 6 over 1e4 — bit-identical."""
-    from skope_api_spark.operators.windows import seasonal_decompose
+    """Classical additive decomposition of the monthly revenue series:
+    2x12 centered-MA trend (half-weight endpoints — no seasonal phase
+    leaks into the trend), zero-centered per-month seasonal means over
+    COMPLETE calendar years, residual = value - trend - seasonal. Pins
+    the semantics of operators/windows.py::seasonal_decompose (same
+    trend formula; the operator's own unit tests cover the float path)
+    in a fully INTEGER-EXACT form, because the double path is not
+    cross-engine reproducible at scale: window/aggregate sums associate
+    in engine-specific orders, so Spark's and DuckDB's pre-round
+    doubles differ by ulps and can straddle a 4-dp rounding boundary —
+    observed at sf1 (residual 18216835.2162 vs .2163), invisible to the
+    oracle-side tie audit since the divergence is in SPARK's double.
+
+    Exact formulation, all BIGINT until one final /1e4 on both engines:
+    monthly cents c (exact DECIMAL money sum x100); trend = A/2400 with
+    A = 2*sum13(c) - first - last; seasonal means use complete years
+    only (a documented refinement: balanced means avoid partial-year
+    bias AND give every season the same denominator n = #complete
+    years), so seasonal = E_s/(1200n) with E_s = 12*T_s - T integer;
+    residual = (24nc - nA - 2E_s)/(2400n). Each x1e4 output rounds by
+    integer HALF_UP, sign-split ((2|p|+q) DIV (2q)) because DIV
+    truncates in Spark but // floors in DuckDB — identical only on
+    non-negatives. No complete year => seasonal/residual NULL.
+    Magnitude headroom: |p| <= ~1.4e17 at sf9, vs BIGINT 9.2e18."""
+    from pyspark.sql import Window as W
 
     orders = load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("mon0"),
         F.month("o_orderdate").cast("int").alias("season"),
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("v")
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("c")
     )
-    out = seasonal_decompose(
-        monthly, "v", order_by=["mon0"], season_col="season", period=12
+    o = W.orderBy("mon0")
+    w13 = o.rowsBetween(-6, 6)
+    t = monthly.withColumn(
+        "a",
+        F.when(
+            F.count(F.lit(1)).over(w13) == 13,
+            2 * F.sum("c").over(w13)
+            - F.lag("c", 6).over(o)
+            - F.lead("c", 6).over(o),
+        ),
+    )
+    cy = (
+        monthly.groupBy(F.year("mon0").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .where(F.col("nm") == 12)
+        .select("yr")
+    )
+    cm = monthly.join(
+        F.broadcast(cy), F.year("mon0") == F.col("yr")
+    ).select("season", "c")
+    s = cm.groupBy("season").agg(F.sum("c").alias("ts"))
+    # two global one-row aggregates (empty cm -> tot 0, n 0 -> NULL outputs)
+    g = cy.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        cm.agg(F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("tot"))
+    )
+
+    def half_up(p: str, q: str) -> F.Column:
+        return (
+            F.expr(
+                f"CASE WHEN {p} >= 0 THEN (2 * ({p}) + ({q})) DIV (2 * ({q}))"
+                f" ELSE -((-2 * ({p}) + ({q})) DIV (2 * ({q}))) END"
+            ).cast("double")
+            / F.lit(10000.0)
+        )
+
+    out = (
+        t.join(F.broadcast(s), "season", "left")
+        .crossJoin(F.broadcast(g))
+        .withColumn("e", 12 * F.col("ts") - F.col("tot"))
     )
     return out.select(
         F.col("mon0").cast("date").alias("mon"),
         "season",
-        F.round("v", 2).alias("v"),
-        (
-            F.expr("(25 * CAST(ROUND(trend * 2400) AS BIGINT) + 3) DIV 6")
-            .cast("double")
-            / F.lit(10000.0)
-        ).alias("trend"),
-        round_nz("seasonal", 4).alias("seasonal"),
-        round_nz("residual", 4).alias("residual"),
+        F.round(F.col("c").cast("double") / 100.0, 2).alias("v"),
+        (F.expr("(25 * a + 3) DIV 6").cast("double") / F.lit(10000.0)).alias(
+            "trend"
+        ),
+        F.when(F.col("n") > 0, half_up("25 * e", "3 * n")).alias("seasonal"),
+        F.when(
+            F.col("a").isNotNull() & (F.col("n") > 0),
+            half_up("25 * (24 * n * c - n * a - 2 * e)", "6 * n"),
+        ).alias("residual"),
     ).orderBy("mon")
 
 
