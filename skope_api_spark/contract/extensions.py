@@ -802,7 +802,9 @@ r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),
 {_pr_iteration("r0", "r1")},
 {_pr_iteration("r1", "r2")},
 {_pr_iteration("r2", "r3")}
-SELECT node AS part_node, ROUND(rank, 6) AS pagerank
+SELECT node AS part_node,
+       CAST((2 * CAST(ROUND(rank * 1000000000000.0) AS BIGINT) + 1000000)
+            // 2000000 AS DOUBLE) / 1000000.0 AS pagerank
 FROM r3
 ORDER BY pagerank DESC, part_node
 LIMIT 20
@@ -815,7 +817,15 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consecutive line numbers within an order -> directed part edge; see
     operators/graph.py for the per-iteration join/agg plan and the
     12-dp-per-iteration determinism contract). Top-20 by 6-dp rank,
-    node-id tie-break -> TakeOrderedAndProject."""
+    node-id tie-break -> TakeOrderedAndProject.
+
+    The 12-dp iteration pin makes every rank an EXACT 1e-12 multiple on
+    both engines — which means the final 6-dp engine ROUND hits true
+    repr-ties (the sf1 tie audit caught rank 5.5e-06 diverging: a
+    teleport-floor-derived exact 7-digit decimal). Both engines recover
+    the same integer R = ROUND(rank*1e12) (doubles within ~1e-4 of R)
+    and round by integer HALF_UP — bit-identical, and the top-20
+    ordering happens on the identical rounded value."""
     from skope_api_spark.operators.graph import pagerank, transition_edges
 
     li = load(spark, sf_dir, "lineitem")
@@ -829,7 +839,10 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.select(
             F.col("node").alias("part_node"),
-            F.round("rank", 6).alias("pagerank"),
+            F.expr(
+                "CAST((2 * CAST(ROUND(rank * 1000000000000.0) AS BIGINT)"
+                " + 1000000) DIV 2000000 AS DOUBLE) / 1000000.0"
+            ).alias("pagerank"),
         )
         .orderBy(F.desc("pagerank"), "part_node")
         .limit(20)
@@ -1410,23 +1423,24 @@ WITH sites(site_id, slat, slon) AS (
   FROM events
 ), d AS (
   SELECT p.point_id, s.site_id,
-         ROUND(2.0 * 6371.0088 * asin(sqrt(least(
+         CAST(FLOOR(2.0 * 6371.0088 * asin(sqrt(least(
            sin(radians(s.slat - p.plat) / 2.0)
              * sin(radians(s.slat - p.plat) / 2.0)
            + cos(radians(p.plat)) * cos(radians(s.slat))
              * sin(radians(s.slon - p.plon) / 2.0)
              * sin(radians(s.slon - p.plon) / 2.0),
-           1.0))), 6) AS km
+           1.0))) * 1000000.0 + 0.5) AS BIGINT) AS km_u
   FROM pts p CROSS JOIN sites s
 ), best AS (
-  SELECT point_id, site_id, km,
+  SELECT point_id, site_id, km_u,
          ROW_NUMBER() OVER (
-           PARTITION BY point_id ORDER BY km, site_id) AS rn
+           PARTITION BY point_id ORDER BY km_u, site_id) AS rn
   FROM d
 )
 SELECT CAST(site_id AS INT) AS site_id,
        CAST(COUNT(*) AS BIGINT) AS n_points,
-       ROUND(AVG(km), 4) AS avg_km
+       CAST((2 * SUM(km_u) + 100 * COUNT(*)) // (200 * COUNT(*))
+            AS DOUBLE) / 10000.0 AS avg_km
 FROM best WHERE rn = 1
 GROUP BY site_id ORDER BY site_id
 """
@@ -1436,9 +1450,17 @@ GROUP BY site_id ORDER BY site_id
 def spatial_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-site assignment (operators/spatial.py::nearest_site):
     events mapped to deterministic lat/lon, each assigned to the closest
-    of six reference sites by 6-dp-rounded haversine km (site-id
+    of six reference sites by 6-dp-quantized haversine km (site-id
     tie-break), reported as per-site counts and mean distance. Broadcast
-    sites + one min-struct aggregation — no window sort."""
+    sites + one min-struct aggregation — no window sort.
+
+    Cross-engine exactness (r16): the per-pair distance quantizes by
+    FLOOR(km*1e6 + 0.5) on the shared binary double — the sf1 tie audit
+    found 29 cells where engine ROUND(x, 6) diverges on repr-ties of the
+    transcendental value; floor-shift is the same arithmetic on the same
+    double everywhere. The mean then sums the exact BIGINT micro-km
+    (order-independent) and rounds by integer HALF_UP, eliminating the
+    order-dependent double AVG."""
     from skope_api_spark.operators.spatial import nearest_site
 
     ev = load(spark, sf_dir, "events")
@@ -1450,12 +1472,21 @@ def spatial_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
     sites = spark.createDataFrame(
         _SITES, "site_id int, lat double, lon double"
     )
-    out = nearest_site(pts, sites)
+    out = nearest_site(pts, sites).select(
+        "site_id",
+        # exact recover: distance_km is the double nearest micro/1e6
+        F.expr("CAST(ROUND(distance_km * 1000000.0) AS BIGINT)").alias(
+            "km_u"
+        ),
+    )
     return (
         out.groupBy("site_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.round(F.avg("distance_km"), 4).alias("avg_km"),
+            F.expr(
+                "CAST((2 * SUM(km_u) + 100 * COUNT(*))"
+                " DIV (200 * COUNT(*)) AS DOUBLE) / 10000.0"
+            ).alias("avg_km"),
         )
         .orderBy("site_id")
     )

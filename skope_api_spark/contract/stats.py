@@ -802,9 +802,10 @@ WITH g AS (
   FROM orders GROUP BY 1
 )
 SELECT o.o_orderkey, g.cat, CAST(g.n AS BIGINT) AS cat_n,
-       ROUND(CASE WHEN g.n > 1
-             THEN CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2))
-                  AS DOUBLE) / (g.n - 1) END, 6) AS loo_mean
+       CASE WHEN g.n > 1 THEN CAST(
+         (20000 * CAST((g.s - CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) + (g.n - 1)) // (2 * (g.n - 1))
+         AS DOUBLE) / 1000000.0 END AS loo_mean
 FROM orders o JOIN g ON o.o_orderpriority = g.cat
 ORDER BY o.o_orderkey
 """,
@@ -815,8 +816,14 @@ def feature_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding is the category's target mean EXCLUDING the row itself
     ((Σ − y_i)/(n − 1)), so the feature never memorizes its own label.
     One skinny category aggregation (exact decimal sums) broadcast back;
-    the subtraction is exact decimal, one double division at the edge.
-    Singleton categories encode NULL rather than leaking y_i."""
+    the subtraction is exact decimal. The 6-dp encoding rounds by
+    INTEGER HALF_UP on exact cents — loo*1e6 = 1e4*(S-x)_cents/(n-1),
+    an exact-decimal-over-count ratio, the cohort-LTV repr-tie shape:
+    the sf1 tie audit found 47 DIVERGING cells that sf0.01 never
+    produces (larger cumulative cents reach tie-landing residues).
+    (2p+q) DIV (2q) is bit-identical on both engines; headroom 2e4 *
+    category cents ~ 8e17 at sf9 vs BIGINT 9.2e18. Singleton categories
+    encode NULL rather than leaking y_i."""
     orders = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     g = orders.groupBy(F.col("o_orderpriority").alias("cat")).agg(
@@ -824,16 +831,19 @@ def feature_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = orders.join(
         F.broadcast(g), orders["o_orderpriority"] == g["cat"]
-    )
+    ).withColumn("__dc", ((F.col("__s") - dec) * 100).cast("long"))
     loo = F.when(
         F.col("cat_n") > 1,
-        (F.col("__s") - dec).cast("double") / (F.col("cat_n") - 1),
+        F.expr(
+            "CAST((20000 * __dc + (cat_n - 1)) DIV (2 * (cat_n - 1))"
+            " AS DOUBLE) / 1000000.0"
+        ),
     )
     return j.select(
         "o_orderkey",
         "cat",
         "cat_n",
-        F.round(loo, 6).alias("loo_mean"),
+        loo.alias("loo_mean"),
     ).orderBy("o_orderkey")
 
 

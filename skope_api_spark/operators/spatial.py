@@ -169,17 +169,27 @@ def nearest_site(
     dist = haversine_km(
         F.col("__plat"), F.col("__plon"), F.col("__slat"), F.col("__slon")
     )
+    # 6-dp quantization by FLOOR(x*1e6 + 0.5) on the BINARY double, not
+    # engine ROUND: haversine is a shared transcendental double, and
+    # engine ROUND diverges cross-engine on repr-ties (29 diverging
+    # cells at sf1 — Spark HALF_UPs the shortest decimal repr, DuckDB
+    # rounds the binary value). floor-shift is the same arithmetic on
+    # the same double everywhere, so the micro-km integer — and the
+    # argmin it orders — is deterministic on any engine.
+    micro = F.floor(dist * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     cand = p.crossJoin(F.broadcast(s)).select(
         "point_id",
-        F.struct(
-            F.round(dist, 6).alias("km"), F.col("__sid").alias("sid")
-        ).alias("__d"),
+        F.struct(micro.alias("km_u"), F.col("__sid").alias("sid")).alias(
+            "__d"
+        ),
     )
     best = cand.groupBy("point_id").agg(F.min("__d").alias("__best"))
     return best.select(
         "point_id",
         F.col("__best.sid").alias("site_id"),
-        F.col("__best.km").alias("distance_km"),
+        (F.col("__best.km_u").cast("double") / F.lit(1000000.0)).alias(
+            "distance_km"
+        ),
     )
 
 
