@@ -103,17 +103,29 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "order_count_distribution",
     "pivot_orders_by_priority",
     "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     # r16 tie-audit conversions (integer-exact rounding landed this
     # round; their pre-conversion greens are definitionally stale, so
-    # they take the two tail fill slots — q6_forecast_revenue /
-    # quantile_stats_orders keep their r15 greens and rotate next):
+    # they take the tail fill slots — q6_forecast_revenue /
+    # quantile_stats_orders keep their r15 greens and rotate next).
+    # Mid-round extension: the FIRST sf1 tie audit + sf1 exact recheck
+    # converted four more (ts_seasonal full integer rewrite after the
+    # sf1 sum-order-straddle red; feature_loo / pagerank / spatial
+    # after sf1-only diverging repr-ties). All five gate this window;
+    # the three least-stale ordinary fills by gate_staleness --precise
+    # (q19_disjunctive_predicates, q1_pricing_summary,
+    # q5_local_supplier_volume — all r15-green, regression-covered by
+    # the full replay) cede their slots and rotate next:
     "ts_seasonal_decompose_orders",
     "text_readability_scores",
-    # --- end r16 window (50) ---
+    "feature_loo_target_encode",
+    "graph_pagerank_copurchase",
+    "spatial_nearest_site",
+    # --- end r16 window (50) --- (the three ceded fills head the r17
+    # rotation queue:)
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
     # r13 rotation (VERDICT r12 items 1/7/8, executing the recorded r13
     # gate-order plan): twenty r12-driver-VERIFIED, family-redundant
     # entries cede their slots to twenty first-timers — the two largest
