@@ -102,8 +102,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "null_semantics_battery",
     "order_count_distribution",
     "pivot_orders_by_priority",
-    "q14_promo_revenue_share",
     "q3_shipping_priority",
+    # (q14_promo_revenue_share ceded its slot to stats_gini — the one
+    # red of the full exact-precision sf1 sweep, converted below)
+    "stats_gini_order_revenue",
     # r16 tie-audit conversions (integer-exact rounding landed this
     # round; their pre-conversion greens are definitionally stale, so
     # they take the tail fill slots — q6_forecast_revenue /
@@ -126,6 +128,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
+    "q14_promo_revenue_share",
     # r13 rotation (VERDICT r12 items 1/7/8, executing the recorded r13
     # gate-order plan): twenty r12-driver-VERIFIED, family-redundant
     # entries cede their slots to twenty first-timers — the two largest

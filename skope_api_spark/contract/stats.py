@@ -408,7 +408,8 @@ WITH s AS (
   FROM orders
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(v), 2) AS total,
+       ROUND(CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FROM orders) AS DOUBLE), 2) AS total,
        ROUND(2.0 * SUM(i * v) / (COUNT(*) * SUM(v))
              - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
 FROM s
@@ -420,14 +421,27 @@ def stats_gini_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank sums over the distinct-value histogram with the shared
     distributed prefix sum. The oracle is the textbook ROW_NUMBER
     rank-sum form; tie order does not affect the sum because tied
-    positions carry equal values."""
+    positions carry equal values.
+
+    The reported ``total`` follows the registry money rule (exact
+    DECIMAL accumulation, double at the edge): the operator's double
+    total is a 1.5M-term order-dependent sum at ~4e11 magnitude, whose
+    cross-engine ulp noise (~1e-2) straddled the 2-dp boundary at sf1 —
+    the one red of the first full exact-precision sf1 sweep. ``gini``
+    itself stays a rounded double ratio: magnitude ~0.33 with relative
+    error ~1e-10 vs a 5e-7 half-grid, three orders of safety."""
     from skope_api_spark.operators.stats import gini_coefficient
 
     orders = load(spark, sf_dir, "orders")
     out = gini_coefficient(orders, "o_totalprice")
-    return out.select(
+    tot = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("__total_exact")
+    )
+    return out.crossJoin(F.broadcast(tot)).select(
         "n",
-        F.round("total", 2).alias("total"),
+        F.round("__total_exact", 2).alias("total"),
         F.round("gini", 6).alias("gini"),
     )
 
