@@ -126,19 +126,38 @@ def minhash_near_duplicates(
     bands: int = 32,
     threshold: float = 0.7,
     persist_shingles: bool = True,
+    min_band_collisions: int = 2,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
     Pipeline: shingle → ``num_hashes`` minhashes per doc (xxhash64 seeded by
     hash index) → ``bands`` band-hashes → self-join on (band, band_hash) →
-    distinct candidate pairs → exact Jaccard on shingle sets → ``>= threshold``.
+    candidate pairs colliding in >= ``min_band_collisions`` bands → exact
+    Jaccard on shingle sets → ``>= threshold``.
+
+    ``min_band_collisions=2`` is the spurious-candidate guard (r16): short
+    documents over a small vocabulary collide on a band whenever their
+    MINIMUM shingle hashes coincide — a j-independent coincidence whose
+    bucket population grows LINEARLY with the corpus, so >=1-band
+    candidates grow QUADRATICALLY (measured sf3→sf9: 27.5M enumerated
+    band pairs, 26.9M distinct candidates, 18.5k true pairs — the exact
+    verify paid for ~1500x spurious work and the staircase exponent hit
+    ~2.1). A SECOND collision for a sub-threshold pair is an independent
+    rare coincidence, so requiring two kills ~all spurious candidates; a
+    true pair at j has per-band P = j^2, and P(<=1 of 32 bands) at
+    j = 0.70 is 1.4e-8 (4.4e-10 + 32·0.49·0.51^31) — still effectively
+    guaranteed recall (8e-21 at j = 0.9). The filter is computed INSIDE
+    the aggregation that already deduplicated multi-band collisions
+    (count >= k replaces DISTINCT), so it costs zero extra shuffle.
+    Pass 1 to restore pure >=1-band candidates.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Detection probability
     for a pair with true Jaccard j is 1-(1-j^r)^b (r = hashes per band). The
     defaults are sized for GUARANTEED recall at the default threshold, not
-    just at planted-pair similarity: r=2, b=32 gives a per-pair miss bound of
-    (1-0.7²)³² = 0.51³² ≈ 4.4e-10 at j = 0.70 (8e-24 at j = 0.9), so the LSH
-    path reproduces the exact all-pairs result for every pair AT OR ABOVE the
+    just at planted-pair similarity: r=2, b=32 with the >=2-band rule gives
+    a per-pair miss bound of P(Bin(32, 0.49) <= 1) ≈ 1.4e-8 at j = 0.70
+    (8e-21 at j = 0.9; 4.4e-10 / 8e-24 under >=1), so the LSH path
+    reproduces the exact all-pairs result for every pair AT OR ABOVE the
     threshold, not only the comfortably-similar ones. The previous r=2, b=8
     sizing missed j ≈ 0.70-0.76 organic pairs with P ≈ 0.1-0.5% — observed at
     sf1 (round 9): pair (5394, 31904), exact J = 37/49 ≈ 0.755, absent from
@@ -233,8 +252,12 @@ def minhash_near_duplicates(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
             )
-            # a pair can collide in several bands — dedupe before verifying
-            .distinct()
+            # multi-band dedupe + spurious-candidate guard in ONE
+            # aggregation: count collisions instead of DISTINCT
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .where(F.col("__nb") >= min_band_collisions)
+            .drop("__nb")
         )
         sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
         sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -276,7 +299,12 @@ def minhash_near_duplicates(
             F.col("b.shingles").alias("sh_b"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
+        .agg(
+            F.first("sh_a").alias("sh_a"),
+            F.first("sh_b").alias("sh_b"),
+            F.count(F.lit(1)).alias("__nb"),
+        )
+        .where(F.col("__nb") >= min_band_collisions)
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
