@@ -663,8 +663,14 @@ def simhash_near_duplicates(
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE the dedupe shuffle: hamming is computed in the
+        # join projection, so filtering first means only true near-dup
+        # rows reach the DISTINCT exchange — on skewed corpora (short
+        # docs clustering on popular block values) the unfiltered
+        # candidate set grows quadratically and was the whole cost
+        # (sf9: 52s of the 89s wall). Filter/distinct commute here.
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
