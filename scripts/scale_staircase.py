@@ -88,7 +88,33 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 2
-    scale = float(os.environ.get("SPARK_GRAFT_STAIR_SCALE", "10"))
+    # r16: derive the step size from the sfN labels when both parse —
+    # the env default of 10 silently mis-normalized an sf3->sf9 run
+    # (ratio 3, not 10), which inverts the sub/superlinear verdict. An
+    # explicit SPARK_GRAFT_STAIR_SCALE that contradicts the labels
+    # aborts rather than record a mislabeled exponent.
+    label_scale = None
+    try:
+        lo_sf = float(lo_name.removeprefix("sf"))
+        hi_sf = float(hi_name.removeprefix("sf"))
+        if lo_sf > 0:
+            label_scale = hi_sf / lo_sf
+    except ValueError:
+        pass
+    env_scale = os.environ.get("SPARK_GRAFT_STAIR_SCALE")
+    if env_scale is not None:
+        scale = float(env_scale)
+        if label_scale is not None and abs(scale - label_scale) > 1e-9:
+            print(
+                f"scale mismatch: SPARK_GRAFT_STAIR_SCALE={scale} but "
+                f"labels {lo_name}->{hi_name} imply {label_scale}",
+                file=sys.stderr,
+            )
+            return 2
+    elif label_scale is not None:
+        scale = label_scale
+    else:
+        scale = 10.0
     from skope_api_spark.session import get_spark
 
     spark = get_spark(
