@@ -41,6 +41,48 @@ def md5_long(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def minhash_bands_sql(
+    num_hashes: int, bands: int, *, sbase_col: str = "sbase"
+) -> str:
+    """SQL for the banded-minhash struct array of a base-hash array column:
+    ``array<struct<band:int, band_hash:bigint>>`` with
+    ``band_hash = xxhash64(min_i xxhash64(band*r+0, x), ...)`` over the
+    ``num_hashes`` seeded families (r = hashes per band).
+
+    One SQL string instead of ``num_hashes`` Python-built
+    ``array_min(transform(...))`` columns, for two measured reasons (r16):
+
+    - **construction cost**: the per-seed Python/py4j column building made
+      every *invocation* of the minhash query pay ~1.5-2.3 s of driver-side
+      Python before any job ran (≈60% of the whole warm query at sf0.1);
+      parsing one string in the JVM is milliseconds.
+    - **single pass**: ``aggregate`` folds the signature vector in ONE
+      traversal of the base-hash array with a ``zip_with``/``least`` merge,
+      where the per-seed form traversed the array ``num_hashes`` times.
+      The ``finish`` lambda then derives the band hashes from the bound
+      accumulator, so the signature vector cannot be inlined/duplicated
+      by CollapseProject (the with_token_shingles blowup class).
+
+    Values are IDENTICAL to the per-seed form: min over the same
+    ``xxhash64(i, x)`` family (int seed, long base — same argument types,
+    same hashes; min is order-insensitive), banded in the same layout.
+    """
+    rpb = num_hashes // bands
+    band_hash_args = ", ".join(
+        f"element_at(acc, j * {rpb} + {r + 1})" for r in range(rpb)
+    )
+    return (
+        f"aggregate({sbase_col}, "
+        f"array_repeat(9223372036854775807L, {num_hashes}), "
+        f"(acc, x) -> zip_with(acc, "
+        f"transform(sequence(0, {num_hashes - 1}), i -> xxhash64(i, x)), "
+        f"(m, h) -> least(m, h)), "
+        f"acc -> transform(sequence(0, {bands - 1}), "
+        f"j -> named_struct('band', j, "
+        f"'band_hash', xxhash64({band_hash_args}))))"
+    )
+
+
 def sliding_gram_sql(toks: str, n: int, *, wrap: str = "{g}") -> str:
     """SQL for the position-ordered n-token sliding grams of token-array
     column ``toks``, with each gram string substituted into ``wrap``
@@ -183,7 +225,6 @@ def minhash_near_duplicates(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    rows_per_band = num_hashes // bands
 
     sh = with_token_shingles(df, text_col, shingle_n, "shingles").select(
         F.col(id_col).alias("doc_id"), "shingles"
@@ -208,23 +249,10 @@ def minhash_near_duplicates(
         sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # minhash via higher-order array functions: array_min(transform(...))
-    # keeps the whole signature computation inside the scan projection —
-    # no explode, no groupBy shuffle.
-    def _mh(i: int):
-        return F.array_min(
-            F.transform("sbase", lambda b: F.xxhash64(F.lit(i), b))
-        )
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[_mh(b * rows_per_band + r) for r in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
+    # minhash via ONE higher-order-function fold (minhash_bands_sql):
+    # whole signature + banding inside the scan projection — no explode,
+    # no groupBy shuffle, one array traversal, ms-scale construction.
+    bands_expr = F.expr(minhash_bands_sql(num_hashes, bands))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
@@ -234,7 +262,7 @@ def minhash_near_duplicates(
         # skinny band join: shuffle only the 24-byte key rows; verify by
         # joining the (small) candidate set back to the persisted shingles
         banded = sh.select(
-            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+            "doc_id", F.explode(bands_expr).alias("bb")
         ).select(
             "doc_id",
             F.col("bb.band").alias("band"),
@@ -272,7 +300,7 @@ def minhash_near_duplicates(
     # fully-lazy plan: carry the shingle array through the band join so the
     # verify step needs no join back (which would re-run the pipeline twice)
     banded = sh.select(
-        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id", "shingles", F.explode(bands_expr).alias("bb")
     ).select(
         "doc_id",
         "shingles",
@@ -341,26 +369,11 @@ def minhash_cross_corpus(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    rows_per_band = num_hashes // bands
 
-    def _mh(i: int):
-        # two-level hashing as in minhash_near_duplicates: string-hash
-        # each shingle once (sbase — identical subtree across the 64
-        # seeds, so codegen subexpression elimination evaluates it once
-        # per row), then mix cheap longs per seed
-        return F.array_min(
-            F.transform("sbase", lambda b: F.xxhash64(F.lit(i), b))
-        )
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[_mh(b * rows_per_band + r) for r in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
+    # two-level hashing as in minhash_near_duplicates: string-hash each
+    # shingle once (sbase), then the one-pass seeded fold + banding of
+    # minhash_bands_sql (single array traversal, ms-scale construction)
+    bands_expr = F.expr(minhash_bands_sql(num_hashes, bands))
     sbase = F.transform("shingles", lambda s: F.xxhash64(s))
 
     sh_c = (
@@ -379,7 +392,7 @@ def minhash_cross_corpus(
     # corpus rows carry their shingle arrays through the BROADCAST join —
     # map-side, so the arrays never shuffle; probe bands are skinny
     banded_c = sh_c.select(
-        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id", "shingles", F.explode(bands_expr).alias("bb")
     ).select(
         "doc_id",
         F.col("shingles").alias("sh_a"),
@@ -387,7 +400,7 @@ def minhash_cross_corpus(
         F.col("bb.band_hash").alias("band_hash"),
     )
     banded_p = sh_p.select(
-        "probe_id", F.explode(F.array(*band_structs)).alias("bb")
+        "probe_id", F.explode(bands_expr).alias("bb")
     ).select(
         "probe_id",
         F.col("bb.band").alias("band"),
@@ -595,21 +608,25 @@ def simhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).select("doc_id", md5_long(F.col("tok")).alias("th"))
+    # the per-bit aggregates and the signature reassembly are built as SQL
+    # strings parsed in the JVM (r16): the former per-bit Python column
+    # building cost ~0.5-1 s of driver-side py4j PER INVOCATION (pure
+    # fixed overhead, ~25% of the warm query at sf0.1); the aggregate
+    # SHAPE is unchanged — ``bits`` map-side-combining SUMs, 60 longs/doc
+    # across the wire
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{b}")
         for b in range(bits)
     ]
     sums = occ.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
+            for b in range(bits)
         )
-        sig = term if sig is None else sig + term
+    )
     return sums.select("doc_id", sig.alias("simhash"))
 
 
