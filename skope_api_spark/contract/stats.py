@@ -471,8 +471,9 @@ GROUP BY t.na, t.nb
 def stats_ks_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic: does the BUILDING segment's order
     price distribution differ from everyone else's?
-    (operators/stats.py:ks_two_sample — two distributed prefix sums over
-    one value histogram, sup computed in exact cross-multiplied integers,
+    (operators/stats.py:ks_two_sample — one distributed prefix pass over
+    one value histogram carrying both counts, sup computed in exact
+    cross-multiplied integers,
     one final division = bit-identical; null hypothesis on this synthetic
     data is near-identity, so D is tiny — the CONTRACT is the exactness,
     not the significance)."""

@@ -212,7 +212,7 @@ def bootstrap_ci(
 def _range_prefix_sum(
     hist: DataFrame,
     order_col: str,
-    count_col: str,
+    count_col: str | Sequence[str],
     partitions: int | None = None,
     by: Sequence[str] = (),
 ) -> DataFrame:
@@ -224,9 +224,19 @@ def _range_prefix_sum(
     per-(partition, group) offsets. A single giant group still splits
     across range partitions, so no task ever owns a whole group.
     (*by, order_col) combinations must be distinct (a groupBy histogram
-    guarantees this)."""
+    guarantees this).
+
+    ``count_col`` may be a sequence: ONE range shuffle / checkpoint /
+    window pass then carries every count (the sums share the same window
+    frame), and the output gains ``__cum_<name>`` (leading underscores
+    stripped) per column instead of ``__cum``."""
     from pyspark.sql import Window as W
 
+    single = isinstance(count_col, str)
+    cols = [count_col] if single else list(count_col)
+    out_names = ["__cum"] if single else [
+        "__cum_" + c.lstrip("_") for c in cols
+    ]
     spark = hist.sparkSession
     by = list(by)
     nparts = partitions or int(
@@ -246,36 +256,41 @@ def _range_prefix_sum(
     tagged = tagged.localCheckpoint(eager=True)
     # per-(partition, group) totals: nparts x |groups-per-partition| rows
     # — skinny; the offset window runs per group over at most nparts rows
-    offs = (
-        tagged.groupBy("__pid", *by)
-        .agg(F.sum(count_col).alias("__pc"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__pc").over(
-                    W.partitionBy(*by)
-                    .orderBy("__pid")
-                    .rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
+    woff = (
+        W.partitionBy(*by)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
+    offs = tagged.groupBy("__pid", *by).agg(
+        *[F.sum(c).alias(f"__pc{i}") for i, c in enumerate(cols)]
+    )
+    for i in range(len(cols)):
+        offs = offs.withColumn(
+            f"__off{i}",
+            F.coalesce(F.sum(f"__pc{i}").over(woff), F.lit(0)),
+        )
     wv = (
         W.partitionBy("__pid", *by)
         .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    offs_sel = offs.select("__pid", *by, "__off")
+    offs_sel = offs.select(
+        "__pid", *by, *[f"__off{i}" for i in range(len(cols))]
+    )
     # grouped offsets can be wide (parts x groups): let AQE pick the join
     # strategy; the ungrouped table is nparts rows and always broadcasts
     if not by:
         offs_sel = F.broadcast(offs_sel)
-    return (
-        tagged.withColumn("__chi", F.sum(count_col).over(wv))
-        .join(offs_sel, ["__pid", *by])
-        .withColumn("__cum", F.col("__off") + F.col("__chi"))
-        .drop("__pid", "__off", "__chi")
+    out = tagged
+    for i, c in enumerate(cols):
+        out = out.withColumn(f"__chi{i}", F.sum(c).over(wv))
+    out = out.join(offs_sel, ["__pid", *by])
+    for i, name in enumerate(out_names):
+        out = out.withColumn(name, F.col(f"__off{i}") + F.col(f"__chi{i}"))
+    return out.drop(
+        "__pid",
+        *[f"__off{i}" for i in range(len(cols))],
+        *[f"__chi{i}" for i in range(len(cols))],
     )
 
 
@@ -693,8 +708,8 @@ def ks_two_sample(
     ``group_col`` is a boolean column/expression splitting rows into
     sample A (true) and B (false). Both empirical CDFs are step
     functions that only change at data values, so D is the max over the
-    distinct-value histogram of |cum_a/n_a − cum_b/n_b| — two prefix
-    sums over one histogram, one max. The comparison is made in exact
+    distinct-value histogram of |cum_a/n_a − cum_b/n_b| — one prefix
+    pass carrying both counts, one max. The comparison is made in exact
     cross-multiplied integers (|cum_a·n_b − cum_b·n_a|) so the argmax is
     tie-stable; only the reported D divides.
 
@@ -710,27 +725,21 @@ def ks_two_sample(
             F.count(F.when(~g, 1)).alias("__cb"),
         )
     )
-    hist = hist.localCheckpoint(eager=True)  # two prefix passes share one scan
-    ra = _range_prefix_sum(hist, "__v", "__ca", partitions).select(
-        "__v", F.col("__cum").alias("__cum_a")
-    )
-    rb = _range_prefix_sum(hist, "__v", "__cb", partitions).select(
-        "__v", F.col("__cum").alias("__cum_b")
-    )
+    hist = hist.localCheckpoint(eager=True)  # totals reuse the one scan
+    # ONE prefix pass carries both counts (r16: was two passes + a rejoin
+    # on __v — one range shuffle, one checkpoint and one window instead
+    # of two of each plus a join)
+    ranked = _range_prefix_sum(hist, "__v", ["__ca", "__cb"], partitions)
     totals = hist.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
-    joined = (
-        ra.join(rb, "__v")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "__na",
-            "__nb",
-            F.abs(
-                F.col("__cum_a") * F.col("__nb")
-                - F.col("__cum_b") * F.col("__na")
-            ).alias("__num"),
-        )
+    joined = ranked.crossJoin(F.broadcast(totals)).select(
+        "__na",
+        "__nb",
+        F.abs(
+            F.col("__cum_ca") * F.col("__nb")
+            - F.col("__cum_cb") * F.col("__na")
+        ).alias("__num"),
     )
     return joined.agg(
         F.max("__na").alias("n_a"),
