@@ -42,7 +42,25 @@ import os
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pin", "reliable_mode"]
+__all__ = ["pin", "reliable_mode", "spread"]
+
+
+def spread(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Raise map-side parallelism of an under-partitioned input.
+
+    Fixture-scale corpora arrive as ONE parquet split, so every
+    expression-heavy scan projection (deletion-variant explodes, chained
+    BPE replaces, levenshtein verifies) runs in a single task while the
+    rest of the machine idles. Round-robin repartition to the session's
+    default parallelism spreads that CPU; the exchange moves only the
+    fixture-sized input once. Scale-adaptive by construction: when the
+    scan already has at least that many splits (any real-scale input),
+    this is a no-op — it never coalesces.
+    """
+    target = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def reliable_mode() -> bool:
