@@ -518,7 +518,9 @@ def duplicate_clusters(
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
-    prev_count = edges.count()
+    prev_count, prev_sig = edges.agg(
+        F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+    ).first()
     for _ in range(max_iter):
         # pin per round (checkpoint.pin — localCheckpoint by default,
         # reliable checkpoint for cluster runs): each round's plan references the
@@ -528,6 +530,14 @@ def duplicate_clusters(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        # NO distinct here (r16): the small-star phase's final distinct
+        # already dedups, so an intermediate one only adds an exchange +
+        # barrier to every round. Duplicate multiplicity entering smins
+        # is bounded by a node's smaller-neighbor count within ONE round
+        # (partial aggregation absorbs it map-side) and never compounds
+        # across rounds — each round re-derives from the deduped edges.
+        # Measured r16: loop 7.3 s -> 4.5 s at sf0.1, converged edge set
+        # bit-identical.
         large = (
             sym.join(lmins, "u")
             .where(F.col("v") > F.col("u"))
@@ -536,7 +546,6 @@ def duplicate_clusters(
                 F.least("u", "mv").alias("lv"),
             )
             .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
-            .distinct()
         )
         smins = large.groupBy("u").agg(F.min("v").alias("mv"))
         small = (
@@ -548,17 +557,25 @@ def duplicate_clusters(
             .distinct()
         )
         small = pin(small)
-        # convergence = edge-set equality. Count first (one trivial job
-        # over the checkpointed result): unequal counts prove change with
-        # no subtract; on equal counts ONE one-sided subtract suffices
-        # (|A| == |B| and A \ B = ∅ ⟹ A == B) — half the per-round
-        # convergence jobs of the former two-sided symmetric difference
-        new_count = small.count()
-        if new_count == prev_count:
+        # convergence = edge-set equality, proven in at most two tiny
+        # jobs over the checkpointed result. First a (count, xxhash64
+        # bit_xor) witness in ONE aggregation job: a differing count or hash
+        # sum PROVES the set changed with no subtract (r16 — the former
+        # count-only witness forced an exact subtract on every round
+        # where edges rewired without changing the count, 0.3-0.5 s each
+        # here; bit_xor, not sum — a long sum overflows under ANSI).
+        # Only when BOTH match does the exact one-sided subtract
+        # run (|A| == |B| and A \ B = ∅ ⟹ A == B) — the hash xor is a
+        # fast-path inequality witness, never the equality proof, so a
+        # hash-xor collision costs one extra subtract, not correctness.
+        new_count, new_sig = small.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+        ).first()
+        if (new_count, new_sig) == (prev_count, prev_sig):
             changed = small.subtract(edges).count()
         else:
-            changed = abs(new_count - prev_count)
-        prev_count = new_count
+            changed = max(abs(new_count - prev_count), 1)
+        prev_count, prev_sig = new_count, new_sig
         edges = small
         if changed == 0:
             break
