@@ -1076,7 +1076,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical replace semantics."""
     from skope_api_spark.operators.bpe import bpe_train
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").select("text")
     out = bpe_train(docs, merges=_BPE_K)
     return out.select(
         "step",
@@ -1147,18 +1147,39 @@ def text_bpe_encode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language: docs, total BPE symbols, distinct symbol inventory.
     The oracle re-derives the same rules and applies the same replace
     chain in SQL."""
+    from skope_api_spark.checkpoint import pin, spread
     from skope_api_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
     rules = bpe_train(docs, merges=_BPE_K).collect()
-    enc = bpe_encode(docs, rules)
-    syms = enc.select("lang", F.explode("bpe_tokens").alias("sym"))
-    dist = syms.groupBy("lang").agg(
-        F.countDistinct("sym").alias("n_distinct_symbols")
+    # r16: encode the corpus ONCE. The former shape fed two independent
+    # aggregation branches (profile + distinct-symbol) straight off
+    # bpe_encode, so the 18-op replace chain scanned the corpus twice —
+    # and documents.parquet is a single split at fixture scale, so each
+    # scan ran the whole chain in 1-2 tasks (measured: two single-task
+    # 3.0 s / 1.3 s stages). spread() fans the chain across the session's
+    # cores (no-op at real input split counts), and pin() materializes a
+    # REDUCED per-doc projection — lang, symbol count, per-doc distinct
+    # symbols — so neither branch re-runs the encode. Same aggregates:
+    # total_symbols sums the full token count; the per-lang distinct
+    # union of per-doc distinct sets is the same symbol set.
+    enc = bpe_encode(spread(docs), rules)
+    per_doc = pin(
+        enc.select(
+            "lang",
+            F.size("bpe_tokens").alias("n_sym"),
+            F.array_distinct("bpe_tokens").alias("doc_syms"),
+        )
     )
-    prof = enc.groupBy("lang").agg(
+    dist = (
+        per_doc.select("lang", F.explode("doc_syms").alias("sym"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_distinct_symbols"))
+    )
+    prof = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("bpe_tokens")).alias("total_symbols"),
+        F.sum("n_sym").alias("total_symbols"),
     )
     return prof.join(dist, "lang").orderBy("lang")
 

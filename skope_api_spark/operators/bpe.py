@@ -103,6 +103,16 @@ def bpe_train(
     reprs = _initial_reprs(word_frequency_table(docs, text_col))
     reprs = pin(reprs)
     rules = []
+    # r16: pin the vocab reprs every PIN_EVERY merges, not every merge.
+    # Per-step pinning made each merge two jobs (argmax + checkpoint);
+    # a bounded lazy chain keeps lineage depth <= PIN_EVERY replace
+    # layers while each un-pinned step re-derives at most PIN_EVERY - 1
+    # cheap literal replaces over the (distinct-words-sized) vocab
+    # table inside the SAME argmax job — measured 3.4 s -> 2.6 s train
+    # at sf0.1, identical merge table. The re-derivation overhead is a
+    # constant factor on the replace cost at any merge count, never on
+    # the corpus pass or the pair aggregation.
+    PIN_EVERY = 4
     for step in range(1, merges + 1):
         best = (
             _pair_counts(reprs)
@@ -114,7 +124,9 @@ def bpe_train(
             break
         a, b = best["pair"].split(" ")
         rules.append((step, a, b, a + b, int(best["pc"])))
-        reprs = pin(_apply_merge(reprs, a, b))
+        reprs = _apply_merge(reprs, a, b)
+        if step % PIN_EVERY == 0:
+            reprs = pin(reprs)
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count long"
     )
