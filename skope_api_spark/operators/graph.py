@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from skope_api_spark.checkpoint import pin
+from skope_api_spark.checkpoint import pin, spread
 
 
 def transition_edges(
@@ -197,7 +197,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Returns (node, n_triangles) for every node of the graph (0 for
     triangle-free nodes).
     """
-    und = undirected_edges(edges)
+    # pin the canonical edge list ONCE (r16): the lazy plan references
+    # und five times (degree union x2, orientation join, closing-edge
+    # side, node spine) and re-ran the whole upstream build — scan +
+    # window + distinct — for every reference. spread before the pin:
+    # AQE coalesces the fixture-sized distinct to ONE partition, and a
+    # 1-partition checkpoint would run every downstream stage
+    # single-task (no-op at real split counts). Interleaved same-host
+    # A/B at sf0.1: pinned 5.93 s vs lazy 6.48 s vs persist 6.92 s
+    # median, with 4 redundant edge builds of CPU removed at any scale.
+    # (pagerank deliberately stays lazy: its per-iteration joins pick
+    # broadcast from accurate source stats, and a checkpoint's unknown
+    # size estimate demoted them to sort-merge — measured 8.7 s vs
+    # 6.4 s lazy.)
+    und = pin(spread(undirected_edges(edges)))
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
