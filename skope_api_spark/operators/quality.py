@@ -135,13 +135,25 @@ def equi_depth_histogram(
         raise ValueError("buckets must be >= 2")
     if tick_scale is not None:
         t = F.round(F.col(col) * F.lit(int(tick_scale))).cast("long")
-        # no corpus checkpoint: the tick projection is deterministic, so
-        # the bracket pass and the binning pass each re-read the pruned
-        # scan — two column-pruned scans beat materializing a
-        # corpus-sized column at scale
+        # r16: aggregate the corpus to its distinct-tick histogram ONCE
+        # and run BOTH passes (quantile brackets AND bucket binning)
+        # over it. The former shape re-scanned the corpus for the
+        # binning crossJoin fold (and the bracket pass's internal
+        # groupBy scanned it again): every downstream decision here
+        # depends only on (tick, count) — bin each distinct tick, weight
+        # by its count — so the corpus is touched exactly once at any
+        # scale, and the fold runs over |distinct values| rows instead
+        # of |corpus| rows. Bit-identical buckets: the same integer
+        # comparison, summed with integer weights.
         ticks = df.where(F.col(col).isNotNull()).select(t.alias("__t"))
+        counts = (
+            ticks.groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True)
+        )
         br = exact_quantile_brackets(
-            ticks, "__t", list(range(1, buckets)), buckets
+            counts, "__t", list(range(1, buckets)), buckets,
+            weight_col="__c",
         )
         # precompute each bracket's cross-multiplication RHS
         # (buckets·vlo + rem·(vhi−vlo), exact BIGINT) in the one-row
@@ -157,8 +169,8 @@ def equi_depth_histogram(
                 + b["rem"] * (b["vhi"] - b["vlo"]),
             ).alias("__bounds")
         )
-        binned = ticks.select(
-            (F.col("__t") * buckets).alias("__tb")
+        binned = counts.select(
+            (F.col("__t") * buckets).alias("__tb"), "__c"
         ).crossJoin(F.broadcast(bounds))
         bucket = F.aggregate(
             F.col("__bounds"),
@@ -167,7 +179,7 @@ def equi_depth_histogram(
             + F.when(F.col("__tb") > rhs, 1).otherwise(0),
         )
         return binned.groupBy(bucket.alias("bucket")).agg(
-            F.count(F.lit(1)).alias("n")
+            F.sum("__c").alias("n")
         )
     qs = [i / buckets for i in range(1, buckets)]
     quants = exact_quantiles(df, col, qs)

@@ -215,6 +215,7 @@ def _range_prefix_sum(
     count_col: str | Sequence[str],
     partitions: int | None = None,
     by: Sequence[str] = (),
+    hist_materialized: bool = False,
 ) -> DataFrame:
     """Distributed (optionally per-group) prefix sum over a histogram
     table: appends ``__cum`` = cumulative sum of ``count_col`` for rows
@@ -242,6 +243,17 @@ def _range_prefix_sum(
     nparts = partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # materialize the histogram BEFORE the range shuffle (r16):
+    # repartitionByRange evaluates its child twice — once in the range-
+    # bound SAMPLING job, once in the shuffle map — so an un-pinned hist
+    # re-ran the whole corpus scan + aggregation subplan per evaluation
+    # (hist_equi_depth_price measured two extra 53 MB lineitem passes).
+    # The histogram is distinct-values-sized, orders of magnitude
+    # smaller than the corpus at any scale. ``hist_materialized`` lets a
+    # caller that already checkpointed the histogram (equi_depth's
+    # shared-binning path) skip the second materialization.
+    if not hist_materialized:
+        hist = hist.localCheckpoint(eager=True)
     tagged = hist.repartitionByRange(nparts, *by, order_col).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -376,6 +388,7 @@ def exact_quantile_brackets(
     denom: int,
     *,
     partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Integer-exact quantile BRACKETS over an integral column — the
     engine-build-proof companion to ``exact_quantiles`` for threshold /
@@ -412,9 +425,22 @@ def exact_quantile_brackets(
         raise ValueError("numerators must lie in [0, denom]")
     spark = df.sparkSession
     v = F.col(col).cast("long")
-    vals = df.where(v.isNotNull()).select(v.alias("v"))
-    counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    ranked = _range_prefix_sum(counts, "v", "c", partitions)
+    if weight_col is not None:
+        # ``df`` is already a (value, weight) histogram with DISTINCT
+        # values (a groupBy output): skip the internal aggregation so a
+        # caller that needs the histogram for its own binning pass
+        # (equi_depth_histogram) shares ONE corpus aggregation instead
+        # of scanning the corpus once per consumer (r16).
+        counts = df.where(v.isNotNull()).select(
+            v.alias("v"), F.col(weight_col).cast("long").alias("c")
+        )
+    else:
+        vals = df.where(v.isNotNull()).select(v.alias("v"))
+        counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    ranked = _range_prefix_sum(
+        counts, "v", "c", partitions,
+        hist_materialized=weight_col is not None,
+    )
     cum = ranked.select(
         "v",
         (F.col("__cum") - F.col("c")).alias("lo"),
