@@ -131,21 +131,31 @@ def with_lsh_bucket(
     planes: list[list[float]] | None = None,
     out_col: str = "bucket",
 ) -> DataFrame:
-    """b-bit random-hyperplane signature: bit p = 1 iff dot(v, plane_p) >= 0."""
+    """b-bit random-hyperplane signature: bit p = 1 iff dot(v, plane_p) >= 0.
+
+    Built as ONE SQL expression string (r16): the former per-plane Python
+    construction created n_planes × dim py4j literal Columns plus eight
+    fold trees per call site — measured ~2 s of driver-side construction
+    and planning per lsh_bucket_topk invocation (two call sites) against
+    0.5 s of total executor work. Parsing one string in the JVM is
+    milliseconds; values are IDENTICAL (same cast-to-double multiply,
+    same fold order, same double literals via shortest-repr round trip).
+    """
     planes = planes if planes is not None else hyperplanes()
-    sig = F.lit(0).cast("int")
-    for p, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in plane]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return df.withColumn(out_col, sig)
+
+    def lit(x: float) -> str:
+        return f"{x!r}D"
+
+    dots = [
+        "aggregate(zip_with(`%s`, array(%s), (a, b) -> CAST(a AS DOUBLE) * b), "
+        "0.0D, (acc, x) -> acc + x)"
+        % (vec_col, ", ".join(lit(x) for x in plane))
+        for plane in planes
+    ]
+    sig = " + ".join(
+        f"IF({dot} >= 0.0D, {1 << p}, 0)" for p, dot in enumerate(dots)
+    )
+    return df.withColumn(out_col, F.expr(f"CAST(({sig}) AS INT)"))
 
 
 def lsh_bucket_topk(
@@ -883,8 +893,16 @@ def pq_topk(
     cb = (
         codebooks
         if codebooks is not None
-        else pq_codebooks(
-            corpus, m=m, dim=dim, vec_col=vec_col, label_col=label_col
+        # pin (r16): the codebook feeds TWO explicit broadcasts (the
+        # code-assignment join and the query LUT join) and each build
+        # re-ran the m-way corpus explode + double groupBy; one
+        # materialization of the m x k tiny table serves both. Explicit
+        # F.broadcast hints stay authoritative, so the checkpoint's
+        # unknown size estimate cannot demote any join.
+        else pin(
+            pq_codebooks(
+                corpus, m=m, dim=dim, vec_col=vec_col, label_col=label_col
+            )
         )
     )
     codes = pq_assign_codes(
