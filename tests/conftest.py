@@ -18,5 +18,31 @@ def spark():
         shuffle_partitions=4,
         extra_conf={"spark.sql.warehouse.dir": wh},
     )
+    _warmup(s)
     yield s
     s.stop()
+
+
+def _warmup(s) -> None:
+    """Pay the per-JVM one-time costs (scheduler spin-up, whole-stage
+    codegen JIT for the window/union/sort/cache shapes the suite uses)
+    BEFORE any timed request runs. On a slow or contended host the very
+    first Spark job can take 10-30 s; without this, tests that exercise
+    the service's 15 s request budget (reference config.py:32) flake on
+    startup cost that is not part of any request's processing time."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = s.range(0, 64).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    w = Window.orderBy("band").rowsBetween(-2, 2)
+    out = (
+        df.withColumn("m", F.avg("value").over(w))
+        .unionByName(df.withColumn("m", F.lit(0.0)))
+        .orderBy("band", "m")
+        .cache()
+    )
+    out.collect()
+    out.unpersist()
