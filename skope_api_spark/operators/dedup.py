@@ -504,7 +504,13 @@ def duplicate_clusters(
     # pinning each separately evaluated the (often expensive) upstream —
     # a fuzzy join, an LSH band join — twice (r16: measured 2.75 s +
     # 2.22 s duplicated front-end on er_customer_record_clusters sf0.1)
-    raw = pin(pairs.select(F.col(a).alias("u"), F.col(b).alias("v")))
+    # LAZY pins (r16 round 2): localCheckpoint(eager=False) marks the RDD;
+    # the FIRST job that computes it persists + truncates. The initial
+    # witness aggregation below therefore materializes raw AND edges in
+    # ONE job instead of three (two eager checkpoint jobs + the witness),
+    # and each round's witness materializes that round's pin for free —
+    # halving the per-round job count on the latency-bound fixture loop.
+    raw = pin(pairs.select(F.col(a).alias("u"), F.col(b).alias("v")), eager=False)
     # derived once each from the checkpoint: nodes feeds only the final
     # label join (no pin needed), edges is re-pinned every round below
     nodes = (
@@ -516,7 +522,8 @@ def duplicate_clusters(
     edges = pin(
         raw.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     prev_count, prev_sig = edges.agg(
         F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
@@ -556,7 +563,7 @@ def duplicate_clusters(
             .union(smins.select("u", F.col("mv").alias("v")))
             .distinct()
         )
-        small = pin(small)
+        small = pin(small, eager=False)
         # convergence = edge-set equality, proven in at most two tiny
         # jobs over the checkpointed result. First a (count, xxhash64
         # bit_xor) witness in ONE aggregation job: a differing count or hash

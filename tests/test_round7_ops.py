@@ -118,6 +118,44 @@ def test_pagerank_mass_conservation_no_dangling(spark):
     assert math.isclose(total, 1.0, abs_tol=1e-9)
 
 
+def test_pagerank_empty_edges_returns_empty(spark):
+    # the r16 driver-side n scalar must not divide by zero on an empty graph
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iterations=3).collect() == []
+
+
+def test_pagerank_size_conf_parsing():
+    from skope_api_spark.operators.graph import _size_bytes
+
+    assert _size_bytes("10485760") == 10 * 1024 * 1024
+    assert _size_bytes("10485760b") == 10 * 1024 * 1024
+    assert _size_bytes("64m") == 64 * 1024 * 1024
+    assert _size_bytes("1g") == 1 << 30
+    assert _size_bytes("512k") == 512 * 1024
+    assert _size_bytes("-1") == -1
+    assert _size_bytes("garbage") == 0
+
+
+def test_pagerank_broadcast_hint_follows_threshold(spark):
+    # fixture node count fits the default threshold -> broadcast joins;
+    # with auto-broadcast disabled the hint must drop out (the 100 TB
+    # shape: sort-merge at real node counts)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan_on = pagerank(edges, iterations=1)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan_on
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_off = (
+            pagerank(edges, iterations=1)._jdf.queryExecution().toString()
+        )
+        assert "BroadcastHashJoin" not in plan_off
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_pagerank_checkpoint_matches_lazy(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
