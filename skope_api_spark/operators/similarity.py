@@ -219,6 +219,84 @@ def label_centroids(
     )
 
 
+def _fold_nearest(
+    df: DataFrame,
+    cents: DataFrame,
+    *,
+    vec_col: str,
+    keep_centroid: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as a MAP-ONLY fold over a broadcast
+    codebook array (r16, guide §2.3/§2.4/§8 "decide with small rows"):
+    the former ``crossJoin(broadcast(cents)) + groupBy(id).max_by`` form
+    multiplied every corpus row k ways and then shuffled the ENTIRE
+    corpus (id, vector) through a hash exchange to pick the argmax — at
+    the 100 TB design point that is a full-corpus shuffle per k-means
+    iteration / per IVF assignment. Collapsing the k-row codebook to ONE
+    array row (broadcast) and folding over it computes the same argmax
+    inside the row's projection: no row multiplication, no exchange;
+    shuffle bytes drop from |corpus| rows to zero.
+
+    Bit-identical to ``max_by(struct(cell, ...), struct(csim, -cell))``:
+    each candidate's cosine is the same ``cosine()`` expression (same
+    fold order, same doubles), scored ONCE per candidate by a
+    ``transform`` over the codebook array (a lambda body gets no
+    common-subexpression elimination, so the scoring must not appear
+    inside a comparison that re-evaluates it), and the winner is
+    ``array_max`` over ``struct(cs, -cell, ...)`` — the same total order
+    ``max_by`` uses: highest cosine wins, ties break to the LOWEST cell
+    (the oracle's ``ORDER BY cs DESC, cell ASC``), NaN sorts above every
+    double, and a null cosine sorts below every non-null one so it never
+    wins while any valid candidate exists. A row whose every cosine is
+    null yields a null ``__best``, like ``max_by`` over an empty valid
+    set. One row per INPUT row (ids are unique by the operators' input
+    contract — the groupBy form's collapse of duplicate ids was an
+    artifact of the join shape, mirrored by the oracles'
+    PARTITION BY id).
+
+    Adds ``__best`` = struct(cs, cell[, centroid]) to ``df``.
+    """
+    cb = F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            ).alias("__cb")
+        )
+    )
+
+    def score(c):
+        parts = [
+            cosine(F.col(vec_col), c.getField("centroid")).alias("cs"),
+            (-c.getField("cell")).alias("nc"),
+            c.getField("cell").alias("cell"),
+        ]
+        if keep_centroid:
+            parts.append(c.getField("centroid").alias("centroid"))
+        return F.struct(*parts)
+
+    best_parts = [
+        F.col("__bm.cs").alias("cs"),
+        F.col("__bm.cell").alias("cell"),
+    ]
+    if keep_centroid:
+        best_parts.append(F.col("__bm.centroid").alias("centroid"))
+    return (
+        df.crossJoin(cb)
+        # separate projections (not one expression tree): CollapseProject
+        # keeps non-cheap producers apart, so the scored array and the
+        # array_max scan each evaluate exactly once per row
+        .withColumn("__scored", F.transform("__cb", score))
+        .withColumn("__bm", F.array_max("__scored"))
+        .withColumn(
+            "__best",
+            F.when(
+                F.col("__bm.cs").isNotNull(), F.struct(*best_parts)
+            ),
+        )
+        .drop("__cb", "__scored", "__bm")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     *,
@@ -269,20 +347,11 @@ def kmeans_centroids(
     )
     cents = pin(cents)
     for _ in range(iters):
-        assigned = (
-            vecs.crossJoin(F.broadcast(cents))
-            .withColumn("__csim", cosine(F.col("v"), F.col("centroid")))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct(F.col("cell"), F.col("v")),
-                    # lexicographic max: highest cosine, then LOWEST cell id
-                    # (ties broken identically to the oracle's
-                    #  ORDER BY cs DESC, cell ASC)
-                    F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
-                ).alias("best")
-            )
-            .select("vec_id", F.col("best.v").alias("v"), F.col("best.cell").alias("cell"))
+        # assignment is a map-only fold over the broadcast codebook
+        # array (r16, _fold_nearest): the former crossJoin + groupBy
+        # (max_by) shuffled the whole corpus per iteration
+        assigned = _fold_nearest(vecs, cents, vec_col="v").select(
+            "vec_id", "v", F.col("__best.cell").alias("cell")
         )
         per_dim = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -334,26 +403,13 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str) -> DataFrame:
-        # nearest centroid via groupBy(max_by): map-side partial aggregation
-        # collapses the k scored rows per vector before any shuffle — no
-        # window sort of N×k rows. Tie-break (max cosine, then min cell)
-        # matches the oracle's ORDER BY cs DESC, cell ASC exactly.
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__csim", cosine(F.col(vec_col), F.col("centroid"))
-        )
-        return (
-            scored.groupBy(idc)
-            .agg(
-                F.max_by(
-                    F.struct(F.col("cell"), F.col(vec_col)),
-                    F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
-                ).alias("best")
-            )
-            .select(
-                idc,
-                F.col(f"best.{vec_col}").alias(vec_col),
-                F.col("best.cell").alias("cell"),
-            )
+        # nearest centroid as a map-only fold over the broadcast codebook
+        # array (r16, _fold_nearest): the former crossJoin + groupBy
+        # (max_by) shuffled the whole corpus through a hash exchange per
+        # assignment. Tie-break (max cosine, then min cell) matches the
+        # oracle's ORDER BY cs DESC, cell ASC exactly.
+        return _fold_nearest(df, cents, vec_col=vec_col).select(
+            idc, vec_col, F.col("__best.cell").alias("cell")
         )
 
     def assign_topn(df: DataFrame, idc: str, n: int) -> DataFrame:
@@ -730,17 +786,11 @@ def semantic_dedup(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine(F.col("v"), F.col("centroid")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cell"), F.col("v")),
-                F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
-            ).alias("best")
-        )
-        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cell").alias("cell"))
+    # map-only fold assignment (r16, _fold_nearest): the former crossJoin
+    # + groupBy(max_by) shuffled every (id, vector) row once just to pick
+    # the argmax cell
+    assigned = _fold_nearest(vecs, cents, vec_col="v").select(
+        "vec_id", "v", F.col("__best.cell").alias("cell")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
@@ -1128,21 +1178,20 @@ def ivfpq_topk(
     )
 
     def nearest_cells(df: DataFrame, idc: str, n: int) -> DataFrame:
+        if n <= 1:
+            # map-only fold assignment (r16, _fold_nearest) — carries the
+            # winning centroid through for the residual computation
+            return _fold_nearest(
+                df, cents, vec_col="v", keep_centroid=True
+            ).select(
+                idc,
+                F.col("__best.cell").alias("cell"),
+                "v",
+                F.col("__best.centroid").alias("centroid"),
+            )
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
             "__csim", cosine(F.col("v"), F.col("centroid"))
         )
-        if n <= 1:
-            return scored.groupBy(idc).agg(
-                F.max_by(
-                    F.struct("cell", "v", "centroid"),
-                    F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
-                ).alias("b")
-            ).select(
-                idc,
-                F.col("b.cell").alias("cell"),
-                F.col("b.v").alias("v"),
-                F.col("b.centroid").alias("centroid"),
-            )
         w = W.partitionBy(idc).orderBy(F.desc("__csim"), "cell")
         return (
             scored.withColumn("__rk", F.row_number().over(w))
