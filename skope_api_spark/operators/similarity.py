@@ -879,6 +879,51 @@ def _ssd(a: Column, b: Column) -> Column:
     )
 
 
+def _fold_nearest_code(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Per-subspace nearest-cell assignment as a map-only fold (r16,
+    same shape as ``_fold_nearest``): the former
+    ``join(broadcast(codebooks), "j") + groupBy(vec_id, j).min_by``
+    multiplied every exploded subvector row k ways and shuffled the
+    whole N×m subvector table through a hash exchange to pick the
+    argmin. Each subspace's codebook now collapses to one sorted array
+    row keyed by ``j`` (an m-row broadcast join — map-side), and each
+    subvector row scores it with a ``transform`` (one ``_ssd`` per
+    candidate) and takes ``array_min`` over ``struct(ssd, cell)`` — the
+    exact ``min_by`` order: lowest squared-L2 wins, ties to the lowest
+    cell. Candidates with a null distance are filtered before the min
+    (``min_by`` ignores null ordering keys; struct ordering would
+    otherwise sort a null field FIRST and wrongly win the min). One
+    output row per input (vec, j) row, with ``cell`` attached and ``sv``
+    preserved.
+    """
+    cbj = F.broadcast(
+        codebooks.groupBy("j").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            ).alias("__cb")
+        )
+    )
+    return (
+        subs.join(cbj, "j")
+        .withColumn(
+            "__scored",
+            F.transform(
+                "__cb",
+                lambda c: F.struct(
+                    _ssd(F.col("sv"), c.getField("centroid")).alias("ssd"),
+                    c.getField("cell").alias("cell"),
+                ),
+            ),
+        )
+        .withColumn(
+            "__bm",
+            F.array_min(F.filter("__scored", lambda s: s.getField("ssd").isNotNull())),
+        )
+        .withColumn("cell", F.col("__bm.cell"))
+        .drop("__cb", "__scored", "__bm")
+    )
+
+
 def pq_assign_codes(
     df: DataFrame,
     codebooks: DataFrame,
@@ -890,19 +935,14 @@ def pq_assign_codes(
 ) -> DataFrame:
     """PQ encoding ``(vec_id, j, cell)`` — each vector compresses to m
     small cell ids (m bytes at k ≤ 256), the representation the ADC scan
-    reads INSTEAD of raw vectors. The codebook join is a broadcast of
-    m × k tiny rows; nearest cell by squared L2, ties to the lowest cell
-    id (``min_by`` over a (ssd, cell) struct — partial-aggregatable, no
-    window sort)."""
+    reads INSTEAD of raw vectors. Nearest cell by squared L2, ties to
+    the lowest cell id, computed as a map-only fold over the per-subspace
+    broadcast codebook (``_fold_nearest_code``) — no shuffle of the
+    subvector table."""
     subs = _subvectors(
         df, m=m, dim=dim, id_col=id_col, vec_col=vec_col, out_id="vec_id"
     )
-    scored = subs.join(F.broadcast(codebooks), "j").select(
-        "vec_id", "j", "cell", _ssd(F.col("sv"), F.col("centroid")).alias("ssd")
-    )
-    return scored.groupBy("vec_id", "j").agg(
-        F.min_by("cell", F.struct("ssd", "cell")).alias("cell")
-    )
+    return _fold_nearest_code(subs, codebooks).select("vec_id", "j", "cell")
 
 
 def pq_topk(
@@ -1029,17 +1069,10 @@ def pq_kmeans_codebooks(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assigned = (
-            subs.join(F.broadcast(cents), "j")
-            .withColumn("ssd", _ssd(F.col("sv"), F.col("centroid")))
-            .groupBy("vec_id", "j")
-            .agg(
-                F.min_by(
-                    F.struct("cell", "sv"), F.struct("ssd", "cell")
-                ).alias("b")
-            )
-            .select("j", F.col("b.cell").alias("cell"), F.col("b.sv").alias("sv"))
-        )
+        # map-only fold assignment (r16, _fold_nearest_code): the former
+        # broadcast join + groupBy(vec_id, j).min_by shuffled the whole
+        # N×m subvector table per iteration
+        assigned = _fold_nearest_code(subs, cents).select("j", "cell", "sv")
         per = (
             assigned.select("j", "cell", F.posexplode("sv").alias("si", "x"))
             .groupBy("j", "cell", "si")
