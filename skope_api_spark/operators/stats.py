@@ -240,9 +240,6 @@ def _range_prefix_sum(
     ]
     spark = hist.sparkSession
     by = list(by)
-    nparts = partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     # materialize the histogram BEFORE the range shuffle (r16):
     # repartitionByRange evaluates its child twice — once in the range-
     # bound SAMPLING job, once in the shuffle map — so an un-pinned hist
@@ -254,6 +251,22 @@ def _range_prefix_sum(
     # shared-binning path) skip the second materialization.
     if not hist_materialized:
         hist = hist.localCheckpoint(eager=True)
+    # Default the range-partition count to the MATERIALIZED histogram's
+    # own partition count (r16, guide §2.2 "fewer, larger partitions"):
+    # the histogram arrives AQE-coalesced to the advisory partition size,
+    # so its partition count already reflects its bytes at any scale —
+    # a fixture-sized histogram range-shuffles into 1-2 partitions
+    # instead of a flat shuffle.partitions fan-out of near-empty files
+    # (32 map tasks x 32 reducers of ~100-byte shuffle files serialized
+    # on the single-JVM shuffle-commit lock — the "no-CPU 32-task
+    # stages" diagnosed this round), while a 100 TB histogram keeps its
+    # thousands of partitions. Prefix sums are partitioning-independent
+    # (__pid offsets re-derive per layout), so output values are
+    # unchanged by construction.
+    nparts = partitions or min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        max(1, hist.rdd.getNumPartitions()),
+    )
     tagged = hist.repartitionByRange(nparts, *by, order_col).withColumn(
         "__pid", F.spark_partition_id()
     )
