@@ -244,15 +244,17 @@ def _fold_nearest(
     common-subexpression elimination, so the scoring must not appear
     inside a comparison that re-evaluates it), and the winner is
     ``array_max`` over ``struct(cs, -cell, ...)`` — the same total order
-    ``max_by`` uses: highest cosine wins, ties break to the LOWEST cell
-    (the oracle's ``ORDER BY cs DESC, cell ASC``), NaN sorts above every
-    double, and a null cosine sorts below every non-null one so it never
-    wins while any valid candidate exists. A row whose every cosine is
-    null yields a null ``__best``, like ``max_by`` over an empty valid
-    set. One row per INPUT row (ids are unique by the operators' input
-    contract — the groupBy form's collapse of duplicate ids was an
-    artifact of the join shape, mirrored by the oracles'
-    PARTITION BY id).
+    the ``max_by`` STRUCT key used: highest cosine wins, ties break to
+    the LOWEST cell (the oracle's ``ORDER BY cs DESC, cell ASC``), NaN
+    sorts above every double, and a null cosine sorts as the SMALLEST
+    value (struct ordering is nulls-first — the max_by key was a struct,
+    never null, so null cosines were ordered, not ignored): it loses to
+    any non-null candidate, and a row whose EVERY cosine is null falls
+    through to the -cell tie-break — lowest cell, exactly like the old
+    form (pinned by tests/test_fold_assignment.py). One row per INPUT
+    row (ids are unique by the operators' input contract — the groupBy
+    form's collapse of duplicate ids was an artifact of the join shape,
+    mirrored by the oracles' PARTITION BY id).
 
     Adds ``__best`` = struct(cs, cell[, centroid]) to ``df``.
     """
@@ -287,12 +289,7 @@ def _fold_nearest(
         # array_max scan each evaluate exactly once per row
         .withColumn("__scored", F.transform("__cb", score))
         .withColumn("__bm", F.array_max("__scored"))
-        .withColumn(
-            "__best",
-            F.when(
-                F.col("__bm.cs").isNotNull(), F.struct(*best_parts)
-            ),
-        )
+        .withColumn("__best", F.struct(*best_parts))
         .drop("__cb", "__scored", "__bm")
     )
 
@@ -889,12 +886,14 @@ def _fold_nearest_code(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     row keyed by ``j`` (an m-row broadcast join — map-side), and each
     subvector row scores it with a ``transform`` (one ``_ssd`` per
     candidate) and takes ``array_min`` over ``struct(ssd, cell)`` — the
-    exact ``min_by`` order: lowest squared-L2 wins, ties to the lowest
-    cell. Candidates with a null distance are filtered before the min
-    (``min_by`` ignores null ordering keys; struct ordering would
-    otherwise sort a null field FIRST and wrongly win the min). One
-    output row per input (vec, j) row, with ``cell`` attached and ``sv``
-    preserved.
+    exact order of the ``min_by`` STRUCT key: lowest squared-L2 wins,
+    ties to the lowest cell, and a null distance (null subvector) sorts
+    as the SMALLEST value (struct ordering is nulls-first) so it wins
+    the min with ties to the lowest cell — exactly like the old form,
+    whose min_by key was a struct and therefore never null: null
+    distances were ORDERED, not ignored (pinned by
+    tests/test_fold_assignment.py). One output row per input (vec, j)
+    row, with ``cell`` attached and ``sv`` preserved.
     """
     cbj = F.broadcast(
         codebooks.groupBy("j").agg(
@@ -915,10 +914,7 @@ def _fold_nearest_code(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
                 ),
             ),
         )
-        .withColumn(
-            "__bm",
-            F.array_min(F.filter("__scored", lambda s: s.getField("ssd").isNotNull())),
-        )
+        .withColumn("__bm", F.array_min("__scored"))
         .withColumn("cell", F.col("__bm.cell"))
         .drop("__cb", "__scored", "__bm")
     )
