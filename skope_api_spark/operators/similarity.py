@@ -219,12 +219,28 @@ def label_centroids(
     )
 
 
+def _codebook_row(cents: DataFrame) -> DataFrame:
+    """One-row codebook: the (cell, centroid) table sorted by cell and
+    collected into a single broadcast array column ``__cb``. Callers
+    with several assignment sites over the SAME codebook (ivf_topk's
+    corpus and query assigns) build this once so the collect job and
+    broadcast are shared instead of re-derived per site."""
+    return F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            ).alias("__cb")
+        )
+    )
+
+
 def _fold_nearest(
     df: DataFrame,
-    cents: DataFrame,
+    cents: DataFrame | None = None,
     *,
     vec_col: str,
     keep_centroid: bool = False,
+    cb: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a MAP-ONLY fold over a broadcast
     codebook array (r16, guide §2.3/§2.4/§8 "decide with small rows"):
@@ -256,15 +272,12 @@ def _fold_nearest(
     form's collapse of duplicate ids was an artifact of the join shape,
     mirrored by the oracles' PARTITION BY id).
 
-    Adds ``__best`` = struct(cs, cell[, centroid]) to ``df``.
+    Adds ``__best`` = struct(cs, cell[, centroid]) to ``df``. Pass
+    either ``cents`` (builds the codebook row here) or a prebuilt
+    ``cb`` from ``_codebook_row`` to share one build across sites.
     """
-    cb = F.broadcast(
-        cents.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
-            ).alias("__cb")
-        )
-    )
+    if cb is None:
+        cb = _codebook_row(cents)
 
     def score(c):
         parts = [
@@ -399,13 +412,17 @@ def ivf_topk(
         else label_centroids(corpus, vec_col=vec_col, label_col=label_col)
     )
 
+    # one codebook row shared by the corpus AND query assigns (the
+    # collect job + broadcast build happen once, not per site)
+    cbrow = _codebook_row(cents)
+
     def assign(df: DataFrame, idc: str) -> DataFrame:
         # nearest centroid as a map-only fold over the broadcast codebook
         # array (r16, _fold_nearest): the former crossJoin + groupBy
         # (max_by) shuffled the whole corpus through a hash exchange per
         # assignment. Tie-break (max cosine, then min cell) matches the
         # oracle's ORDER BY cs DESC, cell ASC exactly.
-        return _fold_nearest(df, cents, vec_col=vec_col).select(
+        return _fold_nearest(df, vec_col=vec_col, cb=cbrow).select(
             idc, vec_col, F.col("__best.cell").alias("cell")
         )
 
@@ -1206,12 +1223,15 @@ def ivfpq_topk(
         vec_col=vec_col,
     )
 
+    # one codebook row shared by every fold-assignment site
+    cbrow = _codebook_row(cents)
+
     def nearest_cells(df: DataFrame, idc: str, n: int) -> DataFrame:
         if n <= 1:
             # map-only fold assignment (r16, _fold_nearest) — carries the
             # winning centroid through for the residual computation
             return _fold_nearest(
-                df, cents, vec_col="v", keep_centroid=True
+                df, vec_col="v", keep_centroid=True, cb=cbrow
             ).select(
                 idc,
                 F.col("__best.cell").alias("cell"),
