@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for bench queries into plans/r16/.
+"""Capture .explain("formatted") for bench queries into plans/r17/.
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
-  suffix: "before" or "after" (file becomes plans/r16/<name>_<suffix>.txt)
+  suffix: "before" or "after" (file becomes plans/r17/<name>_<suffix>.txt)
   names : default = HEADLINE + HEADLINE_EXT from bench.py
 
 Plan capture is driver-side only (no job runs); with AQE on the output is
@@ -37,7 +37,7 @@ def main() -> int:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        "r17",
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:

@@ -140,9 +140,21 @@ ORDER BY doc_id, rk
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with smoothed IDF ln((N+1)/(df+1)); top-3 terms per doc.
-    Document frequency joins back onto term frequencies on the token key;
-    no forced broadcast — vocabulary grows with corpus size (heavy-tailed,
-    billions of distinct tokens at 100 TB), so AQE decides the strategy."""
+
+    Document frequency is a COUNT(*) window over the token key on the tf
+    table (r17, guide §2.4): tf rows are unique per (doc_id, tok), so
+    count-per-tok IS the distinct-doc frequency, and the window consumes
+    the tf subtree ONCE — the former groupBy(tok) + join-back evaluated
+    the whole explode+aggregate pipeline twice (plan: 2 corpus scans +
+    two tf aggregations + an extra exchange for the join; pinning the
+    ~1M-row tf table instead measured 2× WORSE in r16, so the single-
+    evaluation restructure is the fix). Values identical:
+    COUNT(*) OVER (PARTITION BY tok) on unique (doc_id, tok) rows ==
+    COUNT(DISTINCT doc_id) GROUP BY tok, same bigint, same smoothed-IDF
+    double math. Skew note for 100 TB: a stop-word's window group is one
+    sorted spill-capable buffer per range of its hash partition — the
+    join form shuffled the same hot-token rows to the same partition, so
+    the skew exposure is unchanged in kind."""
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
@@ -151,12 +163,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     # corpus size as a broadcast 1-row aggregate — keeps the whole query a
     # single lazy plan (no separate count() job before it)
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(df_, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -504,12 +504,10 @@ def duplicate_clusters(
     # pinning each separately evaluated the (often expensive) upstream —
     # a fuzzy join, an LSH band join — twice (r16: measured 2.75 s +
     # 2.22 s duplicated front-end on er_customer_record_clusters sf0.1)
-    # LAZY pins (r16 round 2): localCheckpoint(eager=False) marks the RDD;
-    # the FIRST job that computes it persists + truncates. The initial
-    # witness aggregation below therefore materializes raw AND edges in
-    # ONE job instead of three (two eager checkpoint jobs + the witness),
-    # and each round's witness materializes that round's pin for free —
-    # halving the per-round job count on the latency-bound fixture loop.
+    # LAZY pin (r16 round 2): localCheckpoint(eager=False) marks the RDD;
+    # the FIRST job that computes it persists + truncates — here, the
+    # edges checkpoint job below materializes raw as a side effect, so
+    # raw never needs its own job.
     raw = pin(pairs.select(F.col(a).alias("u"), F.col(b).alias("v")), eager=False)
     # derived once each from the checkpoint: nodes feeds only the final
     # label join (no pin needed), edges is re-pinned every round below
@@ -519,20 +517,40 @@ def duplicate_clusters(
         .distinct()
     )
     # canonical orientation large→small; self-pairs carry no connectivity
-    edges = pin(
+    # convergence witness FOLDED into the materializing job (r17,
+    # VERDICT r16 item 3): observe() computes (count, bit_xor(xxhash64))
+    # as rows stream through the eager checkpoint's job — the former
+    # separate witness aggregation added one exchange + one AQE stage
+    # wave per round to a latency-bound loop. Dataset.localCheckpoint
+    # runs under withAction, so the observation listener fires and
+    # Observation.get returns the metrics of exactly the checkpointed
+    # rows. Same inequality-only semantics: empty input gives
+    # (0, None) like the former .first().
+    from pyspark.sql import Observation
+
+    def _pin_with_witness(df: DataFrame) -> tuple[DataFrame, int, int]:
+        obs = Observation()
+        pinned = pin(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
+            ),
+            eager=True,
+        )
+        got = obs.get
+        return pinned, got["n"], got["sig"]
+
+    edges, prev_count, prev_sig = _pin_with_witness(
         raw.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct(),
-        eager=False,
+        .distinct()
     )
-    prev_count, prev_sig = edges.agg(
-        F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
-    ).first()
+    # each round pins its result (checkpoint.pin — localCheckpoint by
+    # default, reliable checkpoint for cluster runs): each round's plan
+    # references the previous one — without truncation the lineage
+    # compounds and the final plan grows with round count
     for _ in range(max_iter):
-        # pin per round (checkpoint.pin — localCheckpoint by default,
-        # reliable checkpoint for cluster runs): each round's plan references the
-        # previous one — without truncation the lineage compounds and the
-        # final plan grows with round count
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -563,21 +581,18 @@ def duplicate_clusters(
             .union(smins.select("u", F.col("mv").alias("v")))
             .distinct()
         )
-        small = pin(small, eager=False)
-        # convergence = edge-set equality, proven in at most two tiny
-        # jobs over the checkpointed result. First a (count, xxhash64
-        # bit_xor) witness in ONE aggregation job: a differing count or hash
-        # sum PROVES the set changed with no subtract (r16 — the former
-        # count-only witness forced an exact subtract on every round
-        # where edges rewired without changing the count, 0.3-0.5 s each
-        # here; bit_xor, not sum — a long sum overflows under ANSI).
-        # Only when BOTH match does the exact one-sided subtract
-        # run (|A| == |B| and A \ B = ∅ ⟹ A == B) — the hash xor is a
-        # fast-path inequality witness, never the equality proof, so a
-        # hash-xor collision costs one extra subtract, not correctness.
-        new_count, new_sig = small.agg(
-            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
-        ).first()
+        # convergence = edge-set equality. The (count, xxhash64 bit_xor)
+        # witness rides the checkpoint job via observe() (r17): a
+        # differing count or hash PROVES the set changed with no
+        # subtract (r16 — the former count-only witness forced an exact
+        # subtract on every round where edges rewired without changing
+        # the count, 0.3-0.5 s each here; bit_xor, not sum — a long sum
+        # overflows under ANSI). Only when BOTH match does the exact
+        # one-sided subtract run (|A| == |B| and A \ B = ∅ ⟹ A == B) —
+        # the hash xor is a fast-path inequality witness, never the
+        # equality proof, so a hash-xor collision costs one extra
+        # subtract, not correctness.
+        small, new_count, new_sig = _pin_with_witness(small)
         if (new_count, new_sig) == (prev_count, prev_sig):
             changed = small.subtract(edges).count()
         else:

@@ -252,10 +252,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # single-task (no-op at real split counts). Interleaved same-host
     # A/B at sf0.1: pinned 5.93 s vs lazy 6.48 s vs persist 6.92 s
     # median, with 4 redundant edge builds of CPU removed at any scale.
-    # (pagerank deliberately stays lazy: its per-iteration joins pick
-    # broadcast from accurate source stats, and a checkpoint's unknown
-    # size estimate demoted them to sort-merge — measured 8.7 s vs
-    # 6.4 s lazy.)
+    # (pagerank pins its edge list too, but must pair the pin with
+    # explicit measured-size broadcast hints: a checkpoint's unknown
+    # size estimate demoted its per-iteration joins to sort-merge when
+    # pinned alone — measured 8.7 s vs 6.4 s lazy; see pagerank_scores.)
     und = pin(spread(undirected_edges(edges)))
     deg = (
         und.select(F.col("u").alias("node"))

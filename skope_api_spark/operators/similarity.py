@@ -277,6 +277,11 @@ def _fold_nearest(
     ``cb`` from ``_codebook_row`` to share one build across sites.
     """
     if cb is None:
+        if cents is None:
+            raise ValueError(
+                "_fold_nearest: pass either cents (a (cell, centroid) "
+                "table) or cb (a prebuilt _codebook_row frame)"
+            )
         cb = _codebook_row(cents)
 
     def score(c):
@@ -302,6 +307,15 @@ def _fold_nearest(
         # array_max scan each evaluate exactly once per row
         .withColumn("__scored", F.transform("__cb", score))
         .withColumn("__bm", F.array_max("__scored"))
+        # EMPTY-codebook guard (r17, ADVICE r16): _codebook_row is a
+        # global agg, so an empty cents table still yields one row whose
+        # __cb is an empty array — array_max of it is null. The old
+        # crossJoin+groupBy form emitted ZERO rows on an empty codebook;
+        # keep that contract (a null-cell row would fabricate a bogus
+        # null centroid downstream). A NON-empty codebook never produces
+        # a null __bm: the scored structs themselves are non-null even
+        # when every cosine inside is null.
+        .where(F.col("__bm").isNotNull())
         .withColumn("__best", F.struct(*best_parts))
         .drop("__cb", "__scored", "__bm")
     )
@@ -529,7 +543,14 @@ def exact_cosine_pairs(
     size the quadratic baseline is the wrong tool regardless; use the
     bucketed/LSH/IVF paths and sample-based recall instead.
     """
-    b = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # pin the projected vector table ONCE (r17, VERDICT r16 item 9): the
+    # guard count, the broadcast build, and the streamed side each
+    # evaluated the upstream df — three full scans per invocation. One
+    # eager localCheckpoint of the (id, vec) projection makes the count
+    # a cached-block job and both join sides read the pin; the explicit
+    # F.broadcast below stays authoritative, so the checkpoint's unknown
+    # size estimate cannot demote the join (the pagerank trap).
+    b = pin(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
     n = b.count()
     if n > max_broadcast_rows:
         raise ValueError(

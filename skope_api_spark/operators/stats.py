@@ -230,7 +230,14 @@ def _range_prefix_sum(
     ``count_col`` may be a sequence: ONE range shuffle / checkpoint /
     window pass then carries every count (the sums share the same window
     frame), and the output gains ``__cum_<name>`` (leading underscores
-    stripped) per column instead of ``__cum``."""
+    stripped) per column instead of ``__cum``.
+
+    ``hist_materialized=True`` REQUIRES ``hist`` to already be physically
+    materialized (a checkpoint, or a cheap projection of one): the
+    partition-count derivation below calls ``hist.rdd.getNumPartitions()``,
+    which on an unexecuted AQE plan would materialize query stages (run
+    the shuffle jobs) just to size the partition count — and the range
+    shuffle would then re-run them."""
     from pyspark.sql import Window as W
 
     single = isinstance(count_col, str)

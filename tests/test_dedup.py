@@ -316,6 +316,75 @@ class TestSlidingGramSql:
                 assert out[i] == want, f"n={n} id={i}"
 
 
+class TestMinhashBandCollisionGuard:
+    def test_min_band_collisions_1_restores_single_band_recall(self, spark):
+        """Contract pin for the r16 ≥2-band spurious-candidate guard
+        (VERDICT r16 item 5): the ≥1-band behavior must stay restorable
+        via ``min_band_collisions=1``. Crafted corpus: disjoint-vocab
+        doc pairs at shingle-Jaccard 1/6 (above the lowered threshold),
+        where some pairs happen to collide in exactly ONE band — those
+        pairs are exactly what the default guard drops and what
+        ``min_band_collisions=1`` must bring back; multi-band pairs
+        must appear under BOTH settings."""
+        from pyspark.sql import functions as F
+
+        from skope_api_spark.operators.dedup import (
+            minhash_bands_sql,
+            minhash_near_duplicates,
+            with_token_shingles,
+        )
+
+        rows = []
+        for i in range(40):
+            base = [f"p{i}w{j}" for j in range(30)]
+            alt = base[:10] + [f"p{i}x{j}" for j in range(10, 30)]
+            rows.append((2 * i, " ".join(base)))
+            rows.append((2 * i + 1, " ".join(alt)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # discover each pair's band-collision count with the operator's
+        # own building blocks (no magic constants: stays valid if the
+        # hash family or banding layout ever changes)
+        sh = with_token_shingles(df, "text", 3, "shingles").withColumn(
+            "sbase", F.transform("shingles", lambda s: F.xxhash64(s))
+        )
+        banded = sh.select(
+            "doc_id", F.explode(F.expr(minhash_bands_sql(64, 32))).alias("bb")
+        ).select("doc_id", "bb.band", F.col("bb.band_hash").alias("bh"))
+        a, b = banded.alias("a"), banded.alias("b")
+        counts = {
+            (r.da, r.db): r["count"]
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .count()
+            .collect()
+        }
+        single = sorted(p for p, c in counts.items() if c == 1)
+        multi = sorted(p for p, c in counts.items() if c >= 2)
+        assert single and multi, (
+            f"fixture lost its 1-band / multi-band pairs: {counts}"
+        )
+
+        def pairs(k: int) -> set:
+            out = minhash_near_duplicates(
+                df, threshold=0.1, min_band_collisions=k
+            )
+            return {(r.doc_a, r.doc_b) for r in out.collect()}
+
+        loose, strict = pairs(1), pairs(2)
+        assert strict <= loose
+        assert single[0] in loose, "k=1 lost a 1-band true pair"
+        assert single[0] not in strict, "default guard should drop it"
+        assert multi[0] in strict and multi[0] in loose
+
+
 class TestRemoveDuplicateSpansNulls:
     def test_null_text_stays_null(self, spark):
         """r14 ADVICE: NULL text must propagate as NULL cleaned_text —

@@ -76,6 +76,28 @@ class TestFoldNearest:
         assert got[2] == 2
         assert got[4] == 0  # all-null scores tie -> lowest cell
 
+    def test_empty_codebook_emits_zero_rows(self, spark):
+        # _codebook_row is a global agg: an EMPTY cents table still
+        # yields one row with an empty __cb array. The old
+        # crossJoin+groupBy form emitted zero rows there; the fold must
+        # match (r17, ADVICE r16) — not keep every row with a null cell.
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        cents = spark.createDataFrame(
+            [], "cell int, centroid array<double>"
+        )
+        assert _fold_nearest(df, cents, vec_col="embedding").count() == 0
+
+    def test_neither_cents_nor_cb_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="cents"):
+            _fold_nearest(df, vec_col="embedding")
+
     def test_keep_centroid_returns_winning_centroid(self, spark):
         df = spark.createDataFrame(
             [(1, [0.0, 5.0])], "vec_id long, embedding array<double>"

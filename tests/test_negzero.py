@@ -61,8 +61,14 @@ def test_gate_queries_emit_no_negative_zero_on_either_engine(spark):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    # the driver gate = the FIRST 50 unique names (first-occurrence-wins,
+    # later duplicate mentions in the tuple are inert — see _reorder);
+    # iterating the whole 100+-name tuple ran 2x the documented scope
+    # (r17: the suite must fit the driver's verify budget, and the full
+    # registry is already swept by scripts/check_correctness.py)
+    gate = list(dict.fromkeys(_GATE_PRIORITY))[:50]
     offenders = []
-    for name in _GATE_PRIORITY:
+    for name in gate:
         s_hits = _negzero_cells(tuple(r) for r in qs[name](spark, SF_DIR).collect())
         d_hits = (
             _negzero_cells(con.execute(oracles[name]).fetchall())

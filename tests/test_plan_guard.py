@@ -15,28 +15,52 @@ intentional — so BNLJ is NOT flagged; only CartesianProduct is.
 
 from __future__ import annotations
 
+import pytest
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_no_query_plans_a_cartesian_product(spark):
+@pytest.fixture(scope="module")
+def plan_of(spark):
+    """Module-shared plan cache: planning every registry query costs
+    ~0.5-1 s each (263 queries), and before r17 this module built the
+    same plans up to three times across its tests (the two full-registry
+    sweeps plus the rotation-block re-plans) — ~7 minutes of pure
+    re-planning inside the driver's pytest budget. Plans are
+    deterministic for a fixed session + SF_DIR, so one cache serves
+    every assertion; each query is still planned (and checked) at least
+    once per run — coverage is unchanged, only repetition is gone."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    cache: dict[str, str] = {}
+
+    def _plan(name: str) -> str:
+        if name not in cache:
+            cache[name] = (
+                qs[name](spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        return cache[name]
+
+    return _plan
+
+
+def test_no_query_plans_a_cartesian_product(spark, plan_of):
     import __spark_entry__ as entry
 
     offenders = []
-    for name, fn in entry.queries().items():
-        plan = (
-            fn(spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        if "CartesianProduct" in plan:
+    for name in entry.queries():
+        if "CartesianProduct" in plan_of(name):
             offenders.append(name)
     assert offenders == [], (
         f"queries planning a CartesianProduct: {offenders}"
     )
 
 
-def test_no_query_plans_row_python_udf(spark):
+def test_no_query_plans_row_python_udf(spark, plan_of):
     """Registry-wide: no query may plan a BatchEvalPython stage — the
     row-at-a-time Python UDF executor (each row round-trips through
     pickle, ~10-100× slower than Arrow batches). Vectorized boundaries
@@ -47,39 +71,21 @@ def test_no_query_plans_row_python_udf(spark):
     import __spark_entry__ as entry
 
     offenders = []
-    for name, fn in entry.queries().items():
-        plan = (
-            fn(spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        if "BatchEvalPython" in plan:
+    for name in entry.queries():
+        if "BatchEvalPython" in plan_of(name):
             offenders.append(name)
     assert offenders == [], (
         f"queries planning a row-Python UDF stage: {offenders}"
     )
 
 
-def test_qshape_scan_pushdown_and_topk_shapes(spark):
+def test_qshape_scan_pushdown_and_topk_shapes(spark, plan_of):
     """Pins the r11 plan audit of the newly-gated TPC-H q-shapes: the
     selective predicates must reach the parquet scan (PushedFilters) and
     the top-k queries must compile to TakeOrderedAndProject — a refactor
     that wraps a filtered column in an expression (killing pushdown) or
     replaces limit-after-sort (materializing a global sort) fails here
     before it costs anything at scale."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-
-    def plan_of(name):
-        return (
-            qs[name](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-
     # predicate -> scan pushdown (representatives of each pushdown kind
     # seen in the audit: date range, equality, string prefix). Matched
     # with tolerant regexes — filter tag + column inside a PushedFilters
@@ -108,7 +114,7 @@ def test_qshape_scan_pushdown_and_topk_shapes(spark):
     assert "CartesianProduct" not in p
 
 
-def test_r12_rotation_block_plan_shapes(spark):
+def test_r12_rotation_block_plan_shapes(spark, plan_of):
     """Pins the r12 gate-rotation block's plan audit (VERDICT r11 item 7),
     the same way the q-shapes got pushdown/top-k pins in r11:
 
@@ -125,18 +131,6 @@ def test_r12_rotation_block_plan_shapes(spark):
       binary sniffs (decode ladder). Every other text_*/ts_* first-timer
       must stay whole-stage-codegen JVM (zero MapInPandas /
       ArrowEvalPython / FlatMapGroupsInPandas)."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-
-    def plan_of(name):
-        return (
-            qs[name](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-
     # bounded-frame pins (frame text is stable lowercase catalyst form)
     p = plan_of("ts_hampel_filter_events")
     assert "specifiedwindowframe(RowFrame, -3, 3)" in p
@@ -181,7 +175,7 @@ def test_r12_rotation_block_plan_shapes(spark):
     )
 
 
-def test_r13_rotation_block_plan_shapes(spark):
+def test_r13_rotation_block_plan_shapes(spark, plan_of):
     """Pins the r13 gate-rotation block's plan audit (VERDICT r12 item 6),
     extending the r11 q-shape and r12 bounded-frame pins:
 
@@ -199,18 +193,6 @@ def test_r13_rotation_block_plan_shapes(spark):
       Arrow surface is skope_reference_raster_zonal (mapInPandas raster
       decode on executors); every other first-timer stays whole-stage
       JVM codegen."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-
-    def plan_of(name):
-        return (
-            qs[name](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-
     STATS = [
         "stats_welch_ttest_segment", "stats_ols_price_by_flag",
         "stats_contingency_type_hour", "stats_two_proportion_ab",
@@ -256,7 +238,7 @@ def test_r13_rotation_block_plan_shapes(spark):
     )
 
 
-def test_r13_new_query_plan_shapes(spark):
+def test_r13_new_query_plan_shapes(spark, plan_of):
     """Pins the two queries ADDED in r13 (q13 + containment join), same
     discipline as the rotation-block pins:
 
@@ -268,18 +250,6 @@ def test_r13_new_query_plan_shapes(spark):
     - dedup_containment_pairs: candidates come from the shingle
       EQUI-join (prefix lemma), never a cartesian, and the whole
       pipeline stays JVM codegen (no Python boundary)."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-
-    def plan_of(name):
-        return (
-            qs[name](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-
     p = plan_of("q13_customer_order_distribution")
     assert "Not(StringContains(o_orderpriority,LOW))" in p, (
         "q13 exclusion predicate no longer pushed to the orders scan"
@@ -306,7 +276,7 @@ def test_r13_new_query_plan_shapes(spark):
     assert "CEIL((0.8" in p, "containment size filter fell off the join"
 
 
-def test_r14_rotation_block_plan_shapes(spark):
+def test_r14_rotation_block_plan_shapes(spark, plan_of):
     """Pins the r14 gate-rotation block's plan audit (VERDICT r13 item 5),
     extending the r11-r13 rotation pins:
 
@@ -333,18 +303,6 @@ def test_r14_rotation_block_plan_shapes(spark):
     - PYTHON-BOUNDARY BUDGET: no query in the r14 block has a
       documented Arrow surface; all twenty stay whole-stage JVM
       codegen."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-
-    def plan_of(name):
-        return (
-            qs[name](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-
     BLOCK = [
         "q13_customer_order_distribution", "dedup_containment_pairs",
         "graph_adamic_adar_links", "graph_degree_assortativity",
@@ -404,7 +362,7 @@ def test_r14_rotation_block_plan_shapes(spark):
     )
 
 
-def test_r15_rotation_block_plan_shapes(spark):
+def test_r15_rotation_block_plan_shapes(spark, plan_of):
     """Pins the r15 gate-rotation block (the final 27 never-driver-checked
     queries, named in contract/__init__.py's GATE-ORDER PLAN r15) ahead
     of their window — same discipline as the r11-r14 rotation pins:
@@ -428,18 +386,6 @@ def test_r15_rotation_block_plan_shapes(spark):
       bounded by group size, audited by eye in r14; only new GLOBAL
       sorts would regress, which the no-cartesian + window-count pins
       downstream of refactors would surface in review."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-
-    def plan_of(name):
-        return (
-            qs[name](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-
     BLOCK = [
         "abc_inventory_classification", "cohort_ltv_curve_quarterly",
         "conditional_agg_battery", "customer_revenue_concentration",
@@ -485,21 +431,13 @@ def test_r15_rotation_block_plan_shapes(spark):
         "nearest-site argmin regressed to a window sort"
     )
 
-def test_sim_hard_negatives_bucketed_plan_shape(spark):
+def test_sim_hard_negatives_bucketed_plan_shape(spark, plan_of):
     """Pins the NEW r15 contract query (VERDICT r14 item 3): the
     corpus-scale hard-negative path must stay an EQUI-join on the
     (tbl, bucket) LSH keys — never a cartesian, never a broadcast
     nested-loop (the whole point vs the brute sibling), and no Python
     boundary (buckets are JVM-side bit arithmetic)."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-    plan = (
-        qs["sim_hard_negatives_bucketed"](spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = plan_of("sim_hard_negatives_bucketed")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     for m in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
@@ -508,21 +446,13 @@ def test_sim_hard_negatives_bucketed_plan_shape(spark):
     # the candidate join keys must survive optimization
     assert "bucket" in plan and "tbl" in plan
 
-def test_exact_cosine_pairs_distributes_pair_space(spark):
+def test_exact_cosine_pairs_distributes_pair_space(spark, plan_of):
     """r15: the documented-quadratic exact baseline must still FAN OUT —
     the BNLJ's parallelism is the streamed side's partitioning, and a
     small parquet reads as one partition (the sf1 single-task 30+ min
     stall). Pin: explicit broadcast build side + round-robin exchange on
     the streamed side, so the pair space splits across cores."""
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-    plan = (
-        qs["sim_exact_cosine_pairs"](spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = plan_of("sim_exact_cosine_pairs")
     assert "BroadcastNestedLoopJoin BuildRight" in plan, plan[:2000]
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
         "streamed side lost its repartition — pair space back to one task"
