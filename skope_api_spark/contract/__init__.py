@@ -34,6 +34,75 @@ def _load_all() -> None:
 # regression-covered by scripts/check_correctness.py (full-registry replay)
 # and pytest.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # --- r17 window (50) --- (VERDICT r16 items 1/5; STALE-GREEN
+    # rotation under the post-closure policy, module-granular staleness
+    # at r17 HEAD — 223 stale after this round's optimization commits).
+    # Composition:
+    #   STANDING KEEPS (4): the policy canaries.
+    #   VERDICT r16 item-5 PINS (2): dedup_minhash_near_duplicates +
+    #     dedup_simhash_near_duplicates — the ≥2-band guard and
+    #     single-SQL signatures have had no driver-oracle exposure
+    #     since they landed (rotated out of the r16 sample).
+    #   R17-TOUCHED (7): every query whose implementation this round's
+    #     optimization commits changed (tfidf single-tf-evaluation, ER
+    #     observe-witness, exact_cosine_pairs pin, fold guards) plus
+    #     their family consumers.
+    #   R16 QUEUE HEADS (4): the three fills that ceded mid-r16 plus
+    #     q14 (queued since r16).
+    #   STALE-GREEN FILL (33): the most-stale greens by margin
+    #     (scripts/gate_staleness.py, module-granular — the same
+    #     measure tests/test_gate_policy.py enforces).
+    "mm_media_sniff_quarantine",
+    "text_unicode_normalize",
+    "ts_gap_fill_interpolate",
+    "skope_reference_raster_zonal",
+    "dedup_minhash_near_duplicates",
+    "dedup_simhash_near_duplicates",
+    "text_tfidf_top_terms",
+    "sim_exact_cosine_pairs",
+    "er_customer_record_clusters",
+    "dedup_duplicate_clusters",
+    "pipeline_clean_corpus_stats",
+    "pipeline_keep_best_rep",
+    "sim_recall_report",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q14_promo_revenue_share",
+    "dedup_remove_duplicate_spans",
+    "sample_pack_training_sequences",
+    "text_bm25_topk",
+    "sketch_kmv_distinct_suppliers",
+    "semi_join_customers_with_high_value_orders",
+    "rollup_order_totals",
+    "q6_forecast_revenue",
+    "setop_nation_keys",
+    "scalar_functions_sweep",
+    "approx_count_distinct_suppliers",
+    "sample_dsir_selection",
+    "moving_median_smoother",
+    "sessionize_native_session_window",
+    "pipeline_curation_manifest",
+    "asof_forward_click_to_purchase",
+    "layout_zorder_events",
+    "w2_trailing_moving_average",
+    "w4_reference_interval_zscore",
+    "stats_bootstrap_means_totalprice",
+    "ts_holt_forecast_daily_users",
+    "join_bloom_pruned_revenue",
+    "sim_embedding_covariance",
+    "text_linear_quality_score",
+    "sample_unimax_mixing",
+    "dq_benford_first_digit",
+    "stats_ks_price_by_segment",
+    "ts_mann_kendall_monthly_revenue",
+    "dedup_exact_documents",
+    "sample_stratified_by_lang",
+    "sample_cap_per_source",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "sessionize_events",
+    # --- end r17 window (50) ---
     # r16 window (VERDICT r15 items 1/4 — first STALE-GREEN rotation
     # under the post-closure policy recorded below at the r15 block).
     # Composition (the driver gates the first 50 names; later duplicate
