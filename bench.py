@@ -290,11 +290,18 @@ def main() -> int:
         return warm, cold
 
     times, cold = run_group(HEADLINE, warm_runs)
-    # ext group: single warm run — it exists for round-over-round
-    # visibility of the r7 surfaces, and its heavies (ER ~9 s) would
-    # triple total bench wall-clock under median-of-3; the headline (the
-    # cross-round continuity metric) keeps the median treatment
-    times_ext, cold_ext = run_group(HEADLINE_EXT, 1)
+    # ext group: median-of-3 warm runs, SAME protocol as the headline
+    # (r17 measurement fix, VERDICT r16 items 1-2): the former single
+    # warm run made every ext number a one-sample draw, and whole-stage
+    # codegen JIT takes 3-5 runs to converge on slow hosts — BOTH r16
+    # "perf_weak" rows (graph_pagerank_copurchase 9.554 s, sim_pq_topk
+    # 2.736 s) were single ext runs that interleaved A/Bs measured at
+    # 3.07 s / ~1.9 s. Old single-run numbers stay recorded in
+    # BENCH_r16.json and earlier; the metric semantics are unchanged
+    # (per-query warm seconds; cold column still the first run). Cost:
+    # ~+2x ext wall per bracket (~+60 s at sf0.1), well inside the
+    # driver budget.
+    times_ext, cold_ext = run_group(HEADLINE_EXT, warm_runs)
 
     try:
         tele["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from skope_api_spark.checkpoint import pin
+from skope_api_spark.checkpoint import pin, spread
 
 DIM = 64
 N_PLANES = 8
@@ -107,8 +107,17 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # spread the STREAMED side (r17): the broadcast-nested-loop scoring
+    # stage's parallelism is the corpus side's partitioning, and a
+    # fixture-sized parquet reads as ONE split — profiled as a single
+    # 0.55 s-CPU task scoring every (query, candidate) pair while 31
+    # cores idle (same class as the exact_cosine_pairs r15 fix). spread
+    # never coalesces, so at real split counts it is a no-op.
+    # Interleaved A/B at sf0.1: 0.72 s vs 0.87 s median, same rows.
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
     )
     kernel = cosine_pandas_udf() if use_arrow else cosine
     scored = (
