@@ -9,11 +9,12 @@ Prints exactly ONE JSON line on stdout:
 Each query is materialized with the noop sink (full execution, no
 driver-side collect cost — we're timing the engine, not Python pickling).
 
-Each query runs TWICE (round 4): the first (cold) run absorbs one-time
-whole-stage-codegen JIT — ~10 s for the very wide hash plans (minhash/
-simhash), pure noise for regression tracking — and the second (warm) run
-is the steady-state number the headline sums. Cold times are kept as a
-separate column so codegen-cost regressions stay visible too.
+Each query runs 1 cold + N warm times (round 4, N=3 since r8 for the
+headline and r17 for the ext group): the first (cold) run absorbs
+one-time whole-stage-codegen JIT — ~10 s for the very wide hash plans
+(minhash/simhash), pure noise for regression tracking — and the MEDIAN
+of the warm runs is the steady-state number the totals sum. Cold times
+are kept as a separate column so codegen-cost regressions stay visible.
 """
 
 from __future__ import annotations
