@@ -558,7 +558,11 @@ def exact_cosine_pairs(
     # eager localCheckpoint of the (id, vec) projection makes the count
     # a cached-block job and both join sides read the pin; the explicit
     # F.broadcast below stays authoritative, so the checkpoint's unknown
-    # size estimate cannot demote the join (the pagerank trap).
+    # size estimate cannot demote the join (the pagerank trap). An
+    # OVER-cap corpus now materializes (MEMORY_AND_DISK — spills, never
+    # OOMs) before the guard raises: a bounded detour on the misuse
+    # path, accepted to keep the documented small-corpus happy path at
+    # exactly one scan.
     b = pin(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
     n = b.count()
     if n > max_broadcast_rows:
